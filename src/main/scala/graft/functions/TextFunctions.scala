@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the large-scale training-data path.
+  *
+  * Everything here is composed from codegen'd built-ins and higher-order
+  * functions — no Scala UDFs — so whole-stage codegen spans the full
+  * pipeline and Catalyst can still prune/push around these expressions.
+  * (The reference keeps all scalar logic in opaque flatMap closures, e.g.
+  * reference: src/main/scala/com/mozilla/telemetry/pings/MainPing.scala:21-101;
+  * this engine moves it into the expression tree instead — SURVEY.md §4.)
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty string → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex over the raw text.
+    * Counts alphanumeric runs, digits, and punctuation marks separately —
+    * a cheap proxy for tokenizer cost used to budget training data.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(length(text) === 0, lit(0.0)).otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Ratio of tokens that are English stopwords — a quality-score feature. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * some-but-not-all stopwords. Deterministic, codegen-friendly.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore   = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val stopScore  = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Marker-word language ID — deterministic first-match CASE chain, so the
+    * exact rule is expressible in ANSI SQL for the oracle. A production
+    * n-gram profile model slots in behind the same column signature.
+    */
+  def langIdMarkers(text: Column): Column =
+    when(text.rlike("\\b(der|und|die|nicht|ist)\\b"), lit("de"))
+      .when(text.rlike("\\b(le|la|les|et|est|une)\\b"), lit("fr"))
+      .when(text.rlike("\\b(el|los|las|que|es|una)\\b"), lit("es"))
+      .when(text.rlike("\\b(the|and|of|is|to)\\b"), lit("en"))
+      .otherwise(lit("und"))
+
+  /** Same rule as [[langIdMarkers]], DuckDB syntax (for oracle SQL). */
+  val langIdMarkersSql: String =
+    """CASE
+      | WHEN regexp_matches(text, '\b(der|und|die|nicht|ist)\b') THEN 'de'
+      | WHEN regexp_matches(text, '\b(le|la|les|et|est|une)\b') THEN 'fr'
+      | WHEN regexp_matches(text, '\b(el|los|las|que|es|una)\b') THEN 'es'
+      | WHEN regexp_matches(text, '\b(the|and|of|is|to)\b') THEN 'en'
+      | ELSE 'und' END""".stripMargin.replace("\n", " ")
+
+  /** Word-level n-gram shingles: ["a b c","b c d",…]. 1-based slice. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Rotate-xor rolling-hash fingerprint over tokens (order-sensitive).
+    * Pure bitwise ops — deterministic and safe under ANSI mode (an
+    * arithmetic rolling hash would overflow-throw there). Cross-engine
+    * opaque by design — used for grouping, not for oracle comparison.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns, built from the
+  * `zip_with`/`aggregate` higher-order functions so it stays inside
+  * whole-stage codegen (no UDF serialization per row). All math is done
+  * in double after an exact float→double widening.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: the sign
+    * pattern of `nPlanes` pseudo-random projections packed into a long.
+    * Hyperplane weights derive from `xxhash64(dim, plane)` — deterministic,
+    * no driver-side randomness, no broadcast needed: the "matrix" is
+    * regenerated inside the expression on every executor.
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+    require(nPlanes <= 62, "bucket packed into a signed long")
+    val projections = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
+          // weight in [-1, 1) from a hash of (dim index, plane index)
+          val h = xxhash64(i, p)
+          x.cast("double") * (h.cast("double") / lit(Long.MaxValue.toDouble))
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0.0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(projections, lit(0L), (acc, bit) => acc * 2 + bit)
+  }
+}

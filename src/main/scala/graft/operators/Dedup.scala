@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data curation at 100 TB.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the content hash — the
+  * hash is computed map-side so the shuffle carries 32 bytes per row, not
+  * the document). Near-dup goes shingles → MinHash signature → LSH band
+  * bucketing → bucket-join candidates → Jaccard verification; the join is
+  * on (band, bucket-hash) so only colliding documents ever meet, which is
+  * the property that lets this run where an all-pairs O(n²) compare cannot.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. `md5` keeps the oracle
+    * cross-checkable (DuckDB computes the identical digest).
+    */
+  def exactGroups(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** Keep one row per distinct content hash (the minimum doc_id wins —
+    * deterministic, unlike dropDuplicates which keeps an arbitrary row).
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the document's shingle set. Built entirely from
+    * higher-order functions (sequence/transform/array_min/xxhash64) so the
+    * signature is computed in codegen with zero shuffles.
+    */
+  def minHash(docs: DataFrame, textCol: String, numHashes: Int, shingleSize: Int): DataFrame =
+    docs.withColumn("shingles", array_distinct(TextFunctions.shingles(col(textCol), shingleSize)))
+      .withColumn("minhash",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          seed => array_min(transform(col("shingles"), s => xxhash64(s, seed)))))
+      .drop("shingles")
+
+  /** LSH banding: signature of r·b hashes → b band keys, each the hash of
+    * one r-slice. Documents sharing any band key are candidate pairs.
+    */
+  def lshBands(withSignature: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    withSignature
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band_id"),
+            // xxhash64 hashes the long-array slice directly (no stringify)
+            xxhash64(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket")))))
+      .select(col("*"), col("band.band_id").as("band_id"), col("band.bucket").as("bucket"))
+      .drop("band", "minhash")
+
+  /** Candidate near-duplicate pairs via the LSH bucket self-join, verified
+    * with exact shingle-set Jaccard. `idCol` ordering (a < b) halves the
+    * join output and removes self-pairs.
+    */
+  def nearDuplicatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // Bands carry only the id — the ×bands row amplification of the
+    // explode must not also amplify document bytes through the shuffle.
+    val sig = minHash(docs.select(col(idCol), col(textCol)), textCol, numHashes, shingleSize)
+    val banded = lshBands(sig, bands, r).select(col(idCol), col("band_id"), col("bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("bucket"))
+    val candidates = a.join(b, Seq("band_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // Texts join back only for the (small) candidate set.
+    val texts = docs.select(col(idCol), col(textCol))
+    candidates
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("text_a"), col("text_b"), shingleSize))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    * explode shingles → self-join on the shingle → |A∩B| = matched count,
+    * Jaccard from the per-doc set sizes. No cross join — only pairs that
+    * share at least one shingle ever materialize (pairs below any positive
+    * threshold that share nothing are correctly absent). Skewed shingles
+    * (stopword bigrams) are the hot keys; AQE skew-join splitting handles
+    * them, and a document-frequency cap on the index is the standard
+    * further mitigation at corpus scale.
+    */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(
+        col(idCol),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sh.select(col(idCol), col("sz"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = inv.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact shingle-set Jaccard between two text columns. */
+  def jaccard(textA: org.apache.spark.sql.Column, textB: org.apache.spark.sql.Column,
+              shingleSize: Int): org.apache.spark.sql.Column = {
+    val sa = array_distinct(TextFunctions.shingles(textA, shingleSize))
+    val sb = array_distinct(TextFunctions.shingles(textB, shingleSize))
+    val inter = size(array_intersect(sa, sb))
+    val union = size(sa) + size(sb) - inter
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** 64-bit SimHash over token hashes: per-bit majority vote of all token
+    * xxhash64 values. Hamming-close simhashes ≈ similar token multisets.
+    * Expressed with HOFs (sequence over 64 bit positions × aggregate over
+    * tokens) — heavier than MinHash per row but shuffle-free.
+    */
+  def simHash(docs: DataFrame, textCol: String): DataFrame = {
+    // Bit positions unroll at plan-build time (shiftright needs a literal
+    // shift): 64 codegen'd vote aggregates over the token-hash array.
+    val bitCols = (0 until 64).map { bit =>
+      val votes = aggregate(col("token_hashes"), lit(0L),
+        (v, h) => v + when(shiftright(h, bit).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    docs
+      .withColumn("token_hashes", transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
+      .withColumn("simhash", bitCols.reduce(_ bitwiseOR _))
+      .drop("token_hashes")
+  }
+}

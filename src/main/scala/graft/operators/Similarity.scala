@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers, same output schema (query_id, neighbor_id, rank, cosine):
+  *  - [[bruteForceTopK]]: exact. Broadcast the (small) query set against
+  *    the full corpus — a BroadcastNestedLoopJoin that streams the corpus
+  *    once; no corpus shuffle. Correct baseline and recall oracle.
+  *  - [[lshTopK]]: scale path. Both sides bucket by random-hyperplane
+  *    sign pattern; candidates only meet within a bucket (shuffle keyed
+  *    by bucket, each bucket ~n/2^planes of the corpus). Probing the
+  *    query's bucket plus single-bit-flip neighbors trades recall for
+  *    a tunable fan-out.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine. Ties broken by neighbor id
+    * so results are fully deterministic.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,   // (query_id, embedding)
+      corpus: DataFrame,    // (vec_id, embedding)
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("query_id"), col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** LSH-bucketed approximate top-k: exact ranking within the union of
+    * probed buckets. With multi-probe (flip each of `nPlanes` bits once)
+    * recall is high for close neighbors while each comparison list stays
+    * ~ (nPlanes+1) · n / 2^nPlanes of the corpus.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket"))
+    // Multi-probe: query lands in its own bucket plus each 1-bit flip.
+    val probes = (0 until nPlanes).foldLeft(array(VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes))) {
+      (acc, bit) => array_append(acc,
+        VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes)
+          .bitwiseXOR(lit(1L << bit)))
+    }
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+        explode(probes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Per-label centroid statistics — the IVF coarse-quantizer building
+    * block (k-means assignment step = argmin distance to these centroids).
+    */
+  def labelCentroids(corpus: DataFrame, dim: Int): DataFrame = {
+    val perDim = (0 until dim).map(i =>
+      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
+    corpus.groupBy(col("label")).agg(perDim.head, perDim.tail: _*)
+  }
+}

@@ -1,0 +1,426 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{ExactNum, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Sessionize, Similarity, WindowedAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's query inventory, one entry per operator family from
+  * SURVEY.md §2 plus the training-data extensions. Each query has a
+  * DuckDB oracle in [[oracles]] unless its mechanism is hash-based
+  * (xxhash64 signatures) and therefore not expressible cross-engine.
+  *
+  * Determinism contract with the oracle:
+  *  - double aggregates go through [[ExactNum]] (exact decimal sums);
+  *  - top-k / window ranks always carry a unique tie-break key;
+  *  - window starts are emitted as epoch-second BIGINTs (no tz ambiguity).
+  */
+object QueryPack {
+  import ExactNum._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- helpers
+  private val ShipCutoff = "1998-09-02"
+
+  // ------------------------------------------------------------- relational
+
+  /** TPC-H Q1-shaped pricing summary: filter → groupBy → multi-SUM.
+    * The reference's windowed multi-column SUM pattern
+    * (ErrorAggregatorBase.scala:238-255) minus the time window.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(ShipCutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Star join: fact orders ⋈ customer, dims nation/region broadcast. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** Big-big shuffle join lineitem ⋈ orders with distinct aggregation. */
+  def joinPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+           dsum(col("l_extendedprice")).as("sum_price"))
+
+  /** Deterministic top-k: TakeOrderedAndProject, no full sort at scale. */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Analytic window function: top-3 orders per customer. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+  }
+
+  /** NOT EXISTS as a left-anti join (no subquery re-execution): customers
+    * that never placed a pending order.
+    */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** EXISTS as a left-semi join. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+           countDistinct(col("l_partkey")).as("n_parts"))
+
+  def unionNations(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  // --------------------------------------------------- events (telemetry)
+
+  /** The reference's core operator: 5-minute tumbling window + dims →
+    * multi-SUM (ErrorAggregatorBase.scala:238-255), window emitted as
+    * epoch seconds.
+    */
+  def eventWindowSum(s: SparkSession, dir: String): DataFrame =
+    WindowedAgg.tumbling(
+      Tables.events(s, dir), "ts", "5 minutes", "1 minute",
+      Seq(col("event_type")),
+      Seq(dsum(col("value")).as("sum_value"), count(lit(1)).as("n_events")))
+      .select(col("window_start").cast("long").as("window_start"),
+        col("event_type"), col("sum_value"), col("n_events"))
+
+  /** Conditional windowed counts — ExperimentEnrollmentsAggregator's
+    * count(when(method==…)) pattern
+    * (ExperimentEnrollmentsAggregator.scala:136-143), hourly.
+    */
+  def eventConditionalWindow(s: SparkSession, dir: String): DataFrame =
+    WindowedAgg.tumbling(
+      Tables.events(s, dir), "ts", "1 hour", "1 minute", Seq.empty,
+      Seq(count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase")))
+      .select(col("window_start").cast("long").as("window_start"),
+        col("n_signup"), col("n_error"), col("n_purchase"))
+
+  /** JSON payload field extraction — the reference's json4s `\` walks
+    * (MainPing.scala:23-101) as codegen'd get_json_object.
+    */
+  def eventJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+           count(lit(1)).as("n"))
+
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionCounts(Tables.events(s, dir), "user_id", "ts", 1800L)
+
+  def eventTopUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+      .limit(20)
+
+  // ----------------------------------------------------- documents (text)
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_unique"))
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"))
+
+  def qualityStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("punct_ratio", TextFunctions.punctRatio(col("text")))
+      .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))
+      .groupBy(col("lang"))
+      .agg(davg(col("punct_ratio")).as("avg_punct_ratio"),
+           davg(col("stop_ratio")).as("avg_stop_ratio"),
+           count(lit(1)).as("n_docs"))
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("predicted", TextFunctions.langIdMarkers(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Hash-based (xxhash64) — no cross-engine oracle; rows-only check. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+
+  /** MinHash+LSH near-dup pairs (2-gram shingles; 8 bands × 4 rows).
+    * Hash-based bucketing — rows-only check; [[jaccardPairs]] is the
+    * exact oracle-checked twin.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 2, jaccardThreshold = 0.7)
+
+  /** SimHash signatures — rows-only check. */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("simhash"))
+
+  /** Exact n-gram Jaccard near-dups via the inverted-index join — the
+    * oracle-checkable twin of the LSH path, bounded to a deterministic
+    * id slice so the quadratic tail stays capped at bench scale.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id", "text", shingleSize = 2, threshold = 0.5)
+
+  // -------------------------------------------------- embeddings (vectors)
+
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(queries, emb, 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN — approximate; rows-only check. */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.lshTopK(queries, emb, 10, nPlanes = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  def centroidStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           favg(element_at(col("embedding"), 1)).as("avg_d0"),
+           favg(element_at(col("embedding"), 2)).as("avg_d1"),
+           favg(VectorFunctions.norm(col("embedding"))).as("avg_norm"))
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal plumbing: binary payload column + typed metadata. The
+    * "decode" here is the deterministic stub (byte length + fake dims);
+    * real image/audio decoding plugs into [[graft.operators.Media]].
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("n_bytes", length(col("blob")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+
+  // ---------------------------------------------------------------- wiring
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary"   -> (pricingSummary _),
+    "q02_region_revenue"    -> (regionRevenue _),
+    "q03_join_priority"     -> (joinPriority _),
+    "q04_topk_orders"       -> (topkOrders _),
+    "q05_window_rank"       -> (windowRank _),
+    "q06_anti_join"         -> (antiJoin _),
+    "q07_semi_join"         -> (semiJoin _),
+    "q08_distinct_agg"      -> (distinctAgg _),
+    "q09_union_nations"     -> (unionNations _),
+    "q10_event_window_sum"  -> (eventWindowSum _),
+    "q11_event_conditional" -> (eventConditionalWindow _),
+    "q12_event_json"        -> (eventJsonExtract _),
+    "q13_sessionize"        -> (sessionize _),
+    "q14_event_top_users"   -> (eventTopUsers _),
+    "q15_dedup_exact"       -> (dedupExact _),
+    "q16_token_stats"       -> (tokenStats _),
+    "q17_quality_stats"     -> (qualityStats _),
+    "q18_langid"            -> (langId _),
+    "q19_fingerprint"       -> (fingerprints _),
+    "q20_minhash_lsh"       -> (minhashPairs _),
+    "q21_simhash"           -> (simhashSignatures _),
+    "q22_jaccard_pairs"     -> (jaccardPairs _),
+    "q23_knn_brute"         -> (knnBrute _),
+    "q24_knn_lsh"           -> (knnLsh _),
+    "q25_centroid_stats"    -> (centroidStats _),
+    "q26_media_meta"        -> (mediaMeta _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty,
+         | ${dsumSql("l_extendedprice")} AS sum_base_price,
+         | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         | ${davgSql("l_quantity")} AS avg_qty,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$ShipCutoff 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_region_revenue" ->
+      s"""SELECT r_name, ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin,
+    "q03_join_priority" ->
+      s"""SELECT o_orderpriority,
+         | COUNT(DISTINCT l_orderkey) AS n_orders,
+         | ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rank FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+        | FROM orders) t WHERE rank <= 3""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_nationkey""".stripMargin,
+    "q08_distinct_agg" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        | COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q09_union_nations" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey FROM supplier) t""".stripMargin,
+    "q10_event_window_sum" ->
+      s"""SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,
+         | event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS n_events
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q11_event_conditional" ->
+      """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+        |FROM events GROUP BY 1""".stripMargin,
+    "q12_event_json" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q13_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        | COUNT(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q14_event_top_users" ->
+      s"""SELECT user_id, ${dsumSql("value")} AS total_value, COUNT(*) AS n_events
+         |FROM events GROUP BY user_id
+         |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
+    "q15_dedup_exact" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
+    "q16_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q17_quality_stats" ->
+      s"""WITH f AS (
+         | SELECT lang,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |            / length(text) END AS punct_ratio,
+         |  CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |              t -> t IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |            / len(regexp_split_to_array(trim(text), '\\s+')) END AS stop_ratio
+         | FROM documents)
+         |SELECT lang, ${davgSql("punct_ratio")} AS avg_punct_ratio,
+         | ${davgSql("stop_ratio")} AS avg_stop_ratio, COUNT(*) AS n_docs
+         |FROM f GROUP BY lang""".stripMargin,
+    "q18_langid" ->
+      s"""SELECT lang, ${TextFunctions.langIdMarkersSql} AS predicted, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q22_jaccard_pairs" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t)
+        |SELECT id_a, id_b, jaccard FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id) x
+        |WHERE jaccard >= 0.5""".stripMargin,
+    "q23_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+        |SELECT query_id, neighbor_id, rank FROM (
+        | SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id) AS INT) AS rank
+        | FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id) t
+        |WHERE rank <= 10""".stripMargin,
+    "q25_centroid_stats" ->
+      s"""SELECT label, COUNT(*) AS n,
+         | ${favgSql("embedding[1]")} AS avg_d0,
+         | ${favgSql("embedding[2]")} AS avg_d1,
+         | ${favgSql("sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")} AS avg_norm
+         |FROM embeddings GROUP BY label""".stripMargin,
+    "q26_media_meta" ->
+      """SELECT source, COUNT(*) AS n_media,
+        |CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY source""".stripMargin,
+  )
+}
