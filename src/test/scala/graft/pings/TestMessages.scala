@@ -1,0 +1,120 @@
+package graft.pings
+
+import graft.json._
+
+/** Deterministic envelope generators — the fixture backbone, equivalent in
+  * shape to the reference's builders (reference:
+  * src/test/scala/com/mozilla/telemetry/TestUtils.scala:31-393; field
+  * contract in FIXTURES.md).
+  */
+object TestMessages {
+
+  val TestTimestampNano: Long = 1460036116829920000L // 2016-04-07T02:15:16.8299Z
+  val TestTimestampMillis: Long = TestTimestampNano / 1000000L
+
+  case class AppInfo(
+      architecture: String, buildId: String, channel: String, name: String,
+      version: String, displayVersion: Option[String])
+
+  val Firefox: AppInfo = AppInfo("x86", "20170101000000", "release", "Firefox", "42.0", Some("42.0b1"))
+  val Fennec: AppInfo = AppInfo("arm64-v8a", "20170101000000", "release", "Fennec", "59.0", Some("59.0b1"))
+
+  private def applicationJson(app: AppInfo): String =
+    JsonObject.of(
+      ("architecture", Json.str(app.architecture)),
+      ("buildId", Json.str(app.buildId)),
+      ("channel", Json.str(app.channel)),
+      ("name", Json.str(app.name)),
+      ("version", Json.str(app.version)),
+      ("displayVersion", app.displayVersion.map(Json.str).getOrElse(JsonNull))
+    ).render
+
+  private def baseFields(app: AppInfo, docType: String): Map[String, JsonValue] = Map(
+    "clientId" -> Json.str("client1"),
+    "docType" -> Json.str(docType),
+    "normalizedChannel" -> Json.str(app.channel),
+    "appName" -> Json.str(app.name),
+    "appVersion" -> Json.num(app.version.toDouble),
+    "appBuildId" -> Json.str(app.buildId),
+    "geoCountry" -> Json.str("IT"),
+    "os" -> Json.str("Linux"),
+    "submissionDate" -> Json.str("20170101"),
+    "environment.build" -> Json.str(
+      s"""{"architecture": "${app.architecture}", "buildId": "${app.buildId}", "version": "${app.version}"}"""),
+    "environment.system" -> Json.str("""{"os": {"name": "Linux", "version": "42"}}"""),
+    "environment.addons" -> Json.str(
+      """{"activeExperiment": {"id": "experiment1", "branch": "control"},
+        | "activeAddons": {"my-addon": {"isSystem": true}},
+        | "theme": {"id": "firefox-compact-dark@mozilla.org"}}""".stripMargin),
+    "environment.profile" -> Json.str("""{"creationDate": 16000}"""),
+    "environment.experiments" -> Json.str("""{"experiment2": {"branch": "chaos"}}"""))
+
+  def crashMessages(
+      size: Int,
+      fieldsOverride: Map[String, JsonValue] = Map.empty,
+      customMetadata: String = "",
+      processType: Option[String] = None,
+      timestamp: Long = TestTimestampNano,
+      app: AppInfo = Firefox): Seq[Envelope] = {
+    val fields = baseFields(app, "crash") ++ fieldsOverride
+    val processTypePart = processType.map(p => s""", "processType": "$p"""").getOrElse("")
+    val payload =
+      s"""{"payload": {"crashDate": "2017-01-01", "metadata": {$customMetadata}$processTypePart},
+         | "application": ${applicationJson(app)}}""".stripMargin
+    (1 to size).map(_ => Envelope(fields, timestamp, Some(payload)))
+  }
+
+  def mainMessages(
+      size: Int,
+      fieldsOverride: Map[String, JsonValue] = Map.empty,
+      timestamp: Long = TestTimestampNano,
+      customPayload: String = ""): Seq[Envelope] = {
+    val app = Firefox
+    val fields = baseFields(app, "main") ++ Map(
+      "sampleId" -> Json.num(73L),
+      "environment.system" -> Json.str(
+        """{"os": {"name": "Linux", "version": "42"}, "isWow64": false, "memoryMB": 4136}"""),
+      "environment.settings" -> Json.str(
+        """{"locale": "it_IT", "isDefaultBrowser": true, "attribution": {"source": "example.com"}}"""),
+      "payload.histograms" -> Json.str(
+        """{"BROWSER_SHIM_USAGE_BLOCKED": {"values": {"0": 1}},
+          | "INPUT_EVENT_RESPONSE_COALESCED_MS": {"values": {"1": 1, "150": 2, "250": 3, "2500": 4, "10000": 5}}}""".stripMargin),
+      "payload.keyedHistograms" -> Json.str(
+        """{"SUBPROCESS_CRASHES_WITH_DUMP": {
+          |   "content": {"values": {"0": 1}},
+          |   "gpu": {"values": {"0": 1}},
+          |   "plugin": {"values": {"0": 1}},
+          |   "gmplugin": {"values": {"0": 1}}},
+          | "SUBPROCESS_KILL_HARD": {"ShutDownKill": {"values": {"0": 1}}},
+          | "SEARCH_COUNTS": {
+          |   "ddg.urlbar": {"range": [1, 2], "bucket_count": 3, "histogram_type": 4,
+          |                  "values": {"0": 4, "1": 0}, "sum": 4},
+          |   "google.suggestion": {"values": {"0": 1}, "sum": 1}}}""".stripMargin),
+      "payload.simpleMeasurements" -> Json.str("""{"activeTicks": 275, "firstPaint": 1200}"""),
+      "payload.info" -> Json.str(
+        """{"subsessionLength": 3600, "subsessionCounter": 1, "sessionId": "sample-session-id",
+          | "sessionStartDate": "2018-05-30T11:00:00.0-05:00"}""".stripMargin)
+    ) ++ fieldsOverride
+    val payload =
+      s"""{"application": ${applicationJson(app)}, "payload": {$customPayload}}"""
+    (1 to size).map(_ => Envelope(fields, timestamp, Some(payload)))
+  }
+
+  def coreMessages(
+      size: Int,
+      fieldsOverride: Map[String, JsonValue] = Map.empty,
+      timestamp: Long = TestTimestampNano): Seq[Envelope] = {
+    val app = Fennec
+    val submission =
+      """{"durations": 3600, "device": "pixel", "displayVersion": "59.0b1", "tz": 120,
+        | "locale": "it_IT", "arch": "arm64-v8a", "os": "Android", "seq": 1, "v": 9,
+        | "clientId": "client1", "osversion": "27", "sessions": 1, "profileDate": 16000,
+        | "defaultBrowser": true, "created": "2017-01-01"}""".stripMargin
+    val fields = baseFields(app, "core") ++ Map(
+      "submission" -> Json.str(submission),
+      "sourceName" -> Json.str("telemetry"),
+      "documentId" -> Json.str("doc-id")
+    ) ++ fieldsOverride
+    (1 to size).map(_ => Envelope(fields, timestamp, None))
+  }
+}
