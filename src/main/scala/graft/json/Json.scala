@@ -26,12 +26,14 @@ sealed trait JsonValue {
     case JsonString(s) => Some(s)
     case _             => None
   }
-  /** Lenient string coercion (numbers/booleans stringify). */
+  /** Lenient string coercion (numbers/booleans stringify; `42.0` keeps
+    * its decimal point, matching the reference's double→string fields).
+    */
   def coerceString: Option[String] = this match {
-    case JsonString(s)  => Some(s)
-    case n: JsonNumber  => Some(n.render)
-    case JsonBool(b)    => Some(b.toString)
-    case _              => None
+    case JsonString(s)       => Some(s)
+    case JsonNumber(value)   => Some(value.bigDecimal.toPlainString)
+    case JsonBool(b)         => Some(b.toString)
+    case _                   => None
   }
   def asInt: Option[Int] = this match {
     case n: JsonNumber if n.isWhole => Some(n.value.toInt)
@@ -241,9 +243,9 @@ object Json {
   private def renderTo(v: JsonValue, sb: StringBuilder): Unit = v match {
     case JsonUndefined | JsonNull => sb ++= "null"
     case JsonBool(b)              => sb ++= b.toString
-    case n @ JsonNumber(value) =>
-      if (n.isWhole && value.abs < BigDecimal(Long.MaxValue)) sb ++= value.toLong.toString
-      else sb ++= value.toString
+    // toPlainString keeps the source's scale ("42.0" stays "42.0") and
+    // never emits scientific notation
+    case JsonNumber(value) => sb ++= value.bigDecimal.toPlainString
     case JsonString(s) => renderString(s, sb)
     case JsonArray(items) =>
       sb += '['

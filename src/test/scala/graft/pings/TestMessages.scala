@@ -100,6 +100,55 @@ object TestMessages {
     (1 to size).map(_ => Envelope(fields, timestamp, Some(payload)))
   }
 
+  /** Event ping with 3 parent + 1 dynamic (normandy enroll) events
+    * (shape per FIXTURES.md §5).
+    */
+  def eventMessages(
+      size: Int,
+      fieldsOverride: Map[String, JsonValue] = Map.empty,
+      timestamp: Long = TestTimestampNano,
+      customEvents: Option[String] = None): Seq[Envelope] = {
+    val app = Firefox
+    val events = customEvents.getOrElse(
+      """{"parent": [
+        |   [100, "browser", "open", "tab"],
+        |   [200, "browser", "close", "tab", "3"],
+        |   [300, "search", "execute", "urlbar", null, {"engine": "ddg"}]],
+        | "dynamic": [
+        |   [4203540, "normandy", "enroll", "preference_study", "awesome-experiment",
+        |    {"branch": "control", "experimentType": "exp"}]]}""".stripMargin)
+    val fields = baseFields(app, "event") ++ Map(
+      "documentId" -> Json.str("doc-id"),
+      "sampleId" -> Json.num(73L),
+      "environment.settings" -> Json.str("""{"locale": "it_IT"}""")
+    ) ++ fieldsOverride
+    val payload =
+      s"""{"application": ${applicationJson(app)},
+         | "payload": {"reason": "periodic", "processStartTimestamp": 1530291900000,
+         |   "sessionId": "session-id", "subsessionId": "subsession-id",
+         |   "lostEventsCount": 0, "events": $events}}""".stripMargin
+    (1 to size).map(_ => Envelope(fields, timestamp, Some(payload)))
+  }
+
+  /** Frecency-update ping (shape per FIXTURES.md §6). */
+  def frecencyMessages(
+      size: Int,
+      modelVersion: Long = 140L,
+      loss: Double = 291989.21,
+      update: Seq[Double] = (1 to 22).map(_.toDouble * 0.5),
+      studyVariation: String = "model1",
+      suggestionsDisplayed: Long = 2L,
+      timestamp: Long = TestTimestampNano): Seq[Envelope] = {
+    val fields = baseFields(Firefox, "frecency-update")
+    val payload =
+      s"""{"model_version": $modelVersion, "frecency_scores": [1.0, 2.0, 3.0, 4.0],
+         | "loss": $loss, "update": [${update.mkString(",")}],
+         | "num_suggestions_displayed": 5, "rank_selected": 1,
+         | "bookmark_and_history_num_suggestions_displayed": $suggestionsDisplayed,
+         | "study_variation": "$studyVariation", "study_addon_version": "1.0.0"}""".stripMargin
+    (1 to size).map(_ => Envelope(fields, timestamp, Some(payload)))
+  }
+
   def coreMessages(
       size: Int,
       fieldsOverride: Map[String, JsonValue] = Map.empty,
