@@ -14,7 +14,10 @@ final case class EventPing(
     reason: Option[String],
     sessionId: Option[String],
     subsessionId: Option[String])
-  extends TelemetryPing with HasEnvironment with HasApplication {
+  extends TelemetryPing with HasEnvironment with HasApplication
+  with graft.amplitude.SendsToAmplitudeWithEnvironment {
+
+  def getCreated: Option[Long] = meta.creationTimestamp.map(t => (t / 1e9).toLong)
 
   /** process name → its events (reference: EventPing.scala:18-21). */
   val processEventMap: Map[String, Seq[TelemetryEvent]] =

@@ -9,7 +9,25 @@ final case class MainPing(
     application: Option[Application],
     meta: Meta,
     processes: JsonValue)
-  extends TelemetryPing with HasEnvironment with HasApplication {
+  extends TelemetryPing with HasEnvironment with HasApplication
+  with graft.amplitude.SendsToAmplitudeWithEnvironment {
+
+  def getClientId: Option[String] = meta.clientId
+  def getCreated: Option[Long] = meta.creationTimestamp.map(t => (t / 1e9).toLong)
+
+  /** Ping-level pseudo-event carrying session stats
+    * (reference: MainPing.scala:136-149).
+    */
+  override def sessionSplitEvents: Seq[TelemetryEvent] = {
+    val extra = Map(
+      "subsession_length" -> Some(subsessionLength),
+      "active_ticks" -> activeTicks,
+      "uri_count" -> getScalarValue("parent", "browser.engagement.total_uri_count"),
+      "search_count" -> Some(searchCount),
+      "reason" -> reason)
+      .collect { case (k, Some(v)) => k -> v.toString }
+    Seq(TelemetryEvent(sessionLength, "meta", "session_split", "", None, Some(extra)))
+  }
 
   /** Count histogram = bucket "0" of `values` (reference: MainPing.scala:21-30). */
   def getCountHistogramValue(name: String): Option[Int] =

@@ -130,6 +130,45 @@ object TestMessages {
     (1 to size).map(_ => Envelope(fields, timestamp, Some(payload)))
   }
 
+  /** Focus event ping: submission in the `submission` field, 4 positional
+    * events (shape per FIXTURES.md §3).
+    */
+  def focusEventMessages(
+      size: Int,
+      fieldsOverride: Map[String, JsonValue] = Map.empty,
+      timestamp: Long = TestTimestampNano): Seq[Envelope] = {
+    val submission =
+      """{"v": 1, "clientId": "client1", "seq": 162, "locale": "pt-CA",
+        | "os": "Android", "osversion": "23", "created": 1506024685632, "tz": -180,
+        | "settings": {
+        |   "pref_privacy_block_ads": "true", "pref_locale": "",
+        |   "pref_privacy_block_social": "true", "pref_secure": "true",
+        |   "pref_privacy_block_analytics": "true", "pref_search_engine": "custom",
+        |   "pref_privacy_block_other": "false", "pref_default_browser": "true",
+        |   "pref_performance_block_webfonts": "false", "pref_performance_block_images": "false",
+        |   "pref_autocomplete_installed": "true", "pref_autocomplete_custom": "false"},
+        | "events": [
+        |   [176078022, "action", "foreground", "app"],
+        |   [176127806, "action", "type_query", "search_bar"],
+        |   [176151285, "action", "click", "back_button", "erase_home", {"host": "side"}],
+        |   [176151591, "action", "background", "app", "", {"sessionLength": "1000"}]]}""".stripMargin
+    val fields = Map(
+      "clientId" -> Json.str("client1"),
+      "documentId" -> Json.str("doc-id"),
+      "docType" -> Json.str("focus-event"),
+      "normalizedChannel" -> Json.str("release"),
+      "appName" -> Json.str("Focus"),
+      "appVersion" -> Json.num(1.1),
+      "appBuildId" -> Json.str("6"),
+      "geoCountry" -> Json.str("CA"),
+      "geoCity" -> Json.str("Victoria"),
+      "sampleId" -> Json.num(73L),
+      "submissionDate" -> Json.str("20170101"),
+      "submission" -> Json.str(submission)
+    ) ++ fieldsOverride
+    (1 to size).map(_ => Envelope(fields, timestamp, None))
+  }
+
   /** Frecency-update ping (shape per FIXTURES.md §6). */
   def frecencyMessages(
       size: Int,

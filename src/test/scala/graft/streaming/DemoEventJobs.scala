@@ -47,6 +47,18 @@ object DemoEventJobs {
       spark.createDataset(TestMessages.eventMessages(4).map(_.toBytes)).toDF("value"))
     enrollments.show(5, truncate = false)
     println("DRIVE-ENROLL-ROWS=" + enrollments.count())
+
+    val config = graft.amplitude.AmplitudeConfig.parse(
+      new String(getClass.getResourceAsStream("/amplitudeTestConfig.json").readAllBytes()))
+    val transport = new graft.sinks.RecordingTransport(Seq(200))
+    val amplitudeSink = graft.sinks.AmplitudeHttpSink("DEMO-KEY", "http://example.test/batch",
+      graft.sinks.HttpSink.Config(transport = transport, sleeper = _ => ()))
+    val payloads = EventsToAmplitude.getEvents(config,
+      spark.createDataset(TestMessages.focusEventMessages(3).map(_.toBytes)).toDF("value"),
+      sample = 1.0, raiseOnError = true)
+    payloads.collect().foreach(p => amplitudeSink.process(p.events))
+    println("DRIVE-AMPLITUDE-REQUESTS=" + transport.requests.length)
+    println("DRIVE-AMPLITUDE-SAMPLE=" + transport.requests.head.body.get.take(200))
     spark.stop()
   }
 }
