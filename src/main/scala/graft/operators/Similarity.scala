@@ -72,6 +72,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs — the oracle twin of
+    * [[cosineNearDupLsh]]. Quadratic: callers bound the input (an id
+    * slice / one shard); the LSH variant is the corpus-scale path.
+    */
+  def cosinePairsExact(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Approximate embedding near-dup via hyperplane-bucket self-join with
+    * single-bit multi-probe. Few planes on purpose: near-dup thresholds
+    * are low-cosine, so recall falls fast with hash length — candidates
+    * only meet inside (multi-probed) buckets, keeping the join linear-ish
+    * in corpus size instead of quadratic.
+    */
+  def cosineNearDupLsh(corpus: DataFrame, threshold: Double, nPlanes: Int = 4): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket"))
+    val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
+      (acc, bit) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << bit)))
+    }
+    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      explode(probes).as("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Per-label centroid statistics — the IVF coarse-quantizer building
     * block (k-means assignment step = argmin distance to these centroids).
     */

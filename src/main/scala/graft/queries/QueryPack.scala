@@ -253,6 +253,46 @@ object QueryPack {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
 
+  /** Exact embedding-cosine near-dup on a bounded slice (oracle twin). */
+  def embNearDupExact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosinePairsExact(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 300), threshold = 0.4)
+
+  /** LSH-bucketed embedding near-dup — approximate; rows-only check. */
+  def embNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupLsh(
+      Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 4)
+
+  /** Multimodal decode: binary blob → typed metadata via mapPartitions
+    * (stubbed codec, real plumbing), aggregated per format.
+    */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Media.attachBlob(Tables.documents(s, dir))
+    graft.operators.Media.decodeMetadata(media)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("width").cast("long")).as("total_width"),
+           sum(col("height").cast("long")).as("total_height"),
+           sum(col("n_bytes")).as("total_bytes"))
+  }
+
+  /** Frame-sampling stub: explode-shaped row amplification per source. */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Media.attachBlob(Tables.documents(s, dir))
+    val frames = graft.operators.Media.sampleFrames(media, frameBytes = 256)
+    frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_frames")).as("total_frames"))
+  }
+
+  /** BPE-ish subword counting over the raw text, per language. */
+  def subwordStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_subwords", TextFunctions.subwordCount(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("total_subwords"))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -282,6 +322,11 @@ object QueryPack {
     "q24_knn_lsh"           -> (knnLsh _),
     "q25_centroid_stats"    -> (centroidStats _),
     "q26_media_meta"        -> (mediaMeta _),
+    "q27_emb_neardup"       -> (embNearDupExact _),
+    "q28_emb_neardup_lsh"   -> (embNearDupLsh _),
+    "q29_media_decode"      -> (mediaDecode _),
+    "q30_media_frames"      -> (mediaFrames _),
+    "q31_subword_stats"     -> (subwordStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,5 +467,33 @@ object QueryPack {
       """SELECT source, COUNT(*) AS n_media,
         |CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY source""".stripMargin,
+    "q27_emb_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        | FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
+    "q29_media_decode" ->
+      """WITH m AS (
+        | SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+        |  CASE octet_length(CAST(text AS BLOB)) % 3
+        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        | FROM documents)
+        |SELECT format, COUNT(*) AS n_media,
+        | CAST(SUM(64 * (1 + n % 16)) AS BIGINT) AS total_width,
+        | CAST(SUM(64 * (1 + n % 9)) AS BIGINT) AS total_height,
+        | CAST(SUM(n) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY format""".stripMargin,
+    "q30_media_frames" ->
+      """WITH f AS (
+        | SELECT doc_id, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_frames
+        | FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_frames) AS BIGINT) AS total_frames
+        |FROM f JOIN documents USING (doc_id) GROUP BY source""".stripMargin,
+    "q31_subword_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords
+        |FROM documents GROUP BY lang""".stripMargin,
   )
 }

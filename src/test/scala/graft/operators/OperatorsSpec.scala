@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+  private lazy val embeddings = graft.Tables.embeddings(spark, sfDir)
+
+  test("exact dedup keeps the min-id row per content hash") {
+    val withDup = docs.select($"doc_id", $"text")
+      .union(docs.select(($"doc_id" + 100000).as("doc_id"), $"text").limit(5))
+    val deduped = Dedup.exactDedup(withDup, "text", "doc_id")
+    assert(deduped.count() == docs.count())
+    assert(deduped.filter($"doc_id" >= 100000).count() == 0)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 2, jaccardThreshold = 0.7).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.7))
+    // LSH candidates verified exactly — every reported pair is a true pair
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet.subsetOf(exact))
+  }
+
+  test("simhash: near-dup docs have close hamming distance") {
+    val planted = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(planted.nonEmpty)
+    val sim = Dedup.simHash(docs, "text").select($"doc_id", $"simhash")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupDistances = planted.map { case (a, b) => hamming(sim(a), sim(b)) }
+    // near-dups under ~8 bits apart; random pairs average 32
+    assert(dupDistances.forall(_ <= 12), s"got ${dupDistances.toSeq}")
+  }
+
+  test("brute-force KNN ranks are exact and deterministic") {
+    val queries = embeddings.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val topk = Similarity.bruteForceTopK(queries, embeddings, 5).collect()
+    assert(topk.length == 10)
+    assert(topk.filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    val cosines = topk.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+    assert(cosines.sliding(2).forall { case Array(x, y) => x >= y })
+  }
+
+  test("LSH KNN returns a subset consistent with brute force scores") {
+    val queries = embeddings.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val approx = Similarity.lshTopK(queries, embeddings, 5, nPlanes = 6).collect()
+    assert(approx.nonEmpty)
+    assert(approx.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
+  }
+
+  test("embedding near-dup: LSH pairs are a subset of exact pairs") {
+    val exact = Similarity.cosinePairsExact(embeddings, 0.35)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupLsh(embeddings, 0.35, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("media decode: mapPartitions metadata with deterministic stub") {
+    val media = Media.attachBlob(docs)
+    val meta = Media.decodeMetadata(media).collect()
+    assert(meta.length == docs.count())
+    assert(meta.forall(m => m.width % 64 == 0 && m.height % 64 == 0))
+    assert(meta.forall(m => Set("png", "jpeg", "webp").contains(m.format)))
+    val one = meta.head
+    assert(one.width == 64 * (1 + one.n_bytes % 16))
+  }
+
+  test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
+    val media = Media.attachBlob(docs.limit(10))
+    val frames = Media.sampleFrames(media, frameBytes = 100).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    val sizes = media.select($"doc_id", length($"blob")).as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (docId, fs) =>
+      assert(fs.length == math.ceil(sizes(docId) / 100.0).toInt)
+      assert(fs.map(_.frame_bytes.length).sum == sizes(docId))
+    }
+  }
+
+  test("sessionize counts sessions per gap rule") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:10:00")), // gap > 30 min
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val counts = Sessionize.sessionCounts(events, "user_id", "ts", 1800L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L))
+  }
+}
