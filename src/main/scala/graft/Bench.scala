@@ -14,6 +14,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-reader init should not be
+    // attributed to whichever query happens to run first
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+      spark.range(100).selectExpr("sum(id)").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

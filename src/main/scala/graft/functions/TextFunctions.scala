@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding for computed arrays used inside higher-order-function
+    * lambdas. Catalyst's CollapseProject inlines a computed column into
+    * its use sites; when the use site is a lambda body the expression is
+    * then re-evaluated PER ARRAY ELEMENT (e.g. a tokenizing split re-run
+    * for every MinHash seed). Wrapping the value as the argument of a
+    * one-element `transform` evaluates it exactly once per row and hands
+    * the lambda a cheap bound variable. (Measured: 89s → sub-second for
+    * the 32-seed MinHash over 5k docs.)
+    */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Whitespace tokenization; empty string → empty array (not [""]). */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
@@ -38,15 +50,13 @@ object TextFunctions {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = bind(tokens(text)) { toks =>
     val stops = filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*))
     when(size(toks) === 0, lit(0.0))
       .otherwise(size(stops).cast("double") / size(toks))
   }
 
-  def meanWordLength(text: Column): Column = {
-    val toks = tokens(text)
+  def meanWordLength(text: Column): Column = bind(tokens(text)) { toks =>
     when(size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
@@ -82,9 +92,11 @@ object TextFunctions {
       | WHEN regexp_matches(text, '\b(the|and|of|is|to)\b') THEN 'en'
       | ELSE 'und' END""".stripMargin.replace("\n", " ")
 
-  /** Word-level n-gram shingles: ["a b c","b c d",…]. 1-based slice. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word-level n-gram shingles: ["a b c","b c d",…]. 1-based slice.
+    * Tokens are let-bound so the inner index lambda reads an array
+    * variable instead of re-splitting the text per shingle.
+    */
+  def shingles(text: Column, n: Int): Column = bind(tokens(text)) { toks =>
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(
         transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -23,6 +23,16 @@ object VectorFunctions {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Unit-normalize once per row (let-bound norm — see
+    * TextFunctions.bind), so pairwise cosine reduces to a single dot
+    * product instead of three aggregate trees per pair.
+    */
+  def normalize(a: Column): Column =
+    graft.functions.TextFunctions.bind(norm(a)) { n =>
+      when(n === 0.0, transform(a, x => x.cast("double")))
+        .otherwise(transform(a, x => x.cast("double") / n))
+    }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: the sign
     * pattern of `nPlanes` pseudo-random projections packed into a long.
     * Hyperplane weights derive from `xxhash64(dim, plane)` — deterministic,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,11 +39,13 @@ object Dedup {
     * signature is computed in codegen with zero shuffles.
     */
   def minHash(docs: DataFrame, textCol: String, numHashes: Int, shingleSize: Int): DataFrame =
-    docs.withColumn("shingles", array_distinct(TextFunctions.shingles(col(textCol), shingleSize)))
-      .withColumn("minhash",
+    docs.withColumn("minhash",
+      // let-bind the shingle set: without it the whole tokenize+shingle
+      // expression would re-run once per seed (see TextFunctions.bind)
+      TextFunctions.bind(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))) { sh =>
         transform(sequence(lit(0), lit(numHashes - 1)),
-          seed => array_min(transform(col("shingles"), s => xxhash64(s, seed)))))
-      .drop("shingles")
+          seed => array_min(transform(sh, s => xxhash64(s, seed))))
+      })
 
   /** LSH banding: signature of r·b hashes → b band keys, each the hash of
     * one r-slice. Documents sharing any band key are candidate pairs.
@@ -127,13 +129,14 @@ object Dedup {
 
   /** Exact shingle-set Jaccard between two text columns. */
   def jaccard(textA: org.apache.spark.sql.Column, textB: org.apache.spark.sql.Column,
-              shingleSize: Int): org.apache.spark.sql.Column = {
-    val sa = array_distinct(TextFunctions.shingles(textA, shingleSize))
-    val sb = array_distinct(TextFunctions.shingles(textB, shingleSize))
-    val inter = size(array_intersect(sa, sb))
-    val union = size(sa) + size(sb) - inter
-    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
-  }
+              shingleSize: Int): org.apache.spark.sql.Column =
+    TextFunctions.bind(array_distinct(TextFunctions.shingles(textA, shingleSize))) { sa =>
+      TextFunctions.bind(array_distinct(TextFunctions.shingles(textB, shingleSize))) { sb =>
+        val inter = size(array_intersect(sa, sb))
+        val union = size(sa) + size(sb) - inter
+        when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
+      }
+    }
 
   /** 64-bit SimHash over token hashes: per-bit majority vote of all token
     * xxhash64 values. Hamming-close simhashes ≈ similar token multisets.
@@ -142,15 +145,17 @@ object Dedup {
     */
   def simHash(docs: DataFrame, textCol: String): DataFrame = {
     // Bit positions unroll at plan-build time (shiftright needs a literal
-    // shift): 64 codegen'd vote aggregates over the token-hash array.
-    val bitCols = (0 until 64).map { bit =>
-      val votes = aggregate(col("token_hashes"), lit(0L),
+    // shift): 64 codegen'd vote aggregates over the let-bound token-hash
+    // array (bound once per row; 64 inlined references would re-hash
+    // every token per bit position).
+    def bitCols(tokenHashes: Column): Seq[Column] = (0 until 64).map { bit =>
+      val votes = aggregate(tokenHashes, lit(0L),
         (v, h) => v + when(shiftright(h, bit).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
       when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
     }
-    docs
-      .withColumn("token_hashes", transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
-      .withColumn("simhash", bitCols.reduce(_ bitwiseOR _))
-      .drop("token_hashes")
+    docs.withColumn("simhash",
+      TextFunctions.bind(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))) {
+        th => bitCols(th).reduce(_ bitwiseOR _)
+      })
   }
 }

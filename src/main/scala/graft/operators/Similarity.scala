@@ -26,11 +26,14 @@ object Similarity {
       queries: DataFrame,   // (query_id, embedding)
       corpus: DataFrame,    // (vec_id, embedding)
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("query_id"), col("embedding").as("q_emb")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    // both sides unit-normalized once → cosine = one dot product per pair
+    val q = broadcast(queries.select(col("query_id"),
+      VectorFunctions.normalize(col("embedding")).as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorFunctions.normalize(col("embedding")).as("c_emb"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -50,19 +53,24 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8): DataFrame = {
     val c = corpus.select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("vec_id").as("neighbor_id"),
+      VectorFunctions.normalize(col("embedding")).as("c_emb"),
       VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket"))
-    // Multi-probe: query lands in its own bucket plus each 1-bit flip.
-    val probes = (0 until nPlanes).foldLeft(array(VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes))) {
-      (acc, bit) => array_append(acc,
-        VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes)
-          .bitwiseXOR(lit(1L << bit)))
+    // Multi-probe: query lands in its own bucket plus each 1-bit flip
+    // (bucket let-bound so the projection hash runs once, not nPlanes+1
+    // times).
+    val probes = graft.functions.TextFunctions.bind(
+      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes)) { bucket =>
+      (0 until nPlanes).foldLeft(array(bucket)) {
+        (acc, bit) => array_append(acc, bucket.bitwiseXOR(lit(1L << bit)))
+      }
     }
-    val q = queries.select(col("query_id"), col("embedding").as("q_emb"),
+    val q = queries.select(col("query_id"),
+        VectorFunctions.normalize(col("embedding")).as("q_emb"),
         explode(probes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -77,11 +85,13 @@ object Similarity {
     * slice / one shard); the LSH variant is the corpus-scale path.
     */
   def cosinePairsExact(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val normalized = corpus.select(col("vec_id"),
+      VectorFunctions.normalize(col("embedding")).as("emb"))
+    val a = normalized.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = normalized.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", VectorFunctions.dot(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
@@ -93,19 +103,28 @@ object Similarity {
     * in corpus size instead of quadratic.
     */
   def cosineNearDupLsh(corpus: DataFrame, threshold: Double, nPlanes: Int = 4): DataFrame = {
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+    val bucketed = corpus.select(col("vec_id"),
       VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket"))
     val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
       (acc, bit) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << bit)))
     }
-    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      explode(probes).as("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    // candidate ids first (multi-probe duplicates removed BEFORE any
+    // vector math), then unit-normalized vectors broadcast back in —
+    // each surviving pair costs exactly one dot product
+    val a = bucketed.select(col("vec_id").as("id_a"), explode(probes).as("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("bucket"))
+    val candidates = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+    val normalized = corpus.select(col("vec_id"),
+      VectorFunctions.normalize(col("embedding")).as("emb"))
+    // no broadcast hint: AQE broadcasts when the normalized side is
+    // small; at full corpus scale these become shuffle joins on the id
+    candidates
+      .join(normalized.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(normalized.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .withColumn("cosine", VectorFunctions.dot(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

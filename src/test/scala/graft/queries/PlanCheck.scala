@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints formatted physical plans for representative queries
+  * so pushdown/broadcast/codegen properties can be inspected
+  * (`Test/runMain graft.queries.PlanCheck [query ...]`).
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val targets = if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q02_region_revenue", "q04_topk_orders", "q10_event_window_sum")
+    targets.foreach { name =>
+      println(s"===== $name =====")
+      println(QueryPack.all(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
