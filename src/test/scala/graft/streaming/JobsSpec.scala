@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkTest
+import graft.monitoring.AccumulatorMetrics
+import graft.pings.TestMessages
+import graft.sinks.{DogStatsDMetricSink, HttpSink, RecordingTransport, StringHttpSink}
+import graft.sources.EnvelopeStore
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.DatagramSocket
+import java.nio.file.Files
+
+class JobsSpec extends AnyFunSuite with SparkTest {
+
+  test("envelope store round-trips with partition pruning") {
+    val dir = Files.createTempDirectory("envstore").toString
+    val envelopes = TestMessages.crashMessages(5) ++ TestMessages.mainMessages(5) ++
+      TestMessages.eventMessages(3)
+    EnvelopeStore.write(spark, envelopes, dir)
+
+    val crashes = EnvelopeStore.read(spark, dir,
+      submissionDate = Some("20170101"), docTypes = Seq("crash"))
+    assert(crashes.count() == 5)
+    // filters must prune partitions, not scan-and-filter
+    val plan = crashes.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || crashes.queryExecution.optimizedPlan.toString.contains("doc_type"))
+    val pruned = crashes.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(pruned.contains("doc_type"), "expected partition filter on doc_type")
+
+    // decoded envelopes survive the round trip
+    val env = graft.pings.Envelope.parseFrom(crashes.head().getAs[Array[Byte]](0))
+    assert(env.fieldString("docType").contains("crash"))
+
+    assert(EnvelopeStore.read(spark, dir, docTypes = Seq("event")).count() == 3)
+    assert(EnvelopeStore.read(spark, dir, submissionDate = Some("19990101")).count() == 0)
+  }
+
+  test("error aggregator batch job runs the per-day loop end to end") {
+    val envDir = Files.createTempDirectory("envstore2").toString
+    val outDir = Files.createTempDirectory("jobout").toString
+    EnvelopeStore.write(spark, TestMessages.crashMessages(4) ++ TestMessages.mainMessages(2), envDir)
+    val opts = StreamingJobBase.parseOpts("error_aggregator", Array(
+      "--from", "20170101", "--to", "20170101",
+      "--envelopeDir", envDir, "--outputPath", outDir,
+      "--numParquetFiles", "2", "--raiseOnError"))
+    Jobs.ErrorAggregatorJob.run(spark, opts)
+    val out = spark.read.parquet(s"$outDir/error_aggregator/v2")
+    assert(out.count() == 3) // experiment fan-out rows
+    assert(out.columns.contains("submission_date_s3"))
+    // the envelope Timestamp drives the partition value (2016-04-07)
+    // partition values come back type-inferred (int) on read
+    assert(out.select("submission_date_s3").distinct().collect()
+      .map(_.get(0).toString).toSeq == Seq("20160407"))
+  }
+
+  test("opts parser enforces streaming xor batch") {
+    intercept[IllegalArgumentException](StreamingJobBase.parseOpts("x", Array.empty))
+    intercept[IllegalArgumentException](
+      StreamingJobBase.parseOpts("x", Array("--kafkaBroker", "b:9092", "--from", "20170101")))
+    val opts = StreamingJobBase.parseOpts("x", Array("--kafkaBroker", "b:9092", "--raiseOnError"))
+    assert(opts.isStreaming && opts.raiseOnError)
+    assert(opts.checkpointPath == "/tmp/checkpoints/x")
+  }
+
+  test("datesBetween expands inclusive ranges") {
+    val job = new StreamingJobBase { override val JobName = "t" }
+    assert(job.datesBetween("20170130", Some("20170202")) ==
+      Seq("20170130", "20170131", "20170201", "20170202"))
+  }
+
+  test("DogStatsD UDP sink sends datagrams") {
+    val receiver = new DatagramSocket()
+    val port = receiver.getLocalPort
+    receiver.setSoTimeout(5000)
+    val sink = new DogStatsDMetricSink("127.0.0.1", port)
+    sink.open(0L, 0L)
+    sink.process(graft.monitoring.DogStatsDMetric.makeCounter("graft.test.count",
+      kvTags = Some(Map("k" -> "v"))))
+    sink.close(null)
+    val buf = new java.net.DatagramPacket(new Array[Byte](512), 512)
+    receiver.receive(buf)
+    receiver.close()
+    assert(new String(buf.getData, 0, buf.getLength) == "graft.test.count:1|c|#k:v")
+  }
+
+  test("accumulator metrics report overflow-safe deltas from sink outcomes") {
+    val metrics = new AccumulatorMetrics(spark, "HttpSink", pollPeriodMillis = 60000L)
+    val hook = AccumulatorMetrics.httpSinkHook(metrics)
+    val transport = new RecordingTransport(Seq(503, 200))
+    val sink = new StringHttpSink("http://example.test/x",
+      HttpSink.Config(transport = transport, sleeper = _ => (), onOutcome = hook))
+    sink.process("payload")
+    val first = metrics.poll()
+    assert(first("retry") == 1L && first("success") == 1L && first("error") == 0L)
+    // second poll with no traffic reports zero deltas
+    assert(metrics.poll().values.forall(_ == 0L))
+  }
+}
