@@ -158,4 +158,37 @@ object Dedup {
         th => bitCols(th).reduce(_ bitwiseOR _)
       })
   }
+
+  /** SimHash near-duplicate pairs via band LSH over the 64-bit signature:
+    * two signatures within hamming distance d differ in at most d of the
+    * 8 8-bit bands, so by pigeonhole they share at least one band exactly
+    * whenever d ≤ 7 — an equi-join per band finds every such pair with
+    * full recall, and the codegen'd `bit_count(a ^ b)` verifies the exact
+    * distance. Same shuffle discipline as MinHash banding: ids + bands
+    * only.
+    */
+  def simHashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8 x 8-bit bands guarantee recall only for d <= 7")
+    val sim = simHash(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("simhash"))
+    val banded = sim.withColumn("band",
+        explode(array((0 until 8).map(b => struct(
+          lit(b).as("band_id"),
+          shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(0xFFL).as("band_key"))): _*)))
+      .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_key"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
+      col("band_id"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
+      col("band_id"), col("band_key"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -286,6 +286,12 @@ object QueryPack {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_frames")).as("total_frames"))
   }
 
+  /** SimHash band-LSH near-dup pairs with exact hamming verification.
+    * Hash-based — rows-only check; q20/q22 are the Jaccard twins.
+    */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)
+
   /** BPE-ish subword counting over the raw text, per language. */
   def subwordStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -327,6 +333,7 @@ object QueryPack {
     "q29_media_decode"      -> (mediaDecode _),
     "q30_media_frames"      -> (mediaFrames _),
     "q31_subword_stats"     -> (subwordStats _),
+    "q32_simhash_neardup"   -> (simhashNearDups _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -151,4 +151,176 @@ object Jobs {
     override val JobName = "experiment_enrollments_aggregator"
     override val outputPrefix = "experiment_enrollments/v1"
   }
+
+  /** Enrollment aggregates → TestTube HTTP (reference job #8). */
+  object ExperimentEnrollmentsToTestTubeJob {
+    def main(args: Array[String]): Unit = {
+      val opts = StreamingJobBase.parseOpts("experiment_enrollments_to_testtube", args)
+      val spark = TestTubeJobDef.buildSession("Experiment Enrollments To TestTube")
+      run(spark, opts)
+    }
+    def run(spark: SparkSession, opts: JobOpts,
+            sinkFactory: String => graft.sinks.TestTubeHttpSink =
+              url => new graft.sinks.TestTubeHttpSink(url)): Unit = {
+      val url = opts.getOrElse("url", "http://localhost/testtube")
+      ExperimentEnrollmentsToTestTube.sinkRows(kafkaStream(spark, opts, 100))
+        .writeStream
+        .queryName(TestTubeJobDef.QueryName)
+        .option("checkpointLocation", opts.checkpointPath)
+        .foreach(sinkFactory(url))
+        .start()
+        .awaitTermination()
+    }
+  }
+  private object TestTubeJobDef extends StreamingJobBase {
+    override val JobName = "experiment_enrollments_to_testtube"
+  }
+
+  /** Crash pings → Influx/OpenTSDB lines over HTTP (reference jobs #3/#4). */
+  def runCrashJob(pipeline: CrashPingStreamBase, jobName: String,
+                  spark: SparkSession, opts: JobOpts): Unit = {
+    val url = opts.getOrElse("url", "http://localhost/write")
+    val measurement = opts.getOrElse("measurementName", "firefox_crashes")
+    val batchSize = opts.getOrElse("httpBatchSize", "1").toInt
+    val maxParallel = opts.getOrElse("maxParallelRequests", "100").toInt
+    if (opts.isStreaming) {
+      pipeline.getParsedPings(kafkaStream(spark, opts, 100), opts.raiseOnError, measurement)
+        .writeStream
+        .option("checkpointLocation", opts.checkpointPath)
+        .foreach(pipeline.getHttpSink(url, batchSize))
+        .start()
+        .awaitTermination()
+    } else {
+      val envelopeDir = opts.get("envelopeDir")
+        .getOrElse(throw new IllegalArgumentException("--envelopeDir required in batch mode"))
+      val base = new StreamingJobBase { override val JobName = jobName }
+      base.datesBetween(opts.from.get, opts.to).foreach { date =>
+        val pings = EnvelopeStore.read(spark, envelopeDir,
+          submissionDate = Some(date), docTypes = Seq("crash"))
+        pipeline.getParsedPings(pings, opts.raiseOnError, measurement)
+          .repartition(maxParallel)
+          .foreachPartition { partition: Iterator[String] =>
+            val sink = pipeline.getHttpSink(url, batchSize)
+            partition.foreach(sink.process)
+            sink.close(null)
+          }
+      }
+    }
+  }
+
+  object CrashesToInfluxJob {
+    def main(args: Array[String]): Unit = {
+      val opts = StreamingJobBase.parseOpts("crashes_to_influx", args)
+      runCrashJob(CrashesToInflux, "crashes_to_influx",
+        new StreamingJobBase { override val JobName = "crashes_to_influx" }
+          .buildSession("CrashesToInflux"), opts)
+    }
+  }
+
+  object CrashesToOpenTsdbJob {
+    def main(args: Array[String]): Unit = {
+      val opts = StreamingJobBase.parseOpts("crashes_to_opentsdb", args)
+      runCrashJob(CrashesToOpenTsdb, "crashes_to_opentsdb",
+        new StreamingJobBase { override val JobName = "crashes_to_opentsdb" }
+          .buildSession("CrashesToOpenTsdb"), opts)
+    }
+  }
+
+  /** Uptake events → DogStatsD UDP (reference job #9). */
+  object UptakeEventsToDatadogJob {
+    def main(args: Array[String]): Unit = {
+      val opts = StreamingJobBase.parseOpts("uptake_events_to_datadog", args)
+      val spark = new StreamingJobBase { override val JobName = "uptake_events_to_datadog" }
+        .buildSession("UptakeEventsToDatadog")
+      val host = opts.getOrElse("statsdHost", "localhost")
+      val port = opts.getOrElse("statsdPort", "8125").toInt
+      UptakeEventsToDatadog.eventsToMetrics(kafkaStream(spark, opts, 100), opts.raiseOnError)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", opts.checkpointPath)
+        .foreach(new graft.sinks.DogStatsDMetricSink(host, port))
+        .start()
+        .awaitTermination()
+    }
+  }
+
+  /** Config-driven events → Amplitude (reference job #5). */
+  object EventsToAmplitudeJob {
+    def main(args: Array[String]): Unit = {
+      val opts = StreamingJobBase.parseOpts("events_to_amplitude", args)
+      val spark = new StreamingJobBase { override val JobName = "events_to_amplitude" }
+        .buildSession("EventsToAmplitude")
+      val apiKey = sys.env.getOrElse("AMPLITUDE_API_KEY",
+        throw new IllegalArgumentException("AMPLITUDE_API_KEY not set"))
+      run(spark, opts, apiKey)
+      if (!opts.isStreaming) spark.stop()
+    }
+    def run(spark: SparkSession, opts: JobOpts, apiKey: String,
+            sinkFactory: (String, String) => graft.sinks.AmplitudeHttpSink =
+              (key, url) => graft.sinks.AmplitudeHttpSink(key, url)): Unit = {
+      val config = graft.amplitude.AmplitudeConfig.load(opts.get("configFilePath")
+        .getOrElse(throw new IllegalArgumentException("--configFilePath required")))
+      val url = opts.getOrElse("url", "http://localhost/batch")
+      val sample = opts.getOrElse("sample", "1.0").toDouble
+      require(sample > 0.0 && sample <= 1.0, "sample must be in (0, 1]")
+      if (opts.isStreaming) {
+        EventsToAmplitude.streamingEvents(config, kafkaStream(spark, opts, 1000),
+          sample, opts.raiseOnError)
+          .writeStream
+          .option("checkpointLocation", opts.checkpointPath)
+          .foreach(sinkFactory(apiKey, url))
+          .start()
+          .awaitTermination()
+      } else {
+        import org.apache.spark.sql.functions.col
+        val envelopeDir = opts.get("envelopeDir")
+          .getOrElse(throw new IllegalArgumentException("--envelopeDir required in batch mode"))
+        val maxParallel = opts.getOrElse("maxParallelRequests", "100").toInt
+        val minDelay = opts.getOrElse("minDelay", "0").toInt
+        val base = new StreamingJobBase { override val JobName = "events_to_amplitude" }
+        base.datesBetween(opts.from.get, opts.to).foreach { date =>
+          // config filters fold into the pruned store scan
+          val pings = EnvelopeStore.read(spark, envelopeDir,
+            submissionDate = Some(date),
+            docTypes = config.filters.getOrElse("docType", Nil),
+            appNames = config.filters.getOrElse("appName", Nil))
+          EventsToAmplitude.getEvents(config, pings, sample, opts.raiseOnError)
+            .repartition(maxParallel, col("clientId"))
+            .foreachPartition {
+              partition: Iterator[graft.amplitude.KeyedAmplitudePayload] =>
+                sinkFactory(apiKey, url)
+                  .batchAndProcess(partition.map(_.events), minDelay)
+            }
+        }
+      }
+    }
+  }
+
+  /** Frecency gradient aggregation → stateful RProp model sink
+    * (reference job #10), wired as foreachBatch.
+    */
+  object FederatedLearningJob {
+    def main(args: Array[String]): Unit = {
+      val opts = StreamingJobBase.parseOpts("federated_learning_search_optimizer", args)
+      val spark = new StreamingJobBase { override val JobName = "federated_learning_search_optimizer" }
+        .buildSession("FederatedLearningSearchOptimizer")
+      val sink = new graft.learning.FederatedLearningSink(
+        opts.getOrElse("modelOutputPath", "/tmp/frecency-model"),
+        opts.getOrElse("stateCheckpointPath", "/tmp/frecency-state"),
+        opts.get("stateBootstrapFilePath"))
+      FrecencyAggregator.aggregate(
+          kafkaStream(spark, opts, 100).toDF(),
+          opts.getOrElse("modelBranch", "model1"),
+          SystemClock,
+          opts.getOrElse("windowOffsetMin", "28").toInt,
+          opts.raiseOnError)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", opts.checkpointPath)
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[FrecencyUpdateAggregate], id: Long) =>
+          sink.addBatch(ds, id))
+        .start()
+        .awaitTermination()
+    }
+  }
 }

@@ -22,6 +22,24 @@ class RecordingTransport(script: Seq[Int]) extends HttpTransport {
   }
 }
 
+/** Transport whose recordings survive task serialization (local-mode
+  * executors share the JVM, so a static queue collects from all copies).
+  */
+class StaticRecordingTransport(script: Seq[Int]) extends HttpTransport {
+  override def send(request: HttpRequestSpec, connectTimeoutMillis: Int, readTimeoutMillis: Int): HttpResponseSpec = {
+    StaticRecordingTransport.requests.add(request)
+    HttpResponseSpec(script.headOption.getOrElse(200), "ok")
+  }
+}
+object StaticRecordingTransport {
+  val requests = new java.util.concurrent.ConcurrentLinkedQueue[HttpRequestSpec]()
+  def drain(): Seq[HttpRequestSpec] = {
+    val out = scala.collection.mutable.ListBuffer.empty[HttpRequestSpec]
+    while (!requests.isEmpty) out += requests.poll()
+    out.toSeq
+  }
+}
+
 class HttpSinkSpec extends AnyFunSuite {
 
   private def sink(script: Seq[Int], outcomes: ListBuffer[String] = new ListBuffer):

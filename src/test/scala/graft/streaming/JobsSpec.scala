@@ -83,6 +83,44 @@ class JobsSpec extends AnyFunSuite with SparkTest {
     assert(new String(buf.getData, 0, buf.getLength) == "graft.test.count:1|c|#k:v")
   }
 
+  test("testtube aggregate emits JSON rows with type rename and epoch-ms windows") {
+    import spark.implicits._
+    val df = spark.createDataset(TestMessages.eventMessages(3).map(_.toBytes)).toDF("value")
+    val rows = ExperimentEnrollmentsToTestTube.sinkRows(df).collect()
+    assert(rows.length == 1)
+    val j = graft.json.Json.parse(rows.head)
+    assert((j \ "type").asString.contains("preference_study"))
+    assert((j \ "experiment_id").asString.contains("awesome-experiment"))
+    assert((j \ "enroll_count").asLong.contains(3L))
+    assert((j \ "unenroll_count").asLong.contains(0L))
+    assert((j \ "graduate_count").asLong.contains(0L))
+    assert((j \ "window_start").asLong.exists(_ <= TestMessages.TestTimestampMillis))
+    assert(!rows.head.contains("\"object\""))
+  }
+
+  test("amplitude batch job: pruned store scan -> clientId partitions -> batched requests") {
+    import graft.sinks.{AmplitudeHttpSink, HttpSink, StaticRecordingTransport}
+    val envDir = Files.createTempDirectory("envamp").toString
+    // focus events (match the config) + crash noise (pruned out by doc_type)
+    EnvelopeStore.write(spark, TestMessages.focusEventMessages(4) ++ TestMessages.crashMessages(3), envDir)
+    StaticRecordingTransport.drain()
+    val configPath = Files.createTempFile("ampcfg", ".json")
+    Files.write(configPath, getClass.getResourceAsStream("/amplitudeTestConfig.json").readAllBytes())
+    val opts = StreamingJobBase.parseOpts("events_to_amplitude", Array(
+      "--from", "20170101", "--to", "20170101",
+      "--envelopeDir", envDir, "--configFilePath", configPath.toString,
+      "--url", "http://example.test/batch", "--maxParallelRequests", "2", "--raiseOnError"))
+    Jobs.EventsToAmplitudeJob.run(spark, opts, "TESTKEY",
+      sinkFactory = (key, url) => AmplitudeHttpSink(key, url,
+        HttpSink.Config(transport = new StaticRecordingTransport(Seq(200)), sleeper = _ => ())))
+    // 4 focus pings x 3 matched events, flattened into /batch requests
+    val requests = StaticRecordingTransport.drain()
+    assert(requests.nonEmpty)
+    val bodies = requests.map(_.body.get).mkString
+    assert(bodies.contains("\"api_key\":\"TESTKEY\""))
+    assert(bodies.sliding("m_foc - AppOpen".length).count(_ == "m_foc - AppOpen") == 4)
+  }
+
   test("accumulator metrics report overflow-safe deltas from sink outcomes") {
     val metrics = new AccumulatorMetrics(spark, "HttpSink", pollPeriodMillis = 60000L)
     val hook = AccumulatorMetrics.httpSinkHook(metrics)
