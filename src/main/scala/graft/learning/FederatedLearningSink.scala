@@ -33,7 +33,8 @@ class FederatedLearningSink(
 
   import FederatedLearningSink._
 
-  private[learning] var state: OptimizerState = initState()
+  private var _state: OptimizerState = initState()
+  def state: OptimizerState = _state
 
   /** foreachBatch hook: `ds.writeStream.foreachBatch(sink.addBatch _)`. */
   def addBatch(data: Dataset[FrecencyUpdateAggregate], batchId: Long): Unit = {
@@ -48,7 +49,7 @@ class FederatedLearningSink(
       val newState = OptimizerState(newIteration, step.weights, step.learningRates, Some(gradient))
       writeModel(ModelOutput(step.weights.map(w => math.round(w).toInt), newIteration))
       writeState(newState)
-      state = newState
+      _state = newState
     }
   }
 
