@@ -77,8 +77,12 @@ object Dedup {
     val r = numHashes / bands
     // Bands carry only the id — the ×bands row amplification of the
     // explode must not also amplify document bytes through the shuffle.
+    // The banded index (id, band, bucket ≈ 24B/row) is persisted because
+    // both sides of the self-join would otherwise recompute the full
+    // signature scan.
     val sig = minHash(docs.select(col(idCol), col(textCol)), textCol, numHashes, shingleSize)
     val banded = lshBands(sig, bands, r).select(col(idCol), col("band_id"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("bucket"))
     val candidates = a.join(b, Seq("band_id", "bucket"))
@@ -180,6 +184,9 @@ object Dedup {
           lit(b).as("band_id"),
           shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(0xFFL).as("band_key"))): _*)))
       .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_key"))
+      // persisted: both self-join branches would recompute the 64-bit
+      // signature scan otherwise (index is ~32B/row × 8 bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
       col("band_id"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
