@@ -105,6 +105,42 @@ object QueryPack {
       .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
       .distinct()
 
+  /** ROLLUP hierarchy totals (engine breadth beyond the reference). */
+  def rollupSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** INTERSECT / EXCEPT set operations, tagged into one relation. */
+  def setOpsNations(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(sup).withColumn("tag", lit("both"))
+      .union(c.except(sup).withColumn("tag", lit("customers_only")))
+  }
+
+  /** Running total per customer — window frame aggregation. */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(ExactNum.Dec)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+  }
+
+  /** Scalar-subquery shape: customers above the global average balance. */
+  def aboveAvgBalance(s: SparkSession, dir: String): DataFrame = {
+    val globalAvg = Tables.customer(s, dir).agg(davg(col("c_acctbal")).as("avg_bal"))
+    Tables.customer(s, dir)
+      .crossJoin(broadcast(globalAvg))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
   // --------------------------------------------------- events (telemetry)
 
   /** The reference's core operator: 5-minute tumbling window + dims →
@@ -334,6 +370,10 @@ object QueryPack {
     "q30_media_frames"      -> (mediaFrames _),
     "q31_subword_stats"     -> (subwordStats _),
     "q32_simhash_neardup"   -> (simhashNearDups _),
+    "q33_rollup"            -> (rollupSummary _),
+    "q34_setops"            -> (setOpsNations _),
+    "q35_running_total"     -> (runningTotal _),
+    "q36_above_avg"         -> (aboveAvgBalance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -502,5 +542,27 @@ object QueryPack {
       """SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords
         |FROM documents GROUP BY lang""".stripMargin,
+    "q33_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q34_setops" ->
+      """SELECT nationkey, 'both' AS tag FROM (
+        | SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        | INTERSECT SELECT DISTINCT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT nationkey, 'customers_only' AS tag FROM (
+        | SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        | EXCEPT SELECT DISTINCT s_nationkey FROM supplier) b""".stripMargin,
+    "q35_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+    "q36_above_avg" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_above FROM customer
+         |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer)
+         |GROUP BY c_nationkey""".stripMargin,
   )
 }
