@@ -37,10 +37,13 @@ object AmplitudeHttpSink {
         override def next(): Seq[String] = {
           var count = 0
           var bytes = 0
+          // the first event is always taken: a single event larger than
+          // the byte cap must ship alone (413 split-half handles it)
+          // rather than producing an empty batch forever
           val fits = { s: String =>
             count += 1
             bytes += 2 * s.length
-            bytes <= maxBytesPerBatch && count <= maxEventsPerBatch
+            count == 1 || (bytes <= maxBytesPerBatch && count <= maxEventsPerBatch)
           }
           val (batch, remainder) = it.span(fits)
           it = remainder
