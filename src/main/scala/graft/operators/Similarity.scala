@@ -137,4 +137,43 @@ object Similarity {
       avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c$i"))
     corpus.groupBy(col("label")).agg(perDim.head, perDim.tail: _*)
   }
+
+  /** Centroid vectors per cell (label = the coarse-quantizer assignment). */
+  def centroidVectors(corpus: DataFrame, dim: Int): DataFrame =
+    corpus.groupBy(col("label")).agg(
+      array((0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("centroid"))
+
+  /** IVF-style ANN: rank cells by query-to-centroid similarity, search
+    * only the top `nProbes` cells exactly. The centroid table is tiny
+    * (one row per cell) so probe selection is a broadcast cross join; the
+    * corpus-side join is an equi-join on the cell id — per query only
+    * |probed cells| / |cells| of the corpus is ever scored, which is the
+    * property that holds at 100 TB (cells ≈ √n via k-means in a real
+    * deployment; here the label column is the assignment).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              dim: Int, nProbes: Int = 2): DataFrame = {
+    val cells = centroidVectors(corpus, dim)
+    val q = queries.select(col("query_id"),
+      VectorFunctions.normalize(col("embedding")).as("q_emb"))
+    val probeRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_sim").desc, col("label").asc)
+    val probed = q.crossJoin(broadcast(cells))
+      .withColumn("centroid_sim", VectorFunctions.cosine(col("q_emb"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(probeRank))
+      .filter(col("probe_rank") <= nProbes)
+      .select(col("query_id"), col("q_emb"), col("label"))
+    val c = corpus.select(col("label"), col("vec_id").as("neighbor_id"),
+      VectorFunctions.normalize(col("embedding")).as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(probed), Seq("label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 }

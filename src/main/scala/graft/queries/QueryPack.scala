@@ -182,6 +182,17 @@ object QueryPack {
   def sessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessionCounts(Tables.events(s, dir), "user_id", "ts", 1800L)
 
+  /** Structured-Streaming-native session windows (gap-merged), batch
+    * form; oracle replicates the merge with a lag/gap running sum.
+    */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("n_events"))
+
   def eventTopUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -256,6 +267,14 @@ object QueryPack {
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.bruteForceTopK(queries, emb, 10)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** IVF ANN: label cells as the coarse quantizer — rows-only check. */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopK(queries, emb, 10, dim = 64, nProbes = 3)
   }
 
   /** LSH-bucketed ANN — approximate; rows-only check. */
@@ -374,6 +393,8 @@ object QueryPack {
     "q34_setops"            -> (setOpsNations _),
     "q35_running_total"     -> (runningTotal _),
     "q36_above_avg"         -> (aboveAvgBalance _),
+    "q37_session_windows"   -> (sessionWindows _),
+    "q38_knn_ivf"           -> (knnIvf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +585,21 @@ object QueryPack {
       s"""SELECT c_nationkey, COUNT(*) AS n_above FROM customer
          |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer)
          |GROUP BY c_nationkey""".stripMargin,
+    "q37_session_windows" ->
+      """WITH g AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        | SELECT user_id, ts,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id,
+        | CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        | COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
   )
 }

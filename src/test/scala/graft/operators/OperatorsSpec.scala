@@ -61,6 +61,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(approx.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
   }
 
+  test("IVF ANN: probed-cell search returns valid ranked neighbors") {
+    val queries = embeddings.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val ivf = Similarity.ivfTopK(queries, embeddings, 5, dim = 64, nProbes = 10)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5))
+    // with all cells probed, IVF degrades to exact — top-1 must match brute force
+    val brute = Similarity.bruteForceTopK(queries, embeddings, 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivfTop1 = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivfTop1 == brute)
+  }
+
   test("embedding near-dup: LSH pairs are a subset of exact pairs") {
     val exact = Similarity.cosinePairsExact(embeddings, 0.35)
       .as[(Long, Long)].collect().toSet
