@@ -29,7 +29,8 @@ trait CrashPingStreamBase extends Serializable {
   def getHttpSink(url: String, maxBatchSize: Int): BatchHttpSink
 
   def parsePing(env: Envelope, channels: List[String], appNames: List[String],
-                measurementName: String): Option[String] = {
+                measurementName: String,
+                signatureProvider: Option[Envelope => Option[String]] = None): Option[String] = {
     if (!env.fieldString("docType").contains("crash")) None
     else {
       val ping = CrashPing.fromEnvelope(env)
@@ -37,6 +38,8 @@ trait CrashPingStreamBase extends Serializable {
       if (!channels.contains(meta.normalizedChannel) || !appNames.exists(meta.appName.contains)) None
       else {
         val buildId = ping.getNormalizedBuildId.orElse(meta.appBuildId).getOrElse("")
+        val crashSignature = signatureProvider.flatMap(_(env))
+          .map(formatCrashSignature).getOrElse("")
         val tags = ListMap(
           "submissionDate" -> meta.submissionDate,
           "appVersion" -> meta.appVersion.getOrElse(""),
@@ -47,7 +50,8 @@ trait CrashPingStreamBase extends Serializable {
           "osName" -> ping.getOsName.getOrElse(""),
           "osVersion" -> ping.getOsVersion.getOrElse(""),
           "architecture" -> ping.getArchitecture.getOrElse(""),
-          "buildIdTag" -> buildId
+          "buildIdTag" -> buildId,
+          "crashSignature" -> crashSignature
         ).filter { case (_, v) => v.nonEmpty }
         Some(buildOutputString(measurementName, meta.timestamp, buildId, tags))
       }
@@ -56,10 +60,12 @@ trait CrashPingStreamBase extends Serializable {
 
   def getParsedPings(pings: DataFrame, raiseOnError: Boolean, measurementName: String,
                      channels: List[String] = defaultChannels,
-                     appNames: List[String] = defaultAppNames): Dataset[String] = {
+                     appNames: List[String] = defaultAppNames,
+                     signatureProvider: Option[Envelope => Option[String]] = None): Dataset[String] = {
     import pings.sparkSession.implicits._
     pings.flatMap { v =>
-      try parsePing(Envelope.parseFrom(v.getAs[Array[Byte]](0)), channels, appNames, measurementName)
+      try parsePing(Envelope.parseFrom(v.getAs[Array[Byte]](0)), channels, appNames,
+        measurementName, signatureProvider)
       catch { case _: Throwable if !raiseOnError => None }
     }
   }

@@ -142,6 +142,42 @@ class PingSpec extends AnyFunSuite {
     assert(core.getExperiments.toSeq == Seq((None, None)))
   }
 
+  test("amplitude dispatch: docType + appName select the ping class") {
+    import graft.amplitude.SendsToAmplitude
+    val focus = SendsToAmplitude.fromEnvelope(TestMessages.focusEventMessages(1).head)
+    assert(focus.isInstanceOf[FocusEventPing])
+
+    def mobileVariant(docType: String, appName: String) = {
+      val base = TestMessages.focusEventMessages(1).head
+      base.copy(fields = base.fields
+        .updated("docType", Json.str(docType))
+        .updated("appName", Json.str(appName)))
+    }
+    assert(SendsToAmplitude.fromEnvelope(mobileVariant("focus-event", "Zerda"))
+      .isInstanceOf[RocketEventPing])
+    assert(SendsToAmplitude.fromEnvelope(mobileVariant("mobile-event", "Fennec"))
+      .isInstanceOf[MobileEventPing])
+    assert(SendsToAmplitude.fromEnvelope(mobileVariant("mobile-event", "FirefoxForFireTV"))
+      .isInstanceOf[FireTvEventPing])
+    assert(SendsToAmplitude.fromEnvelope(TestMessages.mainMessages(1).head)
+      .isInstanceOf[MainPing])
+    assert(SendsToAmplitude.fromEnvelope(TestMessages.eventMessages(1).head)
+      .isInstanceOf[EventPing])
+    intercept[IllegalArgumentException](
+      SendsToAmplitude.fromEnvelope(mobileVariant("focus-event", "Chrome")))
+    intercept[IllegalArgumentException](
+      SendsToAmplitude.fromEnvelope(TestMessages.crashMessages(1).head))
+  }
+
+  test("mobile ping user properties carry per-app settings") {
+    val focus = FocusEventPing.fromEnvelope(TestMessages.focusEventMessages(1).head)
+    val props = focus.pingAmplitudeProperties
+    assert((props \ "device_id").asString.contains("client1"))
+    assert((props \ "user_properties" \ "pref_privacy_block_ads").asBool.contains(true))
+    assert((props \ "user_properties" \ "pref_search_engine").asString.contains("custom"))
+    assert(focus.getSessionId.contains("176151591"))
+  }
+
   test("positional event arrays reshape to typed events") {
     val events = TelemetryPing.extractEvents(
       Json.parse(

@@ -116,6 +116,24 @@ class EventJobsSpec extends AnyFunSuite with SparkTest {
     assert((parsed \ "tags" \ "channel").asString.contains("release"))
   }
 
+  test("crash signature external command: success, failure, timeout") {
+    assert(CrashSignature.fromExternalCommand(Seq("cat"), "mozilla::sig", 5)
+      .contains("mozilla::sig"))
+    assert(CrashSignature.fromExternalCommand(Seq("false"), "x", 1, maxRetries = 2).isEmpty)
+    assert(CrashSignature.fromExternalCommand(Seq("/nonexistent-cmd"), "x", 1).isEmpty)
+    val t0 = System.nanoTime()
+    assert(CrashSignature.fromExternalCommand(Seq("sleep", "30"), "x",
+      baseTimeoutSeconds = 1, maxRetries = 1).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 10)
+  }
+
+  test("crash signature provider feeds the output tags") {
+    val crashes = toDF(TestMessages.crashMessages(1))
+    val influx = CrashesToInflux.getParsedPings(crashes, raiseOnError = true, "fc",
+      signatureProvider = Some(_ => Some("sig with space"))).collect()
+    assert(influx.head.contains("""crashSignature=sig\ with\ space"""))
+  }
+
   test("crash signature formatting per backend") {
     assert(CrashesToInflux.formatCrashSignature("a b,c=d\"e") == """a\ b\,c\=d\"e""")
     assert(CrashesToOpenTsdb.formatCrashSignature("mozilla::dom | fun (x)") == "mozilla-dom.fun_/x/")
