@@ -54,6 +54,27 @@ object Media {
       }
   }
 
+  /** Resize stub: deterministic downsample of the payload to
+    * `targetBytes` by stride sampling — stands in for an image resize
+    * while keeping the real shape (binary in, smaller binary out, same
+    * mapPartitions batch path a codec-backed resize uses).
+    */
+  def resize(media: DataFrame, targetBytes: Int): Dataset[(Long, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, bytes) =>
+          val out =
+            if (bytes.length <= targetBytes) bytes
+            else {
+              val stride = bytes.length.toDouble / targetBytes
+              Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
+            }
+          (docId, out)
+        }
+      }
+  }
+
   /** Frame sampling stub: one "frame" per 256-byte slice of the payload —
     * the explode-shaped row amplification a real video sampler produces.
     * Frame bytes stay with the row so downstream per-frame decode sees

@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import java.sql.Timestamp
 
 /** Gap-based sessionization over an event log.
   *
@@ -37,6 +40,65 @@ object Sessionize {
         sum(col("session_new")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("session_new")
+  }
+
+  final case class UserEvent(user_id: Long, ts: Timestamp)
+  final case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long)
+  final case class ClosedSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Streaming twin of the batch sessionizer: per-user session state via
+    * `flatMapGroupsWithState` with event-time timeout. A session closes
+    * when a newer event arrives more than `gapSeconds` later (emitted
+    * immediately) or when the watermark passes last-event + gap (emitted
+    * by timeout). State per user is one OpenSession — bounded regardless
+    * of stream length, the property that matters for an unbounded 100 TB
+    * stream.
+    */
+  def streamingSessions(
+      events: Dataset[UserEvent],
+      gapSeconds: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(userId: Long, rows: Iterator[UserEvent],
+               state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      def close(s: OpenSession) =
+        ClosedSession(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
+
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).toIterator
+        state.remove()
+        out
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var open = state.getOption
+        val closed = Seq.newBuilder[ClosedSession]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          open = open match {
+            case Some(s) if t - s.lastMs >= gapMs =>
+              closed += close(s)
+              Some(OpenSession(t, t, 1))
+            case Some(s) =>
+              Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+            case None =>
+              Some(OpenSession(t, t, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Per-user session count. */

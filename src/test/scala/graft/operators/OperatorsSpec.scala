@@ -105,6 +105,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("streaming sessionization: gap close in-batch and timeout close by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+    val input = MemoryStream[Sessionize.UserEvent]
+    val sessions = Sessionize.streamingSessions(input.toDS(), gapSeconds = 300)
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions_stream").outputMode("append").start()
+    try {
+      // user 1: two events 1 min apart, then an 11-minute gap closes the
+      // first session within the same user partition
+      input.addData(
+        Sessionize.UserEvent(1L, ts(0)), Sessionize.UserEvent(1L, ts(1)),
+        Sessionize.UserEvent(1L, ts(12)),
+        Sessionize.UserEvent(2L, ts(0)))
+      query.processAllAvailable()
+      // (1,2) closes by in-batch gap; (2,1) closes by event-time timeout
+      // once the batch-1 watermark (00:11:50) passes 00:00 + gap
+      val afterBatch1 = spark.table("sessions_stream").as[Sessionize.ClosedSession].collect()
+      assert(afterBatch1.map(s => (s.user_id, s.n_events)).toSet == Set((1L, 2L), (2L, 1L)))
+
+      // advancing the watermark far past last+gap times out the rest
+      input.addData(Sessionize.UserEvent(3L, ts(59)))
+      query.processAllAvailable()
+      input.addData(Sessionize.UserEvent(3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00")))
+      query.processAllAvailable()
+      val all = spark.table("sessions_stream").as[Sessionize.ClosedSession].collect()
+      assert(all.map(s => (s.user_id, s.n_events)).toSet
+        .intersect(Set((1L, 1L), (2L, 1L))) == Set((1L, 1L), (2L, 1L)))
+    } finally query.stop()
+  }
+
+  test("media resize stub downsamples deterministically") {
+    val media = Media.attachBlob(docs.limit(5))
+    val resized = Media.resize(media, targetBytes = 64).collect()
+    assert(resized.forall(_._2.length <= 64))
+    val again = Media.resize(media, targetBytes = 64).collect().toMap
+    resized.foreach { case (id, bytes) => assert(again(id).sameElements(bytes)) }
+  }
+
   test("sessionize counts sessions per gap rule") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
