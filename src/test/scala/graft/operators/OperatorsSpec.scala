@@ -145,6 +145,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     resized.foreach { case (id, bytes) => assert(again(id).sameElements(bytes)) }
   }
 
+  test("salted aggregation and join match their unsalted equivalents") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val salted = Skew.saltedSum(li, "l_returnflag", "l_quantity",
+        saltBuckets = 8, saltSource = col("l_orderkey"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("sum_l_quantity"), r.getAs[Long]("n"))).toMap
+    val plain = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("s"), r.getAs[Long]("n"))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n == plain(k)._2)
+      assert(math.abs(s - plain(k)._1) < 1e-6)
+    }
+
+    val orders = graft.Tables.orders(spark, sfDir)
+    val customers = graft.Tables.customer(spark, sfDir)
+    val saltedJoined = Skew.saltedJoin(
+      orders.withColumnRenamed("o_custkey", "c_custkey"), customers,
+      "c_custkey", saltBuckets = 4, saltSource = col("o_orderkey"))
+    val plainJoined = orders.join(customers, orders("o_custkey") === customers("c_custkey"))
+    assert(saltedJoined.count() == plainJoined.count())
+  }
+
   test("sessionize counts sessions per gap rule") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
