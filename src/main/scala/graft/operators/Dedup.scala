@@ -19,11 +19,11 @@ object Dedup {
   /** Exact duplicate groups by content hash. `md5` keeps the oracle
     * cross-checkable (DuckDB computes the identical digest).
     */
-  def exactGroups(docs: DataFrame, textCol: String): DataFrame =
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String = "doc_id"): DataFrame =
     docs
       .withColumn("content_hash", md5(col(textCol)))
       .groupBy(col("content_hash"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
   /** Keep one row per distinct content hash (the minimum doc_id wins —
     * deterministic, unlike dropDuplicates which keeps an arbitrary row).

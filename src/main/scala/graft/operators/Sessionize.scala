@@ -78,11 +78,13 @@ object Sessionize {
         sorted.foreach { e =>
           val t = e.ts.getTime
           open = open match {
-            case Some(s) if t - s.lastMs >= gapMs =>
+            // strictly greater, matching the batch twin's gap rule
+            case Some(s) if t - s.lastMs > gapMs =>
               closed += close(s)
               Some(OpenSession(t, t, 1))
             case Some(s) =>
-              Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+              // a late event above the watermark may precede the open start
+              Some(OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t), s.nEvents + 1))
             case None =>
               Some(OpenSession(t, t, 1))
           }

@@ -21,8 +21,8 @@ object Skew {
       df: DataFrame,
       keyCol: String,
       valueCol: String,
-      saltBuckets: Int = 16,
-      saltSource: Column): DataFrame = {
+      saltSource: Column,
+      saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt", pmod(xxhash64(saltSource), lit(saltBuckets)))
     salted
       .groupBy(col(keyCol), col("_salt"))
@@ -43,8 +43,8 @@ object Skew {
       skewed: DataFrame,
       dim: DataFrame,
       key: String,
-      saltBuckets: Int = 16,
-      saltSource: Column): DataFrame = {
+      saltSource: Column,
+      saltBuckets: Int = 16): DataFrame = {
     val saltedFact = skewed.withColumn("_salt", pmod(xxhash64(saltSource), lit(saltBuckets)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))

@@ -94,7 +94,9 @@ final case class MainPing(
     */
   def sessionStart: Long = (meta.payloadInfo \ "sessionStartDate").asString match {
     case Some(d) => java.time.OffsetDateTime.parse(d).toEpochSecond * 1000
-    case None    => (meta.timestamp / 1e9).toLong - events.map(_.timestamp).max
+    // maxOption: a ping with no events must not throw (the reference's
+    // bare .max is a latent crash that silently drops such pings)
+    case None => (meta.timestamp / 1e9).toLong - events.map(_.timestamp).maxOption.getOrElse(0L)
   }
 
   def sessionLength: Long = (meta.payloadInfo \ "sessionLength").asLong.getOrElse(0L)

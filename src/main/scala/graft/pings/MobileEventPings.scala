@@ -16,7 +16,7 @@ sealed trait MobileLikeEventPing extends SendsToAmplitude {
 
   override def getClientId: Option[String] = Some(clientId)
   override def sessionStart: Long = created
-  def getSessionId: Option[String] = Some(events.map(_.timestamp).max.toString)
+  def getSessionId: Option[String] = events.map(_.timestamp).maxOption.map(_.toString)
   override def getOsName: Option[String] = Some(os)
   override def getOsVersion: Option[String] = Some(osversion)
   override def getCreated: Option[Long] = Some(created)

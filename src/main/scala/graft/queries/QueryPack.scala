@@ -331,12 +331,17 @@ object QueryPack {
            sum(col("n_bytes")).as("total_bytes"))
   }
 
-  /** Frame-sampling stub: explode-shaped row amplification per source. */
+  /** Frame-sampling stub: explode-shaped row amplification per source.
+    * Left join from documents so a zero-frame (empty-blob) doc still
+    * counts, matching the oracle's ceil(0/256)=0 row.
+    */
   def mediaFrames(s: SparkSession, dir: String): DataFrame = {
     val media = graft.operators.Media.attachBlob(Tables.documents(s, dir))
     val frames = graft.operators.Media.sampleFrames(media, frameBytes = 256)
-    frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    val perDoc = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_frames")).as("total_frames"))
   }
@@ -483,7 +488,8 @@ object QueryPack {
         |FROM documents GROUP BY source""".stripMargin,
     "q16_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "q17_quality_stats" ->

@@ -78,13 +78,16 @@ abstract class AmplitudeHttpSink extends HttpSink[Seq[String]] {
     else batch(Iterator(events)).foreach(super.process)
 
   /** 413 → split in half and resend both halves recursively
-    * (reference: AmplitudeHttpSink.scala:153-158).
+    * (reference: AmplitudeHttpSink.scala:153-158). A single event that
+    * still draws 413 is dropped — splitAt(0) would otherwise recurse on
+    * the same oversized payload forever.
     */
-  override def handlePayloadTooLarge(events: Seq[String]): Unit = {
-    val (firstHalf, secondHalf) = events.splitAt(events.length / 2)
-    process(firstHalf)
-    process(secondHalf)
-  }
+  override def handlePayloadTooLarge(events: Seq[String]): Unit =
+    if (events.length > 1) {
+      val (firstHalf, secondHalf) = events.splitAt(events.length / 2)
+      process(firstHalf)
+      process(secondHalf)
+    }
 }
 
 /** /httpapi: events ride in a form field, one request per ping's events. */

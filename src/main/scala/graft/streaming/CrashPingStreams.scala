@@ -35,7 +35,7 @@ trait CrashPingStreamBase extends Serializable {
     else {
       val ping = CrashPing.fromEnvelope(env)
       val meta = ping.meta
-      if (!channels.contains(meta.normalizedChannel) || !appNames.exists(meta.appName.contains)) None
+      if (!channels.contains(meta.normalizedChannel) || !appNames.contains(meta.appName)) None
       else {
         val buildId = ping.getNormalizedBuildId.orElse(meta.appBuildId).getOrElse("")
         val crashSignature = signatureProvider.flatMap(_(env))
