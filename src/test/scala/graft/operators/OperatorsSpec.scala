@@ -137,6 +137,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("streaming sessionization agrees with the batch operator once all sessions close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event set: 3 users, known gaps
+    val events = for {
+      user <- 1L to 3L
+      session <- 0 until user.toInt
+      i <- 0 until 3
+    } yield Sessionize.UserEvent(user,
+      new java.sql.Timestamp(1700000000000L + session * 3600_000L + i * 60_000L + user * 7_000L))
+
+    val batch = Sessionize.sessionCounts(
+        events.toDF(), "user_id", "ts", gapSeconds = 1800L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+
+    val input = MemoryStream[Sessionize.UserEvent]
+    val query = Sessionize.streamingSessions(input.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sessions_consistency")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      // sentinel user far in the future times out every open session
+      input.addData(Sessionize.UserEvent(99L, new java.sql.Timestamp(1700900000000L)))
+      query.processAllAvailable()
+      val streamed = spark.table("sessions_consistency")
+        .as[Sessionize.ClosedSession].collect()
+        .filter(_.user_id != 99L)
+        .groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+      assert(streamed == batch)
+      assert(batch == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    } finally query.stop()
+  }
+
   test("media resize stub downsamples deterministically") {
     val media = Media.attachBlob(docs.limit(5))
     val resized = Media.resize(media, targetBytes = 64).collect()
