@@ -40,11 +40,17 @@ object Dedup {
     */
   def minHash(docs: DataFrame, textCol: String, numHashes: Int, shingleSize: Int): DataFrame =
     docs.withColumn("minhash",
-      // let-bind the shingle set: without it the whole tokenize+shingle
-      // expression would re-run once per seed (see TextFunctions.bind)
-      TextFunctions.bind(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))) { sh =>
+      // Each shingle is string-hashed ONCE; the k seeded hash functions
+      // derive from the 8-byte base hash (h_i = xxhash64(h, i)), so the
+      // per-row cost is |shingles| string hashes + k·|shingles| long
+      // mixes instead of k·|shingles| string hashes. Both arrays are
+      // let-bound (see TextFunctions.bind) so nothing re-evaluates per
+      // lambda element.
+      TextFunctions.bind(
+        transform(array_distinct(TextFunctions.shingles(col(textCol), shingleSize)),
+          s => xxhash64(s))) { baseHashes =>
         transform(sequence(lit(0), lit(numHashes - 1)),
-          seed => array_min(transform(sh, s => xxhash64(s, seed))))
+          seed => array_min(transform(baseHashes, h => xxhash64(h, seed))))
       })
 
   /** LSH banding: signature of r·b hashes → b band keys, each the hash of
