@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): List[String] =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getSeq[String](0).toList
+
+  test("tokens: empty and whitespace-only strings produce empty arrays") {
+    assert(oneSeq(TextFunctions.tokens($"text"), "a  b\tc") == List("a", "b", "c"))
+    assert(oneSeq(TextFunctions.tokens($"text"), "") == Nil)
+    assert(oneSeq(TextFunctions.tokens($"text"), "   ") == Nil)
+  }
+
+  test("mean word length and subword count") {
+    assert(one[Double](TextFunctions.meanWordLength($"text"), "ab cdef") == 3.0)
+    assert(one[Double](TextFunctions.meanWordLength($"text"), "") == 0.0)
+    // "don't stop!" → [don]['][t][stop][!] = 5 pieces
+    assert(one[Int](TextFunctions.subwordCount($"text"), "don't stop!") == 5)
+    assert(one[Int](TextFunctions.subwordCount($"text"), "a1b") == 3)
+  }
+
+  test("quality score stays in [0,1] and rewards clean prose") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs on for a while longer"
+    val junk = "!!! ??? ### $$$ %%%"
+    val qClean = one[Double](TextFunctions.qualityScore($"text"), clean)
+    val qJunk = one[Double](TextFunctions.qualityScore($"text"), junk)
+    assert(qClean >= 0.0 && qClean <= 1.0 && qJunk >= 0.0 && qJunk <= 1.0)
+    assert(qClean > qJunk)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val ab = one[Long](TextFunctions.fingerprint($"text"), "alpha beta")
+    val ba = one[Long](TextFunctions.fingerprint($"text"), "beta alpha")
+    assert(ab != ba)
+    assert(ab == one[Long](TextFunctions.fingerprint($"text"), "alpha beta"))
+  }
+
+  test("shingles slide over tokens; short docs collapse to one shingle") {
+    assert(oneSeq(TextFunctions.shingles($"text", 2), "a b c") == List("a b", "b c"))
+    assert(oneSeq(TextFunctions.shingles($"text", 3), "a b") == List("a b"))
+  }
+
+  test("langIdMarkers follows first-match priority") {
+    assert(one[String](TextFunctions.langIdMarkers($"text"), "der hund und die katze") == "de")
+    assert(one[String](TextFunctions.langIdMarkers($"text"), "the cat and the dog") == "en")
+    assert(one[String](TextFunctions.langIdMarkers($"text"), "xyzzy qwerty") == "und")
+    // de markers win over later en markers
+    assert(one[String](TextFunctions.langIdMarkers($"text"), "und the") == "de")
+  }
+}
