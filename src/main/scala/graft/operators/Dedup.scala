@@ -25,6 +25,17 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same id while the
+    * event-time watermark bounds the dedup state (ids older than the
+    * watermark are forgotten — exactly the guarantee a 100 TB/day stream
+    * needs to keep state finite).
+    */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+                     tsCol: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Keep one row per distinct content hash (the minimum doc_id wins —
     * deterministic, unlike dropDuplicates which keeps an arbitrary row).
     */

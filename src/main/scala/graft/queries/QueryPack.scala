@@ -141,6 +141,24 @@ object QueryPack {
       .agg(count(lit(1)).as("n_above"))
   }
 
+  /** Exact continuous percentiles per group (sort-based, both engines
+    * interpolate identically on identical inputs).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+        count(lit(1)).as("n"))
+
+  /** Fixed-width bucket histogram of order totals. */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("bucket_total"))
+
   // --------------------------------------------------- events (telemetry)
 
   /** The reference's core operator: 5-minute tumbling window + dims →
@@ -400,6 +418,8 @@ object QueryPack {
     "q36_above_avg"         -> (aboveAvgBalance _),
     "q37_session_windows"   -> (sessionWindows _),
     "q38_knn_ivf"           -> (knnIvf _),
+    "q39_percentiles"       -> (percentiles _),
+    "q40_price_histogram"   -> (priceHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -591,6 +611,16 @@ object QueryPack {
       s"""SELECT c_nationkey, COUNT(*) AS n_above FROM customer
          |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer)
          |GROUP BY c_nationkey""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50_qty,
+        | quantile_cont(l_quantity, 0.95) AS p95_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q40_price_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+         | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS bucket_total
+         |FROM orders GROUP BY 1""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,

@@ -171,6 +171,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = Dedup.streamingDedup(
+      input.toDF().toDF("event_id", "ts"), Seq("event_id"), "ts", "10 seconds")
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((1L, t), (1L, t), (2L, t))
+      query.processAllAvailable()
+      input.addData((1L, t), (3L, t)) // re-delivery in a later batch
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("media resize stub downsamples deterministically") {
     val media = Media.attachBlob(docs.limit(5))
     val resized = Media.resize(media, targetBytes = 64).collect()
