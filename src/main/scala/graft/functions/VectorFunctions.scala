@@ -3,14 +3,22 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math over `array<float>` columns, built from the
-  * `zip_with`/`aggregate` higher-order functions so it stays inside
-  * whole-stage codegen (no UDF serialization per row). All math is done
-  * in double after an exact float→double widening.
+/** Embedding-vector math over `array<float|double>` columns. The dot
+  * product — the pairwise hot path of every ANN/near-dup operator — is a
+  * native codegen'd Catalyst expression (tight primitive loop, no
+  * per-pair intermediate array); the HOF formulation is kept as
+  * [[dotHof]] for reference/benchmark comparison. All math is done in
+  * double after an exact float→double widening.
   */
 object VectorFunctions {
 
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.arrayDot(a, b)
+
+  /** Higher-order-function dot product (interpreted lambdas; ~the cost
+    * baseline the native expression beats).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

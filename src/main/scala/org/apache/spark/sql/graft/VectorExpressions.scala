@@ -1,0 +1,88 @@
+/* org.apache.spark.sql placement for the private[sql] Column bridge —
+ * see EnvelopeExpressions.scala. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over `array<float|double>` columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * interprets a lambda per element and allocates an intermediate array
+  * per row pair; this expression compiles to a tight primitive loop
+  * inside whole-stage codegen — the hot path of every ANN/near-dup
+  * pairwise score (SURVEY.md §7.4's "optional custom Expression for
+  * perf" slot).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  private def elementType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elementType(left), elementType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"array_dot expects array<float|double> inputs, got (${left.dataType}, ${right.dataType})")
+    }
+
+  private def get(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case _         => a.getDouble(i)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (lt, rt) = (elementType(left).get, elementType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) sum += get(a, lt, i) * get(b, rt, i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(et: DataType, v: String, i: String): String = et match {
+      case FloatType => s"(double) $v.getFloat($i)"
+      case _         => s"$v.getDouble($i)"
+    }
+    val (lt, rt) = (elementType(left).get, elementType(right).get)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += (${getter(lt, a, i)}) * (${getter(rt, b, i)});
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  def arrayDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      ArrayDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -42,6 +42,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(dupDistances.forall(_ <= 12), s"got ${dupDistances.toSeq}")
   }
 
+  test("native dot product matches the HOF formulation bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val pairs = embeddings.limit(50).select($"vec_id", $"embedding")
+      .crossJoin(embeddings.limit(50).select($"embedding".as("other")))
+    val diffs = pairs.select(
+        (VectorFunctions.dot($"embedding", $"other") -
+          VectorFunctions.dotHof($"embedding", $"other")).as("d"))
+      .agg(max(abs($"d"))).collect().head.getDouble(0)
+    assert(diffs == 0.0) // same summation order, identical doubles
+  }
+
   test("brute-force KNN ranks are exact and deterministic") {
     val queries = embeddings.filter($"vec_id" < 2)
       .select($"vec_id".as("query_id"), $"embedding")
