@@ -24,9 +24,10 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a count()
       // would let Catalyst prune projection-only work entirely)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      catch { case _: Throwable => false }
+      // a failed query must read as a failure, not as a fast query
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -22,6 +22,9 @@ import org.apache.spark.sql.types._
 case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // always nullable (length-mismatch/null-element ⇒ null) so codegen's
+  // ev.isNull is a real variable even over non-nullable inputs
+  override def nullable: Boolean = true
   override def prettyName: String = "array_dot"
 
   private def elementType(e: Expression): Option[DataType] = e.dataType match {
@@ -41,14 +44,20 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
     case _         => a.getDouble(i)
   }
 
+  /** NULL on length mismatch or null elements — the same propagation the
+    * HOF formulation (zip_with + aggregate) has, so corrupt or truncated
+    * embeddings surface as null scores instead of silent partial sums.
+    */
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (lt, rt) = (elementType(left).get, elementType(right).get)
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) sum += get(a, lt, i) * get(b, rt, i)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += get(a, lt, i) * get(b, rt, i)
       i += 1
     }
     sum
@@ -65,14 +74,17 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $sum += (${getter(lt, a, i)}) * (${getter(rt, b, i)});
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }

@@ -42,7 +42,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(dupDistances.forall(_ <= 12), s"got ${dupDistances.toSeq}")
   }
 
-  test("native dot product matches the HOF formulation bit-for-bit") {
+  test("native dot product matches the HOF formulation bit-for-bit on clean vectors") {
     import graft.functions.VectorFunctions
     val pairs = embeddings.limit(50).select($"vec_id", $"embedding")
       .crossJoin(embeddings.limit(50).select($"embedding".as("other")))
@@ -51,6 +51,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
           VectorFunctions.dotHof($"embedding", $"other")).as("d"))
       .agg(max(abs($"d"))).collect().head.getDouble(0)
     assert(diffs == 0.0) // same summation order, identical doubles
+  }
+
+  test("native dot product propagates NULL for corrupt vectors") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      ("ok", Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      ("short", Seq[java.lang.Double](1.0), Seq[java.lang.Double](3.0, 4.0)),
+      ("nullelem", Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("kind", "a", "b")
+    val out = df.select($"kind", VectorFunctions.dot($"a", $"b").as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("ok").contains(11.0))
+    assert(out("short").isEmpty)    // length mismatch → null
+    assert(out("nullelem").isEmpty) // null element → null
   }
 
   test("brute-force KNN ranks are exact and deterministic") {
