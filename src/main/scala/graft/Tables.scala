@@ -13,12 +13,14 @@ import org.apache.spark.sql.types.LongType
   * column selection prunes the ReadSchema — no manual file listing.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table stores TIMESTAMP(NANOS), which Spark 4 rejects
-    // unless read as raw longs; [[events]] converts back to TimestampType.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Sessions reading the events table must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (the file
+    * stores TIMESTAMP(NANOS), which Spark 4 otherwise rejects; [[events]]
+    * converts the raw longs back to TimestampType). Bench, Verify, and
+    * the test harness all do; `load` itself never mutates session conf.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -94,10 +94,13 @@ object TextFunctions {
 
   /** Word-level n-gram shingles: ["a b c","b c d",…]. 1-based slice.
     * Tokens are let-bound so the inner index lambda reads an array
-    * variable instead of re-splitting the text per shingle.
+    * variable instead of re-splitting the text per shingle. A document
+    * with fewer than n tokens has NO n-gram shingles (empty array, not a
+    * singleton whole-text shingle) — the set semantics a SQL list
+    * comprehension produces, so Jaccard oracles agree on short docs.
     */
   def shingles(text: Column, n: Int): Column = bind(tokens(text)) { toks =>
-    when(size(toks) < n, array(concat_ws(" ", toks)))
+    when(size(toks) < n, array().cast("array<string>"))
       .otherwise(
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))

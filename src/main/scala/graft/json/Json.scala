@@ -216,20 +216,31 @@ object Json {
       sb.toString // unreachable
     }
 
+    /** Consumes a digit run, returning how many digits it saw. */
+    private def digits(): Int = {
+      val from = pos
+      while (!atEnd && s.charAt(pos).isDigit) pos += 1
+      pos - from
+    }
+
+    /** JSON-grammar number: a bare '-', a trailing '.', or an exponent
+      * with no digits are all rejected here (Java's BigDecimal would
+      * quietly accept "1." / "1e" and throw NumberFormatException — not
+      * our documented IllegalArgumentException — on "-").
+      */
     private def parseNumber(): JsonNumber = {
       val start = pos
       if (!atEnd && s.charAt(pos) == '-') pos += 1
-      while (!atEnd && s.charAt(pos).isDigit) pos += 1
+      if (digits() == 0) fail("bad number: integer digits required")
       if (!atEnd && s.charAt(pos) == '.') {
         pos += 1
-        while (!atEnd && s.charAt(pos).isDigit) pos += 1
+        if (digits() == 0) fail("bad number: digits required after '.'")
       }
       if (!atEnd && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
         pos += 1
         if (!atEnd && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
-        while (!atEnd && s.charAt(pos).isDigit) pos += 1
+        if (digits() == 0) fail("bad number: exponent digits required")
       }
-      if (pos == start) fail("bad number")
       JsonNumber(BigDecimal(s.substring(start, pos)))
     }
   }

@@ -1,8 +1,12 @@
 package graft.monitoring
 
-/** DogStatsD datagram: `name:value|type[|@rate][|#k:v,...]` with reserved
-  * characters `[:|@]` normalized to `_` (reference:
-  * src/main/scala/com/mozilla/telemetry/monitoring/DogStatsDMetric.scala:9-50).
+/** One StatsD-family metric sample, wire format
+  * `name:value|type[|@rate][|#tag,...]` (the behavior re-implemented from
+  * reference: src/main/scala/com/mozilla/telemetry/monitoring/DogStatsDMetric.scala:9-50).
+  *
+  * Kept as a flat case class (not a sealed type per metric kind) so a
+  * `Dataset[DogStatsDMetric]` gets a Product encoder and metric kinds can
+  * mix in one stream.
   */
 final case class DogStatsDMetric(
     metricName: String,
@@ -11,25 +15,34 @@ final case class DogStatsDMetric(
     kvTags: Option[Map[String, String]] = None,
     bareTags: Option[Seq[String]] = None) {
 
-  def format(sampleRate: Option[Double] = None): String =
-    (Seq(Some(metric), Some(metricType), sampleRate.map("@" + _)) :+ tags)
-      .flatten.mkString("|")
+  import DogStatsDMetric.sanitize
 
-  private def normalize(input: String): String = input.replaceAll("[:|@]", "_")
-
-  private lazy val metric: String = s"${normalize(metricName)}:$metricValue"
-
-  private lazy val tags: Option[String] = {
-    val kv = kvTags.map(_.map { case (k, v) => s"${normalize(k)}:${normalize(v)}" }.mkString(","))
-    val bare = bareTags.map(_.map(normalize).mkString(","))
-    Seq(kv, bare).flatten.mkString(",") match {
-      case ""    => None
-      case tagged => Some("#" + tagged)
-    }
+  /** Renders the datagram. Reserved characters in the name and in tag
+    * keys/values are replaced with '_'; the value and type fields are
+    * emitted verbatim (they are engine-generated, never user text).
+    */
+  def format(sampleRate: Option[Double] = None): String = {
+    val out = new java.lang.StringBuilder(64)
+    out.append(sanitize(metricName)).append(':').append(metricValue)
+    out.append('|').append(metricType)
+    sampleRate.foreach(r => out.append("|@").append(r))
+    val tagList =
+      kvTags.toSeq.flatMap(_.map { case (k, v) => sanitize(k) + ":" + sanitize(v) }) ++
+        bareTags.toSeq.flatten.map(sanitize)
+    if (tagList.nonEmpty) out.append("|#").append(tagList.mkString(","))
+    out.toString
   }
 }
 
 object DogStatsDMetric {
+
+  /** ':' '|' '@' delimit the datagram and are disallowed in names/tags. */
+  private def sanitize(raw: String): String =
+    raw.map {
+      case ':' | '|' | '@' => '_'
+      case c               => c
+    }
+
   def makeCounter(metricName: String, metricValue: Int = 1,
                   kvTags: Option[Map[String, String]] = None,
                   bareTags: Option[Seq[String]] = None): DogStatsDMetric =

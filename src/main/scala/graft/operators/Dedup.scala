@@ -102,10 +102,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("bucket"))
+    // The candidate id-pair set is small (ids only, post-LSH); eagerly
+    // materializing it truncates the lineage back through `banded`, so the
+    // cached index can be released HERE instead of leaking until the
+    // session's ContextCleaner gets around to it.
     val candidates = a.join(b, Seq("band_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    banded.unpersist(false)
     // Texts join back only for the (small) candidate set.
     val texts = docs.select(col(idCol), col(textCol))
     candidates
@@ -208,11 +214,17 @@ object Dedup {
       col("band_id"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
       col("band_id"), col("band_key"))
-    a.join(b, Seq("band_id", "band_key"))
+    // Eager materialization of the (small) verified pair set lets the
+    // banded-index cache be released before returning — same lifetime
+    // discipline as [[nearDuplicatePairs]].
+    val pairs = a.join(b, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    pairs
   }
 }

@@ -43,9 +43,10 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(ab == one[Long](TextFunctions.fingerprint($"text"), "alpha beta"))
   }
 
-  test("shingles slide over tokens; short docs collapse to one shingle") {
+  test("shingles slide over tokens; short docs have no n-gram shingles") {
     assert(oneSeq(TextFunctions.shingles($"text", 2), "a b c") == List("a b", "b c"))
-    assert(oneSeq(TextFunctions.shingles($"text", 3), "a b") == List("a b"))
+    assert(oneSeq(TextFunctions.shingles($"text", 3), "a b") == Nil)
+    assert(oneSeq(TextFunctions.shingles($"text", 2), "") == Nil)
   }
 
   test("langIdMarkers follows first-match priority") {

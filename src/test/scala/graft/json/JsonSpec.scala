@@ -40,6 +40,19 @@ class JsonSpec extends AnyFunSuite {
     assert(Json.parseOption("").isEmpty)
   }
 
+  test("numbers follow the JSON grammar strictly") {
+    // a digit is required after '-', '.', and the exponent marker
+    assert(Json.parseOption("-").isEmpty)
+    assert(Json.parseOption("1.").isEmpty)
+    assert(Json.parseOption("1e").isEmpty)
+    assert(Json.parseOption("1e+").isEmpty)
+    assert(Json.parseOption("""{"a": -}""").isEmpty)
+    // ...and the valid forms still parse
+    assert(Json.parse("-0.5").asDouble.contains(-0.5))
+    assert(Json.parse("1e2").asDouble.contains(100.0))
+    assert(Json.parse("2.5E-1").asDouble.contains(0.25))
+  }
+
   test("int map extraction is strict") {
     assert(Json.parse("""{"0": 1, "150": 2}""").asIntMap.contains(Map("0" -> 1, "150" -> 2)))
     assert(Json.parse("""{"0": 1.5}""").asIntMap.isEmpty)
