@@ -107,11 +107,16 @@ object TextFunctions {
   }
 
   /** Rotate-xor rolling-hash fingerprint over tokens (order-sensitive).
-    * Pure bitwise ops — deterministic and safe under ANSI mode (an
-    * arithmetic rolling hash would overflow-throw there). Cross-engine
-    * opaque by design — used for grouping, not for oracle comparison.
+    * Token hashes come from the native codegen'd FNV-1a expression
+    * ([[org.apache.spark.sql.graft.TextHashOps.fnv64]]) whose arithmetic
+    * is restatable in the oracle's SQL dialect, so fingerprints are
+    * hash-comparable cross-engine; the rotate-xor combine is pure bitwise
+    * ops — safe under ANSI mode (an arithmetic rolling hash would
+    * overflow-throw there).
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) =>
-      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+    aggregate(
+      transform(tokens(text), t => org.apache.spark.sql.graft.TextHashExpressions.fnv64(t)),
+      lit(0L),
+      (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
 }

@@ -166,24 +166,18 @@ object Dedup {
     }
 
   /** 64-bit SimHash over token hashes: per-bit majority vote of all token
-    * xxhash64 values. Hamming-close simhashes ≈ similar token multisets.
-    * Expressed with HOFs (sequence over 64 bit positions × aggregate over
-    * tokens) — heavier than MinHash per row but shuffle-free.
+    * FNV-1a values. Hamming-close simhashes ≈ similar token multisets.
+    * One native codegen'd expression per row
+    * ([[org.apache.spark.sql.graft.TextHashOps.simhash64]]) — a single
+    * pass over the token-hash array updating 64 counters, replacing the
+    * round-1 formulation of 64 interpreted HOF vote aggregates; the FNV
+    * token hash makes the signature reproducible in oracle SQL.
     */
   def simHash(docs: DataFrame, textCol: String): DataFrame = {
-    // Bit positions unroll at plan-build time (shiftright needs a literal
-    // shift): 64 codegen'd vote aggregates over the let-bound token-hash
-    // array (bound once per row; 64 inlined references would re-hash
-    // every token per bit position).
-    def bitCols(tokenHashes: Column): Seq[Column] = (0 until 64).map { bit =>
-      val votes = aggregate(tokenHashes, lit(0L),
-        (v, h) => v + when(shiftright(h, bit).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
-    }
+    import org.apache.spark.sql.graft.TextHashExpressions
     docs.withColumn("simhash",
-      TextFunctions.bind(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))) {
-        th => bitCols(th).reduce(_ bitwiseOR _)
-      })
+      TextHashExpressions.simhash64(
+        transform(TextFunctions.tokens(col(textCol)), t => TextHashExpressions.fnv64(t))))
   }
 
   /** SimHash near-duplicate pairs via band LSH over the 64-bit signature:

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
 
 /** The engine's query inventory, one entry per operator family from
   * SURVEY.md §2 plus the training-data extensions. Each query has a
-  * DuckDB oracle in [[oracles]] unless its mechanism is hash-based
-  * (xxhash64 signatures) and therefore not expressible cross-engine.
+  * DuckDB oracle in [[oracles]] unless its mechanism is approximate by
+  * design (multi-probe ANN: q24/q28/q38) — signature operators hash with
+  * cross-engine-reproducible FNV arithmetic so even they are fully
+  * oracle-checked.
   *
   * Determinism contract with the oracle:
   *  - double aggregates go through [[ExactNum]] (exact decimal sums);
@@ -24,6 +26,59 @@ object QueryPack {
 
   // ---------------------------------------------------------------- helpers
   private val ShipCutoff = "1998-09-02"
+
+  // ---- DuckDB twins of the native text-hash expressions --------------
+  // (org.apache.spark.sql.graft.TextHashOps — FNV-1a over codepoints with
+  // hugeint modular arithmetic, so signature queries get full hash
+  // oracles instead of rows-only checks.)
+
+  /** Whitespace tokens with the empty-string guard (mirrors
+    * TextFunctions.tokens: "" → [], not ['']). */
+  private def toksSql(x: String): String =
+    s"""CASE WHEN length(trim($x)) = 0 THEN CAST([] AS VARCHAR[])
+       | ELSE regexp_split_to_array(trim($x), '\\s+') END""".stripMargin.replace("\n", " ")
+
+  /** FNV-1a 64-bit over codepoints of `t`, as UBIGINT. */
+  private def fnvSql(t: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |  list_transform(range(1, length($t)+1), i -> CAST(unicode(substr($t, i, 1)) AS HUGEINT))),
+       |  (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+       |               * 1099511628211) % 18446744073709551616) AS UBIGINT)""".stripMargin
+      .replace("\n", " ")
+
+  /** Rolling rotate-xor combine of a UBIGINT hash list (mirrors
+    * TextFunctions.fingerprint: acc' = rotl5(acc) xor h, init 0). */
+  private def rollSql(hashes: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS UBIGINT), $hashes),
+       |  (acc, h) -> xor(CAST(((CAST(acc AS HUGEINT) * 32) % 18446744073709551616) AS UBIGINT)
+       |                  | (acc >> 59), h)) AS UBIGINT)""".stripMargin.replace("\n", " ")
+
+  /** UBIGINT → two's-complement BIGINT (Spark longs are signed). */
+  private def signedSql(x: String): String =
+    s"""CAST(CAST($x AS HUGEINT) -
+       | CASE WHEN $x >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT)
+       |      ELSE 0 END AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Per-doc SimHash vote CTEs over `documents` (shared by q21/q32):
+    * yields relation `sv(doc_id, c0..c63)` of per-bit vote sums; docs
+    * with zero tokens are absent (callers COALESCE the signature to 0,
+    * matching simhash64([]) = 0).
+    */
+  private val simhashVotesSql: String = {
+    val votes = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
+    s"""th AS (SELECT doc_id, list_transform(${toksSql("text")}, t -> ${fnvSql("t")}) AS hs
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(hs) AS h FROM th),
+       |sv AS (SELECT doc_id, $votes FROM u GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Packs sv's 64 vote sums into an UBIGINT signature. */
+  private val simhashUnsignedPackSql: String =
+    "CAST((CAST(0 AS HUGEINT)" +
+      (0 until 64).map(b =>
+        s" + (CASE WHEN c$b > 0 THEN CAST('${java.lang.Long.toUnsignedString(1L << b)}' AS HUGEINT) ELSE 0 END)")
+        .mkString + ") AS UBIGINT)"
 
   // ------------------------------------------------------------- relational
 
@@ -249,21 +304,25 @@ object QueryPack {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 
-  /** Hash-based (xxhash64) — no cross-engine oracle; rows-only check. */
+  /** Rolling FNV fingerprint — oracle restates the hash arithmetic. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
   /** MinHash+LSH near-dup pairs (2-gram shingles; 8 bands × 4 rows).
-    * Hash-based bucketing — rows-only check; [[jaccardPairs]] is the
-    * exact oracle-checked twin.
+    * Every emitted pair carries an EXACT verified Jaccard, so the oracle
+    * is the exact all-pairs Jaccard at the same threshold — it agrees
+    * whenever banding recall is total, which holds for this corpus's
+    * planted near-dups (J ≥ 0.9 against a 0.9^4-per-band match rate,
+    * confirmed by the subset-of-exact spec).
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
       numHashes = 32, bands = 8, shingleSize = 2, jaccardThreshold = 0.7)
 
-  /** SimHash signatures — rows-only check. */
+  /** SimHash signatures — FNV token hashes, so the 64-bit majority vote
+    * is restated verbatim in the oracle SQL. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(Tables.documents(s, dir), "text")
       .select(col("doc_id"), col("simhash"))
@@ -365,7 +424,9 @@ object QueryPack {
   }
 
   /** SimHash band-LSH near-dup pairs with exact hamming verification.
-    * Hash-based — rows-only check; q20/q22 are the Jaccard twins.
+    * 8×8-bit banding has FULL recall for hamming ≤ 7 (pigeonhole), so the
+    * brute-force self-join oracle is exactly equal — the LSH is a pure
+    * execution-strategy change, not an approximation, at this distance.
     */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)
@@ -529,6 +590,41 @@ object QueryPack {
     "q18_langid" ->
       s"""SELECT lang, ${TextFunctions.langIdMarkersSql} AS predicted, COUNT(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q19_fingerprint" ->
+      s"""WITH fp AS (
+         | SELECT doc_id,
+         |  ${rollSql(s"list_transform(${toksSql("text")}, t -> ${fnvSql("t")})")} AS ufp,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_subwords
+         | FROM documents)
+         |SELECT doc_id, ${signedSql("ufp")} AS fingerprint, n_subwords FROM fp""".stripMargin,
+    "q20_minhash_lsh" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t)
+        |SELECT id_a, id_b, jaccard FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id) x
+        |WHERE jaccard >= 0.7""".stripMargin,
+    "q21_simhash" ->
+      s"""WITH $simhashVotesSql,
+         |su AS (SELECT doc_id, $simhashUnsignedPackSql AS us FROM sv)
+         |SELECT d.doc_id, COALESCE(${signedSql("us")}, 0) AS simhash
+         |FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id""".stripMargin,
+    "q32_simhash_neardup" ->
+      s"""WITH $simhashVotesSql,
+         |su AS (SELECT doc_id, $simhashUnsignedPackSql AS us FROM sv),
+         |alld AS (SELECT d.doc_id, COALESCE(su.us, 0) AS us
+         |  FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.us, b.us)) AS INT) AS hamming
+         |FROM alld a JOIN alld b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.us, b.us)) <= 7""".stripMargin,
     "q22_jaccard_pairs" ->
       """WITH t AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
