@@ -122,14 +122,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
-    * explode shingles → self-join on the shingle → |A∩B| = matched count,
-    * Jaccard from the per-doc set sizes. No cross join — only pairs that
-    * share at least one shingle ever materialize (pairs below any positive
-    * threshold that share nothing are correctly absent). Skewed shingles
-    * (stopword bigrams) are the hot keys; AQE skew-join splitting handles
-    * them, and a document-frequency cap on the index is the standard
-    * further mitigation at corpus scale.
+  /** Exact all-pairs n-gram Jaccard with AllPairs/PPJoin-style prefix
+    * filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08):
+    *
+    *  1. per doc, the distinct shingle-hash set (8-byte hashes, not
+    *     strings — the index shuffle carries fixed-width keys);
+    *  2. a global rarity order (document frequency, then hash) over
+    *     shingles;
+    *  3. each doc indexes only its PREFIX — its (sz − ⌈t·sz⌉ + 1) rarest
+    *     shingles. J(A,B) ≥ t needs |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two
+    *     sets with that much overlap must collide inside these prefixes
+    *     (pigeonhole over the shared global order), so recall is total;
+    *  4. candidates also pass the length filter t·|A| ≤ |B| ≤ |A|/t;
+    *  5. survivors verify EXACTLY via intersection of the full hash sets.
+    *
+    * The point at corpus scale: a raw inverted-index join pays Σ df²
+    * over shingle document-frequencies — stopword bigrams alone make
+    * that quadratic. Prefix indexing drops most of every document's
+    * shingles from the index, so the join cost tracks prefix collisions
+    * only.
+    *
+    * The global order here is the hash order itself: each doc's prefix is
+    * its numerically-smallest hashes, a per-row `array_sort` + `slice` —
+    * no df-statistics shuffle and no per-doc window. Recall is total
+    * under ANY global total order; ordering by ascending document
+    * frequency instead (one extra aggregate + broadcast of hot-shingle
+    * stats) tightens pruning further when a corpus is stopword-skewed,
+    * and slots into the same pipeline as a drop-in order key.
     */
   def exactJaccardPairs(
       docs: DataFrame,
@@ -139,19 +158,36 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sh = docs.select(
         col(idCol),
-        array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+        array_sort(array_distinct(transform(
+          TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s)))).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val inv = sh.select(col(idCol), col("sz"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("shingle"))
-    val b = inv.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length sz − α + 1 with α = ⌈t·sz⌉, nudged DOWN at FP
+    // boundaries (a longer prefix is always safe for recall)
+    val prefix = sh.select(col(idCol), col("sz"),
+      explode(slice(col("sh"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))).as("shingle"))
+    val a = prefix.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = prefix.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("shingle"))
+    val candidates = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9) &&
+              col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // Verification joins the full hash sets back for candidates only.
+    val verified = candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    verified
   }
 
   /** Exact shingle-set Jaccard between two text columns. */

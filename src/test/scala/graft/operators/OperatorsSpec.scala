@@ -30,6 +30,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet.subsetOf(exact))
   }
 
+  test("prefix-filtered jaccard equals brute-force all-pairs jaccard") {
+    // recall proof-by-comparison: the PPJoin-style prefix index must
+    // reproduce the O(n²) cross-join answer exactly, pairs AND scores
+    val subset = docs.filter($"doc_id" < 120).select($"doc_id", $"text")
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val fast = Dedup.exactJaccardPairs(subset, "doc_id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = subset.select($"doc_id".as("id_a"), $"text".as("ta"))
+        .crossJoin(subset.select($"doc_id".as("id_b"), $"text".as("tb")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("jaccard", round(Dedup.jaccard($"ta", $"tb", 2), 6))
+        .filter($"jaccard" >= t)
+        .select($"id_a", $"id_b", $"jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"threshold $t: prefix-join ${fast.size} vs brute ${brute.size}")
+    }
+  }
+
   test("simhash: near-dup docs have close hamming distance") {
     val planted = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()
