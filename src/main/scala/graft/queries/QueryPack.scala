@@ -97,22 +97,43 @@ object QueryPack {
         davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
-  /** Star join: fact orders ⋈ customer, dims nation/region broadcast. */
-  def regionRevenue(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+  /** Star join: fact orders ⋈ customer, dims nation/region broadcast.
+    * Orders pre-aggregate per customer BELOW the join, so the fact-side
+    * shuffle carries one row per customer (the exact-decimal partial sums
+    * re-aggregate without precision loss); dims broadcast. At 100 TB the
+    * orders⋈customer stage stays a key-shuffle join, but on reduced rows.
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(ExactNum.Dec)).as("cust_rev_dec"),
+           count(lit(1)).as("cust_orders"))
+    perCust
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(sum(col("cust_rev_dec")).cast("double").as("revenue"),
+           sum(col("cust_orders")).as("n_orders"))
+  }
 
-  /** Big-big shuffle join lineitem ⋈ orders with distinct aggregation. */
-  def joinPriority(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  /** Big-big join lineitem ⋈ orders with distinct aggregation. Lineitem
+    * partial-aggregates per order key BELOW the join: the join then sees
+    * one row per order, COUNT(DISTINCT l_orderkey) degenerates to a plain
+    * COUNT (no distinct expansion after the join), and the shuffle
+    * carries |orders| rows instead of |lineitem| — the rewrite that keeps
+    * this plan viable when lineitem is the 100 TB side.
+    */
+  def joinPriority(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(ExactNum.Dec)).as("order_price_dec"))
+    perOrder
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-           dsum(col("l_extendedprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("order_price_dec")).cast("double").as("sum_price"))
+  }
 
   /** Deterministic top-k: TakeOrderedAndProject, no full sort at scale. */
   def topkOrders(s: SparkSession, dir: String): DataFrame =
