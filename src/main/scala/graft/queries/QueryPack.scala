@@ -452,6 +452,20 @@ object QueryPack {
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)
 
+  /** Composite quality scoring (length sweet-spot ⊕ punctuation ⊕
+    * stopword balance) + mean word length, aggregated per language — the
+    * end-to-end quality-filter feature column a curation pipeline
+    * thresholds on.
+    */
+  def qualityScoreStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+      .withColumn("mwl", TextFunctions.meanWordLength(col("text")))
+      .groupBy(col("lang"))
+      .agg(davg(col("q")).as("avg_quality"),
+           davg(col("mwl")).as("avg_word_len"),
+           count(lit(1)).as("n_docs"))
+
   /** BPE-ish subword counting over the raw text, per language. */
   def subwordStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -502,6 +516,7 @@ object QueryPack {
     "q38_knn_ivf"           -> (knnIvf _),
     "q39_percentiles"       -> (percentiles _),
     "q40_price_histogram"   -> (priceHistogram _),
+    "q41_quality_score"     -> (qualityScoreStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -738,6 +753,26 @@ object QueryPack {
       s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
          | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS bucket_total
          |FROM orders GROUP BY 1""".stripMargin,
+    "q41_quality_score" ->
+      s"""WITH toks AS (
+         | SELECT lang, text, ${toksSql("text")} AS w FROM documents),
+         |f AS (
+         | SELECT lang,
+         |  LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |  GREATEST(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |         / length(text) END) * 5.0) AS punct_score,
+         |  LEAST((CASE WHEN len(w) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(w,
+         |           t -> t IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |         / len(w) END) * 4.0, 1.0) AS stop_score,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) END AS mwl
+         | FROM toks),
+         |g AS (SELECT lang, ROUND((len_score + punct_score + stop_score) / 3.0, 6) AS q, mwl FROM f)
+         |SELECT lang, ${davgSql("q")} AS avg_quality, ${davgSql("mwl")} AS avg_word_len,
+         | COUNT(*) AS n_docs
+         |FROM g GROUP BY lang""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
