@@ -106,6 +106,21 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Distinct 64-bit hashes of the word-level n-gram shingles, computed
+    * WITHOUT materializing shingle strings: tokens hash once each, then
+    * each shingle hash is `xxhash64` over the length-n slice of the
+    * token-hash array. Saves the per-shingle `concat_ws` allocation the
+    * string path pays — the hot inner loop of MinHash/Jaccard indexing,
+    * where only set identity (not the text) matters.
+    */
+  def shingleHashes(text: Column, n: Int): Column = bind(
+    transform(tokens(text), t => xxhash64(t))) { th =>
+    when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(th) - (n - 1)),
+          i => xxhash64(slice(th, i, lit(n))))))
+  }
+
   /** Rotate-xor rolling-hash fingerprint over tokens (order-sensitive).
     * Token hashes come from the native codegen'd FNV-1a expression
     * ([[org.apache.spark.sql.graft.TextHashOps.fnv64]]) whose arithmetic

@@ -51,17 +51,16 @@ object Dedup {
     */
   def minHash(docs: DataFrame, textCol: String, numHashes: Int, shingleSize: Int): DataFrame =
     docs.withColumn("minhash",
-      // Each shingle is string-hashed ONCE; the k seeded hash functions
-      // derive from the 8-byte base hash (h_i = xxhash64(h, i)), so the
-      // per-row cost is |shingles| string hashes + k·|shingles| long
-      // mixes instead of k·|shingles| string hashes. Both arrays are
-      // let-bound (see TextFunctions.bind) so nothing re-evaluates per
-      // lambda element.
-      TextFunctions.bind(
-        transform(array_distinct(TextFunctions.shingles(col(textCol), shingleSize)),
-          s => xxhash64(s))) { baseHashes =>
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          seed => array_min(transform(baseHashes, h => xxhash64(h, seed))))
+      // Shingle base hashes come straight off the token-hash array (no
+      // shingle strings built — TextFunctions.shingleHashes); the k
+      // seeded hash functions derive from the 8-byte base hash
+      // (h_i = xxhash64(h, i)), so the per-row cost is |tokens| string
+      // hashes + k·|shingles| long mixes. Arrays are let-bound (see
+      // TextFunctions.bind) so nothing re-evaluates per lambda element.
+      TextFunctions.bind(TextFunctions.shingleHashes(col(textCol), shingleSize)) {
+        baseHashes =>
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            seed => array_min(transform(baseHashes, h => xxhash64(h, seed))))
       })
 
   /** LSH banding: signature of r·b hashes → b band keys, each the hash of
@@ -158,8 +157,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sh = docs.select(
         col(idCol),
-        array_sort(array_distinct(transform(
-          TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s)))).as("sh"))
+        array_sort(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

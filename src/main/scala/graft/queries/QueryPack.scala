@@ -287,6 +287,55 @@ object QueryPack {
         col("session_window.start").cast("long").as("session_start"),
         col("n_events"))
 
+  /** As-of join: each event picks the most recent order (max order key on
+    * ties) of the same user on or before the event's day. Spark lacks a
+    * native as-of operator; the scale-correct composition is
+    * union-the-streams → one window pass per key (`last` ignoreNulls over
+    * the time-ordered union) — a single shuffle on the key, no range-join
+    * explosion, no per-event subquery. Day arithmetic stays on epoch
+    * integers so both engines agree without timezone coupling.
+    */
+  def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id").as("key"),
+        (col("ts").cast("long") / lit(86400L)).cast("long").as("d"),
+        col("ts").cast("long").as("ts_s"),
+        lit(0).as("is_order"), lit(null).cast("long").as("okey"))
+    val od = Tables.orders(s, dir)
+      .select(col("o_custkey").as("key"),
+        // o_orderdate is TIMESTAMP_NTZ: day number via date difference
+        // (no epoch cast exists for NTZ, and this stays timezone-free)
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        col("o_orderkey"))
+      .groupBy(col("key"), col("d"))
+      .agg(max(col("o_orderkey")).as("okey"))
+      .select(col("key"), col("d"), lit(null).cast("long").as("ts_s"),
+        lit(1).as("is_order"), col("okey"))
+    // same-day orders sort before events (is_order desc), ties among
+    // same-day orders resolve to the max key (okey asc + last())
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("d").asc, col("is_order").desc, col("okey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("asof_okey", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("key").as("user_id"), col("ts_s"), col("asof_okey").as("okey"))
+  }
+
+  /** Pivot: per-user event counts spread across one column per event
+    * type. Values are DECLARED (no driver-side distinct scan to discover
+    * them), so the plan is a plain two-phase aggregate.
+    */
+  def eventTypePivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
   def eventTopUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -517,6 +566,8 @@ object QueryPack {
     "q39_percentiles"       -> (percentiles _),
     "q40_price_histogram"   -> (priceHistogram _),
     "q41_quality_score"     -> (qualityScoreStats _),
+    "q42_asof_join"         -> (asofLatestOrder _),
+    "q43_event_pivot"       -> (eventTypePivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -773,6 +824,25 @@ object QueryPack {
          |SELECT lang, ${davgSql("q")} AS avg_quality, ${davgSql("mwl")} AS avg_word_len,
          | COUNT(*) AS n_docs
          |FROM g GROUP BY lang""".stripMargin,
+    "q42_asof_join" ->
+      """WITH od AS (
+        | SELECT o_custkey AS key, CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS d,
+        |        MAX(o_orderkey) AS okey
+        | FROM orders GROUP BY 1, 2),
+        |ev AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |        CAST(floor(epoch(ts)/86400) AS BIGINT) AS d
+        | FROM events WHERE user_id < 20)
+        |SELECT e.user_id, e.ts_s, o.okey
+        |FROM ev e ASOF LEFT JOIN od o ON e.user_id = o.key AND e.d >= o.d""".stripMargin,
+    "q43_event_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
