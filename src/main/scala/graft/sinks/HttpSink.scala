@@ -128,6 +128,7 @@ abstract class HttpSink[T] extends ForeachWriter[T] {
       case Success(r) => r.code
       case Failure(_: java.net.SocketTimeoutException) => TimeoutPseudoCode
       case Failure(e) if NonFatal(e) => ErrorPseudoCode
+      case Failure(fatal) => throw fatal // OOM etc. must not read as HTTP errors
     }
 
     code match {

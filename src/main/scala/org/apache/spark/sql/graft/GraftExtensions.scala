@@ -1,0 +1,42 @@
+/* org.apache.spark.sql placement for the private[sql] Column bridge —
+ * see EnvelopeExpressions.scala. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Catalyst extension point wiring the engine's native expressions into
+  * SQL by name. Activate per cluster with
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)` on a builder) — after
+  * which `SELECT fnv64(text), simhash64(hashes), array_dot(a, b),
+  * envelope_field(value, 'docType')` parse like built-ins, so pure-SQL
+  * clients (thriftserver, notebooks) reach the same operators as the
+  * Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def one(name: String)(build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      { exprs =>
+        require(exprs.length == 1, s"$name expects exactly 1 argument")
+        build(exprs.head)
+      })
+
+  private def two(name: String)(build: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      { exprs =>
+        require(exprs.length == 2, s"$name expects exactly 2 arguments")
+        build(exprs.head, exprs(1))
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(one("fnv64")(Fnv64))
+    ext.injectFunction(one("simhash64")(SimHash64))
+    ext.injectFunction(two("array_dot")(ArrayDotProduct))
+    ext.injectFunction(two("envelope_field")(EnvelopeField))
+  }
+}

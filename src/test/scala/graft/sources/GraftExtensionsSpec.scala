@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.{GraftExtensions, TextHashOps}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions wiring: native expressions reachable from
+  * pure SQL in a session built with the extension installed. Builds its
+  * own session (extensions are constructor-time state), sharing the test
+  * JVM's SparkContext; the shared [[graft.SparkTest]] session is
+  * restored as default afterwards.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.setDefaultSession(graft.SparkTest.spark)
+    SparkSession.setActiveSession(graft.SparkTest.spark)
+    super.afterAll()
+  }
+
+  test("fnv64/simhash64/array_dot parse and evaluate as SQL functions") {
+    val row = spark.sql(
+      """SELECT fnv64('hello') AS h,
+        |       simhash64(array(fnv64('a'), fnv64('b'))) AS s,
+        |       array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .collect().head
+    assert(row.getAs[Long]("h") == TextHashOps.fnv64(UTF8String.fromString("hello")))
+    assert(row.getAs[Double]("d") == 11.0)
+    // simhash over two hashes keeps exactly the bits both agree on (a
+    // one-vote split is a tie, and ties clear the bit) — i.e. bitwise AND
+    val (ha, hb) = (TextHashOps.fnv64(UTF8String.fromString("a")),
+      TextHashOps.fnv64(UTF8String.fromString("b")))
+    assert(row.getAs[Long]("s") == (ha & hb))
+  }
+
+  test("SQL form rejects wrong arity") {
+    intercept[Exception] { spark.sql("SELECT fnv64('a', 'b')").collect() }
+  }
+}
