@@ -57,10 +57,15 @@ object Dedup {
       // (h_i = xxhash64(h, i)), so the per-row cost is |tokens| string
       // hashes + k·|shingles| long mixes. Arrays are let-bound (see
       // TextFunctions.bind) so nothing re-evaluates per lambda element.
+      // A doc with NO shingles has NO signature (null, not [null,…]) —
+      // otherwise every short/empty doc would share one LSH bucket in
+      // every band and the bucket join would go quadratic in their count.
       TextFunctions.bind(TextFunctions.shingleHashes(col(textCol), shingleSize)) {
         baseHashes =>
-          transform(sequence(lit(0), lit(numHashes - 1)),
-            seed => array_min(transform(baseHashes, h => xxhash64(h, seed))))
+          when(size(baseHashes) > 0,
+            transform(sequence(lit(0), lit(numHashes - 1)),
+              seed => array_min(transform(baseHashes, h => xxhash64(h, seed)))))
+            .otherwise(lit(null).cast("array<bigint>"))
       })
 
   /** LSH banding: signature of r·b hashes → b band keys, each the hash of
@@ -97,6 +102,7 @@ object Dedup {
     // both sides of the self-join would otherwise recompute the full
     // signature scan.
     val sig = minHash(docs.select(col(idCol), col(textCol)), textCol, numHashes, shingleSize)
+      .filter(col("minhash").isNotNull) // shingle-less docs can't near-dup
     val banded = lshBands(sig, bands, r).select(col(idCol), col("band_id"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
@@ -104,7 +110,11 @@ object Dedup {
     // The candidate id-pair set is small (ids only, post-LSH); eagerly
     // materializing it truncates the lineage back through `banded`, so the
     // cached index can be released HERE instead of leaking until the
-    // session's ContextCleaner gets around to it.
+    // session's ContextCleaner gets around to it. Tradeoff: the operator
+    // runs a job at construction time, and checkpoint blocks have no
+    // lineage fallback (an executor lost later means re-running the
+    // query, not recomputing a partition) — acceptable for a small,
+    // short-lived pair set.
     val candidates = a.join(b, Seq("band_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

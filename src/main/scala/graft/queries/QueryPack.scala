@@ -301,7 +301,9 @@ object QueryPack {
         (col("ts").cast("long") / lit(86400L)).cast("long").as("d"),
         col("ts").cast("long").as("ts_s"),
         lit(0).as("is_order"), lit(null).cast("long").as("okey"))
-    val od = Tables.orders(s, dir)
+    // the order side prunes to the event-side key range BEFORE the
+    // shuffle — the window must not scan orders no event can reach
+    val od = Tables.orders(s, dir).filter(col("o_custkey") < 20)
       .select(col("o_custkey").as("key"),
         // o_orderdate is TIMESTAMP_NTZ: day number via date difference
         // (no epoch cast exists for NTZ, and this stays timezone-free)
@@ -692,12 +694,12 @@ object QueryPack {
         | SELECT doc_id,
         |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
         | FROM t)
-        |SELECT id_a, id_b, jaccard FROM (
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
         | FROM d a JOIN d b ON a.doc_id < b.doc_id) x
-        |WHERE jaccard >= 0.7""".stripMargin,
+        |WHERE j >= 0.7""".stripMargin,
     "q21_simhash" ->
       s"""WITH $simhashVotesSql,
          |su AS (SELECT doc_id, $simhashUnsignedPackSql AS us FROM sv)
@@ -720,12 +722,12 @@ object QueryPack {
         | SELECT doc_id,
         |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
         | FROM t)
-        |SELECT id_a, id_b, jaccard FROM (
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
         | FROM d a JOIN d b ON a.doc_id < b.doc_id) x
-        |WHERE jaccard >= 0.5""".stripMargin,
+        |WHERE j >= 0.5""".stripMargin,
     "q23_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
         |SELECT query_id, neighbor_id, rank FROM (

@@ -27,6 +27,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
+    // clear FIRST: if SparkTest.spark hasn't initialized yet, its lazy
+    // getOrCreate must not adopt this spec's extensions session as the
+    // JVM-wide shared one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     SparkSession.setDefaultSession(graft.SparkTest.spark)
     SparkSession.setActiveSession(graft.SparkTest.spark)
     super.afterAll()
