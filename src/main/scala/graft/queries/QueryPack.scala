@@ -187,6 +187,12 @@ object QueryPack {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** CUBE: totals over every dimension subset (q33 is the ROLLUP twin). */
+  def cubeSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
   /** INTERSECT / EXCEPT set operations, tagged into one relation. */
   def setOpsNations(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
@@ -570,6 +576,7 @@ object QueryPack {
     "q41_quality_score"     -> (qualityScoreStats _),
     "q42_asof_join"         -> (asofLatestOrder _),
     "q43_event_pivot"       -> (eventTypePivot _),
+    "q44_cube"              -> (cubeSummary _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -778,6 +785,10 @@ object QueryPack {
       s"""SELECT l_returnflag, l_linestatus,
          | ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q44_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q34_setops" ->
       """SELECT nationkey, 'both' AS tag FROM (
         | SELECT DISTINCT c_nationkey AS nationkey FROM customer
