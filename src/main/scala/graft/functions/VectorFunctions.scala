@@ -41,15 +41,23 @@ object VectorFunctions {
         .otherwise(transform(a, x => x.cast("double") / n))
     }
 
-  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: the sign
-    * pattern of `nPlanes` pseudo-random projections packed into a long.
-    * Hyperplane weights derive from `xxhash64(dim, plane)` — deterministic,
-    * no driver-side randomness, no broadcast needed: the "matrix" is
-    * regenerated inside the expression on every executor.
+  /** Native multi-table hyperplane bucketing — one pass over the vector
+    * for all nTables × nPlanes projections (see
+    * [[org.apache.spark.sql.graft.VectorHashOps]]); returns one packed
+    * bucket id per table. THE bucketing primitive for every LSH path.
     */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+  def hyperplaneBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
+    org.apache.spark.sql.graft.HyperplaneExpressions.hyperplaneBuckets(vec, nPlanes, nTables)
+
+  /** HOF formulation of single-table hyperplane bucketing — kept as the
+    * interpreted baseline the native expression replaces (and for the
+    * equivalence-of-approach spec); prefer [[hyperplaneBuckets]].
+    * `planeOffset` selects a disjoint plane family per LSH table.
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
     require(nPlanes <= 62, "bucket packed into a signed long")
-    val projections = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+    val projections = transform(
+      sequence(lit(planeOffset), lit(planeOffset + nPlanes - 1)), p => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
           // weight in [-1, 1) from a hash of (dim index, plane index)

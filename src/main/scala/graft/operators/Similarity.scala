@@ -42,39 +42,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** LSH-bucketed approximate top-k: exact ranking within the union of
-    * probed buckets. With multi-probe (flip each of `nPlanes` bits once)
-    * recall is high for close neighbors while each comparison list stays
-    * ~ (nPlanes+1) · n / 2^nPlanes of the corpus.
+  /** Multi-table LSH approximate top-k: `nTables` independent hyperplane
+    * hash tables (disjoint plane families), each multi-probed (own bucket
+    * + every 1-bit flip); a corpus vector is a candidate if it collides
+    * with the query in ANY table — OR-amplification, the standard recall
+    * repair when neighbors sit at low cosine (a single table's recall
+    * decays like P(agree)^planes). Exact ranking over the candidate
+    * union. Cost per query ≈ nTables · (nPlanes+1) · n / 2^nPlanes
+    * comparisons; candidate generation carries ids only — vectors join
+    * back for scoring.
     */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      nPlanes: Int = 8): DataFrame = {
-    val c = corpus.select(
-      col("vec_id").as("neighbor_id"),
-      VectorFunctions.normalize(col("embedding")).as("c_emb"),
-      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket"))
-    // Multi-probe: query lands in its own bucket plus each 1-bit flip
-    // (bucket let-bound so the projection hash runs once, not nPlanes+1
-    // times).
-    val probes = graft.functions.TextFunctions.bind(
-      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes)) { bucket =>
-      (0 until nPlanes).foldLeft(array(bucket)) {
-        (acc, bit) => array_append(acc, bucket.bitwiseXOR(lit(1L << bit)))
-      }
-    }
-    val q = queries.select(col("query_id"),
-        VectorFunctions.normalize(col("embedding")).as("q_emb"),
-        explode(probes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      nPlanes: Int = 6,
+      nTables: Int = 4): DataFrame = {
+    // Native one-pass bucketing: array of one bucket per table;
+    // posexplode's position IS the table id.
+    val cb = corpus.select(col("vec_id").as("neighbor_id"),
+        posexplode(VectorFunctions.hyperplaneBuckets(col("embedding"), nPlanes, nTables)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    // Multi-probe per table: own bucket plus each 1-bit flip.
+    val qProbes = queries.select(col("query_id"),
+        posexplode(VectorFunctions.hyperplaneBuckets(col("embedding"), nPlanes, nTables)))
+      .withColumnsRenamed(Map("pos" -> "table"))
+      .select(col("query_id"), col("table"),
+        explode(graft.functions.TextFunctions.bind(col("col")) { b =>
+          (0 until nPlanes).foldLeft(array(b)) {
+            (acc, bit) => array_append(acc, b.bitwiseXOR(lit(1L << bit)))
+          }
+        }).as("bucket"))
+    val candidates = cb.join(broadcast(qProbes), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorFunctions.normalize(col("embedding")).as("c_emb"))
+    val q = queries.select(col("query_id"),
+      VectorFunctions.normalize(col("embedding")).as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .dropDuplicates("query_id", "neighbor_id")
+    candidates
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -104,7 +116,8 @@ object Similarity {
     */
   def cosineNearDupLsh(corpus: DataFrame, threshold: Double, nPlanes: Int = 4): DataFrame = {
     val bucketed = corpus.select(col("vec_id"),
-      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket"))
+      element_at(VectorFunctions.hyperplaneBuckets(col("embedding"), nPlanes, 1), 1)
+        .as("bucket"))
     val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
       (acc, bit) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << bit)))
     }

@@ -437,7 +437,7 @@ object QueryPack {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    Similarity.lshTopK(queries, emb, 10, nPlanes = 8)
+    Similarity.lshTopK(queries, emb, 10, nPlanes = 6, nTables = 4)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
   }

@@ -104,6 +104,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(approx.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
   }
 
+  test("LSH and IVF KNN meet a measured recall@10 floor vs brute force") {
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, embeddings, 10))
+    val lsh = pairs(Similarity.lshTopK(queries, embeddings, 10, nPlanes = 6, nTables = 4))
+    val ivf = pairs(Similarity.ivfTopK(queries, embeddings, 10, dim = 64, nProbes = 3))
+    def recall(got: Set[(Long, Long)]): Double =
+      got.intersect(exact).size.toDouble / exact.size
+    info(s"LSH recall@10 = ${recall(lsh)}, IVF recall@10 = ${recall(ivf)}")
+    // approximate-by-design, but a recall collapse is a bug, not tuning.
+    // OR-amplified multi-table LSH must beat 0.5 even on this
+    // neighborless corpus (single-table was 0.09 — the regression this
+    // floor guards). IVF's ceiling here is the label quantizer: labels
+    // correlate only weakly with proximity, so 3/10 probed cells bounds
+    // recall near nProbes/nCells (0.3 if uncorrelated); the floor checks
+    // it stays above that chance line.
+    assert(recall(lsh) >= 0.5, s"LSH recall@10 = ${recall(lsh)}")
+    assert(recall(ivf) >= 0.3, s"IVF recall@10 = ${recall(ivf)}")
+  }
+
   test("IVF ANN: probed-cell search returns valid ranked neighbors") {
     val queries = embeddings.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding")
