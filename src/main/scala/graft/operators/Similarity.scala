@@ -108,25 +108,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Approximate embedding near-dup via hyperplane-bucket self-join with
-    * single-bit multi-probe. Few planes on purpose: near-dup thresholds
-    * are low-cosine, so recall falls fast with hash length — candidates
-    * only meet inside (multi-probed) buckets, keeping the join linear-ish
-    * in corpus size instead of quadratic.
+  /** Approximate embedding near-dup via multi-table hyperplane-bucket
+    * self-join with single-bit multi-probe. Few planes per table on
+    * purpose: near-dup thresholds are low-cosine, so single-table recall
+    * falls fast with hash length; OR-amplification across tables repairs
+    * it. Candidates only meet inside (multi-probed) same-table buckets —
+    * linear-ish in corpus size instead of quadratic.
     */
-  def cosineNearDupLsh(corpus: DataFrame, threshold: Double, nPlanes: Int = 4): DataFrame = {
+  def cosineNearDupLsh(corpus: DataFrame, threshold: Double,
+                       nPlanes: Int = 4, nTables: Int = 2): DataFrame = {
     val bucketed = corpus.select(col("vec_id"),
-      element_at(VectorFunctions.hyperplaneBuckets(col("embedding"), nPlanes, 1), 1)
-        .as("bucket"))
+        posexplode(VectorFunctions.hyperplaneBuckets(col("embedding"), nPlanes, nTables)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
       (acc, bit) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << bit)))
     }
     // candidate ids first (multi-probe duplicates removed BEFORE any
     // vector math), then unit-normalized vectors broadcast back in —
     // each surviving pair costs exactly one dot product
-    val a = bucketed.select(col("vec_id").as("id_a"), explode(probes).as("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("bucket"))
-    val candidates = a.join(b, Seq("bucket"))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("table"),
+      explode(probes).as("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("table"), col("bucket"))
+    val candidates = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

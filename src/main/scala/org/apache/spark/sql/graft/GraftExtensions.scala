@@ -33,10 +33,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         build(exprs.head, exprs(1))
       })
 
+  /** `hyperplane_buckets(vec, nPlanes, nTables)` — the plane/table counts
+    * must be integer literals (they shape the output array).
+    */
+  private val hyperplaneBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "hyperplane_buckets"),
+      { exprs =>
+        require(exprs.length == 3, "hyperplane_buckets expects (vec, nPlanes, nTables)")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_buckets: $name must be an integer literal, got $other")
+        }
+        HyperplaneBuckets(exprs.head,
+          intLit(exprs(1), "nPlanes"), intLit(exprs(2), "nTables"))
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(one("fnv64")(Fnv64))
     ext.injectFunction(one("simhash64")(SimHash64))
     ext.injectFunction(two("array_dot")(ArrayDotProduct))
     ext.injectFunction(two("envelope_field")(EnvelopeField))
+    ext.injectFunction(hyperplaneBuilder)
   }
 }

@@ -55,4 +55,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("SQL form rejects wrong arity") {
     intercept[Exception] { spark.sql("SELECT fnv64('a', 'b')").collect() }
   }
+
+  test("hyperplane_buckets parses with literal plane/table counts") {
+    val b = spark.sql(
+      "SELECT hyperplane_buckets(array(0.5D, -1.5D, 2.0D), 5, 3) AS b")
+      .collect().head.getSeq[Long](0)
+    assert(b.length == 3 && b.forall(x => x >= 0 && x < 32))
+    intercept[Exception] {
+      spark.sql("SELECT hyperplane_buckets(array(1.0D), 5, CAST(NULL AS INT))").collect()
+    }
+  }
 }
