@@ -45,28 +45,19 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the document's shingle set. Built entirely from
-    * higher-order functions (sequence/transform/array_min/xxhash64) so the
-    * signature is computed in codegen with zero shuffles.
+    * minimum over the document's shingle set. Shingle base hashes come
+    * straight off the token-hash array (no shingle strings —
+    * TextFunctions.shingleHashes); the k seeded minima come from ONE
+    * native codegen'd pass ([[org.apache.spark.sql.graft.MinHashOps]]) —
+    * no per-seed lambda interpretation or intermediate arrays, zero
+    * shuffles. A doc with NO shingles has NO signature (null) —
+    * otherwise every short/empty doc would share one LSH bucket in every
+    * band and the bucket join would go quadratic in their count.
     */
   def minHash(docs: DataFrame, textCol: String, numHashes: Int, shingleSize: Int): DataFrame =
     docs.withColumn("minhash",
-      // Shingle base hashes come straight off the token-hash array (no
-      // shingle strings built — TextFunctions.shingleHashes); the k
-      // seeded hash functions derive from the 8-byte base hash
-      // (h_i = xxhash64(h, i)), so the per-row cost is |tokens| string
-      // hashes + k·|shingles| long mixes. Arrays are let-bound (see
-      // TextFunctions.bind) so nothing re-evaluates per lambda element.
-      // A doc with NO shingles has NO signature (null, not [null,…]) —
-      // otherwise every short/empty doc would share one LSH bucket in
-      // every band and the bucket join would go quadratic in their count.
-      TextFunctions.bind(TextFunctions.shingleHashes(col(textCol), shingleSize)) {
-        baseHashes =>
-          when(size(baseHashes) > 0,
-            transform(sequence(lit(0), lit(numHashes - 1)),
-              seed => array_min(transform(baseHashes, h => xxhash64(h, seed)))))
-            .otherwise(lit(null).cast("array<bigint>"))
-      })
+      org.apache.spark.sql.graft.MinHashExpressions.minhashSignature(
+        TextFunctions.shingleHashes(col(textCol), shingleSize), numHashes))
 
   /** LSH banding: signature of r·b hashes → b band keys, each the hash of
     * one r-slice. Documents sharing any band key are candidate pairs.
