@@ -106,20 +106,17 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Distinct 64-bit hashes of the word-level n-gram shingles, computed
-    * WITHOUT materializing shingle strings: tokens hash once each, then
-    * each shingle hash is `xxhash64` over the length-n slice of the
-    * token-hash array. Saves the per-shingle `concat_ws` allocation the
-    * string path pays — the hot inner loop of MinHash/Jaccard indexing,
-    * where only set identity (not the text) matters.
+  /** Ascending distinct 64-bit hashes of the word-level n-gram shingles,
+    * via the native one-pass expression
+    * ([[org.apache.spark.sql.graft.ShingleOps]]): token hashes accumulate
+    * during the text scan (no token/shingle string is ever allocated),
+    * shingles combine through a ring buffer, output is sorted+deduped.
+    * The hot input of MinHash/Jaccard indexing, where only set identity
+    * (not the text) matters. Short docs (<n tokens) ⇒ empty array, same
+    * set semantics as [[shingles]].
     */
-  def shingleHashes(text: Column, n: Int): Column = bind(
-    transform(tokens(text), t => xxhash64(t))) { th =>
-    when(size(th) < n, array().cast("array<bigint>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(th) - (n - 1)),
-          i => xxhash64(slice(th, i, lit(n))))))
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ShingleExpressions.shingleHashes(text, n)
 
   /** Rotate-xor rolling-hash fingerprint over tokens (order-sensitive).
     * Token hashes come from the native codegen'd FNV-1a expression

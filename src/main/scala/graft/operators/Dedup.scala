@@ -158,7 +158,8 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sh = docs.select(
         col(idCol),
-        array_sort(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("sh"))
+        // native shingleHashes output is already ascending-distinct
+        TextFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,113 @@
+/* org.apache.spark.sql placement for the private[sql] Column bridge —
+ * see EnvelopeExpressions.scala. */
+package org.apache.spark.sql.graft
+
+import java.util.Arrays
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct word-n-gram shingle hashing.
+  *
+  * The Column formulation (trim → regex split → per-token hash → slice +
+  * hash per shingle → array_distinct → array_sort) allocates a string
+  * per token and interprets a lambda per shingle. This expression makes
+  * ONE pass over the text: token FNV-1a hashes accumulate on the fly
+  * (no substring is ever materialized), a ring buffer of the last n
+  * token hashes feeds an order-sensitive splitmix64 chain per shingle,
+  * and the result is sorted + deduplicated in place. Output: ascending
+  * distinct 64-bit shingle hashes; fewer than n tokens ⇒ empty array —
+  * the same set semantics as TextFunctions.shingles.
+  */
+object ShingleOps {
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def shingleHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val len = s.length
+    val ring = new Array[Long](n)
+    var tokenCount = 0
+    var out = new Array[Long](16)
+    var outLen = 0
+    var i = 0
+    while (i <= len) {
+      // advance to the next token
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        var h = TextHashOps.FnvOffset
+        while (i < len && !Character.isWhitespace(s.charAt(i))) {
+          val cp = s.codePointAt(i)
+          h = (h ^ cp) * TextHashOps.FnvPrime
+          i += Character.charCount(cp)
+        }
+        ring(tokenCount % n) = h
+        tokenCount += 1
+        if (tokenCount >= n) {
+          // combine the last n token hashes, oldest first; the oldest is
+          // pre-mixed so even the first XOR is position-sensitive
+          // ("a b" must not hash like "b a")
+          var c = splitmix64(ring((tokenCount - n) % n))
+          var j = tokenCount - n + 1
+          while (j < tokenCount) {
+            c = splitmix64(c ^ ring(j % n))
+            j += 1
+          }
+          if (outLen == out.length) out = Arrays.copyOf(out, out.length * 2)
+          out(outLen) = c
+          outLen += 1
+        }
+      } else i += 1
+    }
+    if (outLen == 0) return new GenericArrayData(Array.emptyLongArray)
+    val trimmed = Arrays.copyOf(out, outLen)
+    Arrays.sort(trimmed)
+    // in-place dedup of the sorted run
+    var w = 1
+    var r = 1
+    while (r < outLen) {
+      if (trimmed(r) != trimmed(w - 1)) { trimmed(w) = trimmed(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == outLen) trimmed else Arrays.copyOf(trimmed, w))
+  }
+}
+
+/** `shingle_hashes(string) → array<bigint>` (ascending, distinct). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects a string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ShingleOps.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleExpressions {
+  def shingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+}

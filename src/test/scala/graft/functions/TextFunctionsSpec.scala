@@ -49,6 +49,22 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(oneSeq(TextFunctions.shingles($"text", 2), "") == Nil)
   }
 
+  test("shingleHashes: sorted-distinct, order-sensitive, short docs empty") {
+    def hs(text: String, n: Int): List[Long] =
+      Seq(text).toDF("text")
+        .select(TextFunctions.shingleHashes($"text", n).as("v"))
+        .collect().head.getSeq[Long](0).toList
+    val abc = hs("a b c", 2)
+    assert(abc.length == 2 && abc == abc.sorted && abc.distinct == abc)
+    // shingle identity is the token sequence, not the bag
+    assert(hs("a b", 2) != hs("b a", 2))
+    // duplicate shingles collapse: "a b a b" has shingles {a b, b a}
+    assert(hs("a b a b", 2).length == 2)
+    assert(hs("a", 2) == Nil && hs("", 2) == Nil && hs("   ", 2) == Nil)
+    // whitespace runs count as one separator, like tokens()
+    assert(hs("a  \t b", 2) == hs("a b", 2))
+  }
+
   test("langIdMarkers follows first-match priority") {
     assert(one[String](TextFunctions.langIdMarkers($"text"), "der hund und die katze") == "de")
     assert(one[String](TextFunctions.langIdMarkers($"text"), "the cat and the dog") == "en")
