@@ -414,6 +414,84 @@ object QueryPack {
       Tables.documents(s, dir).filter(col("doc_id") < 1000),
       "doc_id", "text", shingleSize = 2, threshold = 0.5)
 
+  /** Near-dup pairs → duplicate CLUSTERS: connected components assign
+    * every member the minimum reachable doc id as `cluster_id` — the
+    * keep-one-per-cluster step of a real dedup pipeline. Oracle is a
+    * recursive-CTE transitive closure over the identical pair set.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.exactJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id", "text", shingleSize = 2, threshold = 0.5)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Deterministic train/valid/test split: the FNV hash of the content
+    * (not a random()) buckets each document, so the split is reproducible
+    * across runs, engines, and repartitioning — the property a training
+    * pipeline needs for consistent held-out sets. 80/10/10 over
+    * hash mod 100.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Per-language salient terms: tf × smoothed reciprocal document
+    * frequency, top-5 per language. The idf is the LOG-FREE rational form
+    * (n+1)/(df+1) — identical IEEE arithmetic in both engines, so the
+    * oracle hashes exactly (ln() is libm-dependent). Ranking orders by the
+    * ROUNDED score with the term as tie-break, keeping rank assignment
+    * engine-independent.
+    */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("score",
+        round(col("tf") * (col("n_total") + lit(1.0)) / (col("df") + lit(1.0)), 6))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("term"), col("score"), col("rank"))
+  }
+
+  /** GROUPING SETS — the explicit-subset sibling of ROLLUP/CUBE, via the
+    * Spark 4 `groupingSets` Dataset API. */
+  def groupingSetsSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_returnflag"), col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Normalize-then-dedup: lowercase, punctuation→space, collapsed
+    * whitespace — the canonicalization pass that catches trivially-edited
+    * duplicates exact hashing misses.
+    */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[\\p{Punct}]", " "), "\\s+", " ")))
+    Tables.documents(s, dir)
+      .withColumn("norm_hash", md5(norm))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("norm_hash")).as("n_unique_normalized"))
+  }
+
   // -------------------------------------------------- embeddings (vectors)
 
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -577,6 +655,11 @@ object QueryPack {
     "q42_asof_join"         -> (asofLatestOrder _),
     "q43_event_pivot"       -> (eventTypePivot _),
     "q44_cube"              -> (cubeSummary _),
+    "q45_dup_clusters"      -> (dupClusters _),
+    "q46_hash_split"        -> (hashSplit _),
+    "q47_tfidf_terms"       -> (tfidfTerms _),
+    "q48_grouping_sets"     -> (groupingSetsSummary _),
+    "q49_normalized_dedup"  -> (normalizedDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -856,6 +939,61 @@ object QueryPack {
         | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q45_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t),
+        |p AS (
+        | SELECT a.doc_id AS u, b.doc_id AS v
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+        |reach AS (
+        | SELECT u AS node, u AS r FROM e
+        | UNION
+        | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u)
+        |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "q46_hash_split" ->
+      s"""WITH b AS (
+         | SELECT lang, n_chars,
+         |  (${fnvSql("text")} & 2147483647) % 100 AS bucket
+         | FROM documents)
+         |SELECT lang,
+         | CASE WHEN bucket < 80 THEN 'train'
+         |      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q47_tfidf_terms" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, lang, unnest(${toksSql("text")}) AS term FROM documents),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+         |n AS (SELECT COUNT(*) AS n_total FROM documents),
+         |scored AS (
+         | SELECT lang, tf.term AS term,
+         |  ROUND(tf * (n_total + 1.0) / (df + 1.0), 6) AS score
+         | FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         |SELECT lang, term, score, rank FROM (
+         | SELECT lang, term, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY score DESC, term) AS INT) AS rank
+         | FROM scored) r
+         |WHERE rank <= 5""".stripMargin,
+    "q48_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""".stripMargin,
+    "q49_normalized_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT md5(lower(trim(regexp_replace(
+        |   regexp_replace(text, '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))))) AS n_unique_normalized
+        |FROM documents GROUP BY source""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,

@@ -30,6 +30,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet.subsetOf(exact))
   }
 
+  test("connected components label every node with its component minimum") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // triangle 20-21-22, and an isolated pair 30-31
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == expected)
+  }
+
+  test("connected components over planted near-dups cover all pair members") {
+    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.7)
+    val members = pairs.select($"id_a".as("id")).union(pairs.select($"id_b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    assert(cc.map(_.getLong(0)).toSet == members)
+    // every cluster id is itself a member and is <= all nodes it labels
+    cc.foreach { r => assert(members.contains(r.getLong(1)) && r.getLong(1) <= r.getLong(0)) }
+  }
+
   test("prefix-filtered jaccard equals brute-force all-pairs jaccard") {
     // recall proof-by-comparison: the PPJoin-style prefix index must
     // reproduce the O(n²) cross-join answer exactly, pairs AND scores
