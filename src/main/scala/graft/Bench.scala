@@ -15,12 +15,50 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader init should not be
-    // attributed to whichever query happens to run first
+    // attributed to whichever query happens to run first. The data is
+    // small enough (tens of MB) that per-query time is dominated by
+    // one-time costs — Janino codegen compilation, C2 JIT of the parquet
+    // decoder / hash-aggregate / sort paths, shuffle setup — so the
+    // warmup drives one representative mini-pipeline through each of
+    // those paths and decodes every table once (page cache + footer).
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-      spark.range(100).selectExpr("sum(id)").count()
+      import org.apache.spark.sql.functions._
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings")) {
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").format("noop").save()
+      }
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(28,6)")).as("s"), count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      o.join(spark.read.parquet(s"$sfDir/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      o.limit(10000)
+        .withColumn("rn", row_number().over(w))
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional subset filter for local profiling (comma-separated keys)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    // Two-pass measurement (JMH-style): pass 1 runs every query once
+    // untimed so residual one-time costs (Janino compilation of each
+    // query's generated classes, C2 JIT of operator paths the generic
+    // warmup didn't reach) don't land on whichever query happens to run
+    // first; pass 2 is the timed steady-state run. At these data sizes
+    // the first-executed query otherwise absorbs seconds of JIT noise
+    // that has nothing to do with its plan.
+    selected.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a count()
       // would let Catalyst prune projection-only work entirely)

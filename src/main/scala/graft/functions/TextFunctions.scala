@@ -31,7 +31,13 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count without the split: a native one-pass scan counting
+    * non-whitespace runs ([[org.apache.spark.sql.graft.TextNormOps]]) —
+    * same result as `size(tokens(text))`, none of the regex or array
+    * allocation cost on a corpus-wide scan.
+    */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.TextNormExpressions.tokenCount(text)
 
   /** BPE-ish subword count: word-piece regex over the raw text.
     * Counts alphanumeric runs, digits, and punctuation marks separately —

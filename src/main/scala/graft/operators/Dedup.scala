@@ -77,6 +77,16 @@ object Dedup {
     * with exact shingle-set Jaccard. `idCol` ordering (a < b) halves the
     * join output and removes self-pairs.
     */
+  /** `materializeIndex = false` (default) builds one lazy DAG: the banded
+    * index is recomputed by each self-join branch — two map-side passes
+    * over the corpus, zero index materialization, one job end-to-end. The
+    * right shape for a one-shot batch pipeline (recompute beats the write
+    * amplification of persisting a corpus-sized index, and there is no
+    * cache lifetime to manage). `materializeIndex = true` persists the
+    * banded index and eagerly checkpoints the candidate set — pay the
+    * materialization once, reuse across the actions of an interactive or
+    * multi-query session.
+    */
   def nearDuplicatePairs(
       docs: DataFrame,
       idCol: String,
@@ -84,34 +94,35 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       shingleSize: Int = 3,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7,
+      materializeIndex: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // Bands carry only the id — the ×bands row amplification of the
     // explode must not also amplify document bytes through the shuffle.
-    // The banded index (id, band, bucket ≈ 24B/row) is persisted because
-    // both sides of the self-join would otherwise recompute the full
-    // signature scan.
     val sig = minHash(docs.select(col(idCol), col(textCol)), textCol, numHashes, shingleSize)
       .filter(col("minhash").isNotNull) // shingle-less docs can't near-dup
-    val banded = lshBands(sig, bands, r).select(col(idCol), col("band_id"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedLazy = lshBands(sig, bands, r).select(col(idCol), col("band_id"), col("bucket"))
+    val banded =
+      if (materializeIndex)
+        bandedLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bandedLazy
     val a = banded.select(col(idCol).as("id_a"), col("band_id"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band_id"), col("bucket"))
-    // The candidate id-pair set is small (ids only, post-LSH); eagerly
-    // materializing it truncates the lineage back through `banded`, so the
-    // cached index can be released HERE instead of leaking until the
-    // session's ContextCleaner gets around to it. Tradeoff: the operator
-    // runs a job at construction time, and checkpoint blocks have no
-    // lineage fallback (an executor lost later means re-running the
-    // query, not recomputing a partition) — acceptable for a small,
-    // short-lived pair set.
-    val candidates = a.join(b, Seq("band_id", "bucket"))
+    val candidatesLazy = a.join(b, Seq("band_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint(true)
-    banded.unpersist(false)
+    // Materialized mode: eagerly checkpointing the (small, ids-only)
+    // candidate set truncates lineage back through `banded`, so the
+    // cached index can be released HERE instead of leaking until the
+    // ContextCleaner gets around to it.
+    val candidates =
+      if (materializeIndex) {
+        val c = candidatesLazy.localCheckpoint(true)
+        banded.unpersist(false)
+        c
+      } else candidatesLazy
     // Texts join back only for the (small) candidate set.
     val texts = docs.select(col(idCol), col(textCol))
     candidates
@@ -155,14 +166,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int,
-      threshold: Double): DataFrame = {
-    val sh = docs.select(
+      threshold: Double,
+      materializeIndex: Boolean = false): DataFrame = {
+    // Lazy mode (default): the hash-set relation is recomputed by its
+    // three consumers (prefix index ×2, verification) — map-side shingle
+    // passes, no materialization, one job. Materialized mode persists it
+    // and checkpoints the verified set (multi-action sessions).
+    val shLazy = docs.select(
         col(idCol),
         // native shingleHashes output is already ascending-distinct
         TextFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (materializeIndex)
+        shLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shLazy
     // prefix length sz − α + 1 with α = ⌈t·sz⌉, nudged DOWN at FP
     // boundaries (a longer prefix is always safe for recall)
     val prefix = sh.select(col(idCol), col("sz"),
@@ -185,9 +204,11 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .localCheckpoint(true)
-    sh.unpersist(false)
-    verified
+    if (materializeIndex) {
+      val v = verified.localCheckpoint(true)
+      sh.unpersist(false)
+      v
+    } else verified
   }
 
   /** Connected components over a near-duplicate pair set: every document
@@ -209,31 +230,68 @@ object Dedup {
     * near-dup graphs don't need it.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIterations: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+                          maxIterations: Int = 25,
+                          driverSideThreshold: Long = 1000000L): DataFrame = {
+    // both edge directions from ONE evaluation of `pairs` (a union of two
+    // selects would execute the upstream pair pipeline twice)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      // candidate labels: my own + each neighbor's current label
-      val next = labels
-        .union(edges.join(labels.withColumnRenamed("node", "u"), "u")
-          .select(col("v").as("node"), col("label")))
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
+    val edgeCount = edges.count() // also materializes the cache
+    if (edgeCount <= driverSideThreshold) {
+      // Adaptive small-graph path. Near-dup pair sets are a sliver of the
+      // corpus (ids only, post-LSH): ≤ `driverSideThreshold` edges is
+      // ≈ 16 MB on the driver — union-find solves that in milliseconds,
+      // where each distributed iteration would cost whole-job scheduling.
+      // This is a bounded collect (the threshold caps driver memory), not
+      // a scale leak; graphs above the threshold take the iterative path.
+      val spark = pairs.sparkSession
+      val es = edges.filter(col("u") < col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != root) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // min-id root ⇒ final find() IS the component minimum
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      import spark.implicits._
+      nodes.map(n => (n, find(n))).toSeq.toDF("node", "cluster_id")
+    } else {
+      var labels = edges.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old_label"), "node")
-        .filter(col("label") =!= col("old_label"))
-        .isEmpty
-      labels = next
-      i += 1
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        // candidate labels: my own + each neighbor's current label
+        val next = labels
+          .union(edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .select(col("v").as("node"), col("label")))
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("label", "old_label"), "node")
+          .filter(col("label") =!= col("old_label"))
+          .isEmpty
+        labels = next
+        i += 1
+      }
+      edges.unpersist(false)
+      labels.select(col("node"), col("label").as("cluster_id"))
     }
-    edges.unpersist(false)
-    labels.select(col("node"), col("label").as("cluster_id"))
   }
 
   /** Exact shingle-set Jaccard between two text columns. */
@@ -274,33 +332,38 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7,
+      materializeIndex: Boolean = false): DataFrame = {
     require(maxHamming <= 7, "8 x 8-bit bands guarantee recall only for d <= 7")
     val sim = simHash(docs.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col("simhash"))
-    val banded = sim.withColumn("band",
+    // Lazy by default (one job, signature scan recomputed per join
+    // branch); materialized mode persists the ~32B/row × 8 bands index
+    // and checkpoints the pair set — same cache-lifetime discipline as
+    // [[nearDuplicatePairs]].
+    val bandedLazy = sim.withColumn("band",
         explode(array((0 until 8).map(b => struct(
           lit(b).as("band_id"),
           shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(0xFFL).as("band_key"))): _*)))
       .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_key"))
-      // persisted: both self-join branches would recompute the 64-bit
-      // signature scan otherwise (index is ~32B/row × 8 bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded =
+      if (materializeIndex)
+        bandedLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bandedLazy
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
       col("band_id"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
       col("band_id"), col("band_key"))
-    // Eager materialization of the (small) verified pair set lets the
-    // banded-index cache be released before returning — same lifetime
-    // discipline as [[nearDuplicatePairs]].
-    val pairs = a.join(b, Seq("band_id", "band_key"))
+    val pairsLazy = a.join(b, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint(true)
-    banded.unpersist(false)
-    pairs
+    if (materializeIndex) {
+      val p = pairsLazy.localCheckpoint(true)
+      banded.unpersist(false)
+      p
+    } else pairsLazy
   }
 }

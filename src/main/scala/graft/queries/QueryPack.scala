@@ -483,8 +483,10 @@ object QueryPack {
     * duplicates exact hashing misses.
     */
   def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(col("text"), "[\\p{Punct}]", " "), "\\s+", " ")))
+    // one native pass collapses punct/ws runs; lower() stays the engine
+    // built-in so Unicode case folding matches the oracle's lower()
+    val norm = lower(
+      org.apache.spark.sql.graft.TextNormExpressions.normalizeWsPunct(col("text")))
     Tables.documents(s, dir)
       .withColumn("norm_hash", md5(norm))
       .groupBy(col("source"))
@@ -992,7 +994,7 @@ object QueryPack {
     "q49_normalized_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
         | COUNT(DISTINCT md5(lower(trim(regexp_replace(
-        |   regexp_replace(text, '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))))) AS n_unique_normalized
+        |   text, '[[:punct:][:space:]]+', ' ', 'g'))))) AS n_unique_normalized
         |FROM documents GROUP BY source""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (

@@ -54,6 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(one("fnv64")(Fnv64))
     ext.injectFunction(one("simhash64")(SimHash64))
+    ext.injectFunction(one("token_count")(TokenCount))
+    ext.injectFunction(one("normalize_ws_punct")(NormalizeWsPunct))
     ext.injectFunction(two("array_dot")(ArrayDotProduct))
     ext.injectFunction(two("envelope_field")(EnvelopeField))
     ext.injectFunction(hyperplaneBuilder)

@@ -19,6 +19,31 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(oneSeq(TextFunctions.tokens($"text"), "   ") == Nil)
   }
 
+  test("native token_count equals size(split) on edge cases") {
+    val cases = Seq("", "   ", "one", " a  b\tc\nd ", "ab\fc\rd",
+      "héllo wörld", "a", "  leading", "trailing  ", "\t\n", "a.b,c d",
+      "\ta", "a\t", " \t a \t ", "ab")
+    for (t <- cases) {
+      val native = one[Int](TextFunctions.tokenCount(col("text")), t)
+      val regex = one[Int](
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))), t)
+      assert(native == regex, s"mismatch on ${t.replace("\n", "\\n")}")
+    }
+  }
+
+  test("native normalize_ws_punct equals the regex normalization") {
+    import org.apache.spark.sql.graft.TextNormExpressions
+    val cases = Seq("", "...", "a..b", "Hello, World!  How are--you?",
+      "  (padded)  ", "tabs\there\tnow", "unicode: héllo—wörld", "a", "!a!")
+    for (t <- cases) {
+      val native = one[String](TextNormExpressions.normalizeWsPunct(col("text")), t)
+      val regex = one[String](
+        trim(regexp_replace(col("text"), "[\\p{Punct}\\s]+", " ")), t)
+      assert(native == regex, s"mismatch on '$t': '$native' vs '$regex'")
+    }
+  }
+
   test("mean word length and subword count") {
     assert(one[Double](TextFunctions.meanWordLength($"text"), "ab cdef") == 3.0)
     assert(one[Double](TextFunctions.meanWordLength($"text"), "") == 0.0)

@@ -36,14 +36,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L,
       30L -> 30L, 31L -> 30L)
-    assert(got == expected)
+    // driver-side union-find path (small graph, default threshold)…
+    val smallPath = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(smallPath == expected)
+    // …and the distributed min-label-propagation path must agree
+    val distPath = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverSideThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distPath == expected)
   }
 
   test("connected components over planted near-dups cover all pair members") {
