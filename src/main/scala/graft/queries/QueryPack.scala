@@ -494,6 +494,29 @@ object QueryPack {
            countDistinct(col("norm_hash")).as("n_unique_normalized"))
   }
 
+  /** Bucketed range join (big-big, self): for every error event, the
+    * count of same-user events in the following hour — incident
+    * correlation. The bucket trick turns the non-equi time predicate
+    * into an equi-join on (user, hour-bucket) — see
+    * [[graft.operators.RangeJoin]]; the oracle states the naive
+    * inequality join.
+    */
+  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts_s"))
+    val points = base.select(col("user_id"), col("ts_s"))
+    val anchors = base.filter(col("event_type") === "error")
+      .select(col("user_id").as("a_user"), col("ts_s").as("a_start"))
+      .withColumn("a_end", col("a_start") + 3600L)
+    graft.operators.RangeJoin.pointInInterval(
+        points, "user_id", "ts_s", anchors, "a_user", "a_start", "a_end",
+        bucketWidth = 3600L)
+      .groupBy(col("a_user"), col("a_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("a_user").as("user_id"), col("a_start").as("anchor_s"),
+        col("n_events"))
+  }
+
   // -------------------------------------------------- embeddings (vectors)
 
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -662,6 +685,7 @@ object QueryPack {
     "q47_tfidf_terms"       -> (tfidfTerms _),
     "q48_grouping_sets"     -> (groupingSetsSummary _),
     "q49_normalized_dedup"  -> (normalizedDedup _),
+    "q50_range_join"        -> (rangeJoinEvents _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -996,6 +1020,17 @@ object QueryPack {
         | COUNT(DISTINCT md5(lower(trim(regexp_replace(
         |   text, '[[:punct:][:space:]]+', ' ', 'g'))))) AS n_unique_normalized
         |FROM documents GROUP BY source""".stripMargin,
+    "q50_range_join" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        | FROM events),
+        |a AS (SELECT user_id AS a_user, ts_s AS a_start
+        |      FROM ev WHERE event_type = 'error')
+        |SELECT a_user AS user_id, a_start AS anchor_s, COUNT(*) AS n_events
+        |FROM a JOIN ev
+        |  ON ev.user_id = a.a_user
+        | AND ev.ts_s >= a.a_start AND ev.ts_s < a.a_start + 3600
+        |GROUP BY 1, 2""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,

@@ -49,4 +49,38 @@ object TextHashProperties extends Properties("TextHashOps") {
       TextHashOps.simhash64(ArrayData.toArrayData(hs.toArray)) ==
         TextHashOps.simhash64(ArrayData.toArrayData(shuffled.toArray))
     }
+
+  // ---- TextNormOps against the regex formulations they replace ----
+
+  /** Strings biased toward whitespace/punct runs and non-ASCII. */
+  private val messyStr: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\t"),
+      Gen.const("\n"), Gen.const("\u000B"), Gen.const("\f"), Gen.const("\r"),
+      Gen.oneOf(".", ",", "!", "?", "-", "_", "(", ")", "'", "\"", "/", "@"),
+      Gen.oneOf("é", "ß", "嗨", "🙂"))).map(_.mkString)
+
+  /** Reference: the exact regex pipeline tokenCount replaced —
+    * space-only trim, then `\s+` split keeping empty edge fields.
+    */
+  private def tokenCountReference(s: String): Int = {
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    val t = s.substring(st, en)
+    if (t.isEmpty) 0 else t.split("\\s+", -1).length
+  }
+
+  property("tokenCount equals the split-field regex reference") =
+    forAll(messyStr) { s =>
+      org.apache.spark.sql.graft.TextNormOps.tokenCount(
+        UTF8String.fromString(s)) == tokenCountReference(s)
+    }
+
+  property("normalizeWsPunct equals trim(regexp_replace([punct ws]+, ' '))") =
+    forAll(messyStr) { s =>
+      org.apache.spark.sql.graft.TextNormOps.normalizeWsPunct(
+        UTF8String.fromString(s)).toString ==
+        s.replaceAll("[\\p{Punct}\\s]+", " ").trim
+    }
 }

@@ -30,6 +30,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet.subsetOf(exact))
   }
 
+  test("bucketed range join equals the naive non-equi join") {
+    val base = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts".cast("long").as("ts_s"))
+    val points = base.select($"user_id", $"ts_s")
+    val anchors = base.filter($"event_type" === "error")
+      .select($"user_id".as("a_user"), $"ts_s".as("a_start"))
+      .withColumn("a_end", $"a_start" + 3600L)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a_user", $"a_start", $"ts_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = pairsOf(points.join(anchors,
+      points("user_id") === anchors("a_user") &&
+        $"ts_s" >= $"a_start" && $"ts_s" < $"a_end"))
+    assert(naive.nonEmpty)
+    // bucket width smaller than, equal to, and larger than the interval
+    for (width <- Seq(600L, 3600L, 10000L)) {
+      val bucketed = pairsOf(RangeJoin.pointInInterval(
+        points, "user_id", "ts_s", anchors, "a_user", "a_start", "a_end", width))
+      assert(bucketed == naive, s"width $width: ${bucketed.size} vs ${naive.size}")
+    }
+  }
+
   test("connected components label every node with its component minimum") {
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
     // triangle 20-21-22, and an isolated pair 30-31
