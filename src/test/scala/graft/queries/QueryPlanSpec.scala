@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkTest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-checked plan-quality properties for the query inventory —
+  * the shape assertions behind SCALING.md, run on the executed plan so
+  * AQE's final decisions (not just the static plan) are what's graded:
+  * filters reach the parquet scan, dimensions broadcast, scans prune
+  * columns, and the bucketed range join never degenerates to a
+  * nested-loop/cartesian plan.
+  */
+class QueryPlanSpec extends AnyFunSuite with SparkTest
+    with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Executed-plan string after running the query (AQE finalizes lazily). */
+  private def executedPlan(df: DataFrame): String = {
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: ship-date filter is pushed to the parquet scan, columns pruned") {
+    val plan = executedPlan(QueryPack.pricingSummary(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed l_shipdate filter in:\n$plan")
+    // projection pruning: the scan must not read unused wide columns
+    assert(!plan.contains("l_comment"), "scan should prune l_comment")
+    assert(!plan.contains("l_shipinstruct"), "scan should prune l_shipinstruct")
+  }
+
+  test("q02: nation and region dimensions broadcast; no nested-loop join") {
+    val plan = executedPlan(QueryPack.regionRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "dimension joins must be hash joins")
+  }
+
+  test("q03: aggregation sits below the join (partial agg on l_orderkey)") {
+    val plan = QueryPack.joinPriority(spark, dir).queryExecution.optimizedPlan.toString
+    // the lineitem side aggregates BEFORE joining orders: the optimized
+    // plan has an Aggregate whose child subtree scans lineitem only
+    val joinIdx = plan.indexOf("Join")
+    val aggIdxs = Iterator.iterate(plan.indexOf("Aggregate"))(i =>
+      plan.indexOf("Aggregate", i + 1)).takeWhile(_ >= 0).toList
+    assert(joinIdx >= 0 && aggIdxs.exists(_ > joinIdx),
+      s"expected a pre-join aggregate below the join in:\n$plan")
+  }
+
+  test("q50: bucketed range join plans as a hash join, not nested-loop") {
+    val plan = executedPlan(QueryPack.rangeJoinEvents(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not degenerate to nested-loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join in:\n$plan")
+  }
+
+  test("q47: corpus total joins in as a broadcast, not a shuffle") {
+    val plan = executedPlan(QueryPack.tfidfTerms(spark, dir))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), // 1-row cross join broadcasts
+      s"expected the N-total scalar to broadcast in:\n$plan")
+  }
+
+  test("q42: as-of join plans a single shuffle pass, no range explosion") {
+    val plan = executedPlan(QueryPack.asofLatestOrder(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"as-of composition must not cross-join:\n$plan")
+    assert(plan.contains("Window"), s"expected the per-key window pass in:\n$plan")
+  }
+}
