@@ -211,6 +211,58 @@ object Dedup {
     } else verified
   }
 
+  /** Streaming near-duplicate pairs: MinHash-LSH banding applied to a
+    * document STREAM. Each arriving document's banded signature joins
+    * against other documents' bands within `intervalSeconds` of event
+    * time — a watermarked stream-stream self-join on (band, bucket), so
+    * each side buffers only rows younger than watermark + interval and
+    * state stays bounded by recent traffic, not stream history. Survived
+    * candidates verify with exact shingle Jaccard (stateless), and the
+    * pair set dedups across bands inside the same watermark bound.
+    *
+    * This is the curation-pipeline shape for "flag near-dups arriving
+    * close together" (crawl bursts, re-posts); cross-history dedup stays
+    * a batch join against the corpus index.
+    */
+  def streamingNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      intervalSeconds: Long,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 2,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def bandedSide(p: String): DataFrame = {
+      val sig = minHash(docs.select(col(idCol), col(textCol), col(tsCol)),
+          textCol, numHashes, shingleSize)
+        .filter(col("minhash").isNotNull)
+      lshBands(sig, bands, r)
+        .select(col(idCol).as(s"${p}_id"), col(textCol).as(s"${p}_text"),
+          col(tsCol).as(s"${p}_ts"), col("band_id").as(s"${p}_band"),
+          col("bucket").as(s"${p}_bucket"))
+        .withWatermark(s"${p}_ts", watermarkDelay)
+    }
+    val a = bandedSide("a")
+    val b = bandedSide("b")
+    a.join(b,
+        col("a_band") === col("b_band") && col("a_bucket") === col("b_bucket") &&
+          col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .withColumn("jaccard", jaccard(col("a_text"), col("b_text"), shingleSize))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        col("a_ts").as("ts_a"), round(col("jaccard"), 6).as("jaccard"))
+      // same pair may collide in several bands; pair state GC'd with the
+      // same watermark that bounds the join
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+  }
+
   /** Connected components over a near-duplicate pair set: every document
     * gets the minimum doc id reachable through pair edges as its
     * `cluster_id` — the canonical-representative step that turns pairwise

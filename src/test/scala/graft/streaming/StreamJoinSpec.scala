@@ -38,4 +38,36 @@ class StreamJoinSpec extends AnyFunSuite with SparkTest {
       assert(rows == Set((1L, 1L)))
     } finally query.stop()
   }
+
+  test("streaming near-dup pairs flag close-in-time near-duplicates only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = MemoryStream[(Long, String, Timestamp)]
+    val pairs = graft.operators.Dedup.streamingNearDupPairs(
+      docs.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts",
+      watermarkDelay = "1 minute", intervalSeconds = 600L,
+      numHashes = 16, bands = 8, shingleSize = 2, jaccardThreshold = 0.6)
+    val query = pairs.writeStream.format("memory")
+      .queryName("stream_neardup").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      // 1 & 2: near-identical, 5 min apart → pair.
+      // 3: identical to 1 but 2 hours later → outside interval, dropped.
+      // 4: unrelated text → no pair.
+      docs.addData(
+        (1L, base, ts(10)),
+        (2L, base + " tonight", ts(15)),
+        (3L, base, ts(130)),
+        (4L, "completely different words in this one entirely", ts(12)))
+      query.processAllAvailable()
+      // advance the watermark so pending state flushes
+      docs.addData((99L, "zzz yyy xxx www vvv uuu", ts(300)))
+      query.processAllAvailable()
+      val got = spark.table("stream_neardup")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), s"got $got")
+    } finally query.stop()
+  }
 }
