@@ -65,6 +65,26 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"expected the N-total scalar to broadcast in:\n$plan")
   }
 
+  test("inventory-wide: no cartesian products; nested-loop only where intended") {
+    // BroadcastNestedLoopJoin is legitimate exactly where one side is a
+    // deliberately tiny broadcast: the brute-force ANN baseline (q23),
+    // the bounded exact near-dup twin (q27), 1-row scalar broadcasts
+    // (q36 global avg, q47 corpus total), and the probed-query broadcast
+    // (q38). Everything else must plan equi-joins.
+    val bnljAllowed = Set("q23_knn_brute", "q27_emb_neardup",
+      "q36_above_avg", "q38_knn_ivf", "q47_tfidf_terms")
+    QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // physical planning only — no execution (q45 excepted: its
+      // component loop runs at construction)
+      val plan = fn(spark, dir).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!bnljAllowed.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended nested-loop join")
+    }
+  }
+
   test("q42: as-of join plans a single shuffle pass, no range explosion") {
     val plan = executedPlan(QueryPack.asofLatestOrder(spark, dir))
     assert(!plan.contains("CartesianProduct"),
