@@ -31,10 +31,11 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Token count without the split: a native one-pass scan counting
-    * non-whitespace runs ([[org.apache.spark.sql.graft.TextNormOps]]) —
-    * same result as `size(tokens(text))`, none of the regex or array
-    * allocation cost on a corpus-wide scan.
+  /** Token count without the split: a native one-pass scan
+    * ([[org.apache.spark.sql.graft.TextNormOps]]) returning exactly
+    * `size(tokens(text))` — split-FIELD semantics, including the empty
+    * edge fields a tab-leading/trailing string produces — with none of
+    * the regex or array-allocation cost on a corpus-wide scan.
     */
   def tokenCount(text: Column): Column =
     org.apache.spark.sql.graft.TextNormExpressions.tokenCount(text)

@@ -49,24 +49,4 @@ object VectorFunctions {
   def hyperplaneBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
     org.apache.spark.sql.graft.HyperplaneExpressions.hyperplaneBuckets(vec, nPlanes, nTables)
 
-  /** HOF formulation of single-table hyperplane bucketing — kept as the
-    * interpreted baseline the native expression replaces (and for the
-    * equivalence-of-approach spec); prefer [[hyperplaneBuckets]].
-    * `planeOffset` selects a disjoint plane family per LSH table.
-    */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
-    require(nPlanes <= 62, "bucket packed into a signed long")
-    val projections = transform(
-      sequence(lit(planeOffset), lit(planeOffset + nPlanes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          // weight in [-1, 1) from a hash of (dim index, plane index)
-          val h = xxhash64(i, p)
-          x.cast("double") * (h.cast("double") / lit(Long.MaxValue.toDouble))
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0.0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(projections, lit(0L), (acc, bit) => acc * 2 + bit)
-  }
 }

@@ -223,6 +223,15 @@ object Dedup {
     * This is the curation-pipeline shape for "flag near-dups arriving
     * close together" (crawl bursts, re-posts); cross-history dedup stays
     * a batch join against the corpus index.
+    *
+    * Bytes discipline: the banded stream carries the distinct
+    * shingle-HASH set (8 B per distinct shingle), never the document
+    * text — verification is exact Jaccard on the hash sets, identical to
+    * [[exactJaccardPairs]]'s verify stage. The ×bands amplification
+    * therefore multiplies a compact fixed-width-element array; a
+    * zero-amplification variant would band ids only and join the
+    * candidate stream back to the doc stream twice (two more stateful
+    * joins) — worth it only when shingle sets rival document size.
     */
   def streamingNearDupPairs(
       docs: DataFrame,
@@ -238,11 +247,14 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     def bandedSide(p: String): DataFrame = {
-      val sig = minHash(docs.select(col(idCol), col(textCol), col(tsCol)),
-          textCol, numHashes, shingleSize)
-        .filter(col("minhash").isNotNull)
+      val sig = docs.select(col(idCol), col(tsCol),
+          TextFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
+        .filter(size(col("sh")) > 0) // shingle-less docs can't near-dup
+        .withColumn("minhash",
+          org.apache.spark.sql.graft.MinHashExpressions.minhashSignature(
+            col("sh"), numHashes))
       lshBands(sig, bands, r)
-        .select(col(idCol).as(s"${p}_id"), col(textCol).as(s"${p}_text"),
+        .select(col(idCol).as(s"${p}_id"), col("sh").as(s"${p}_sh"),
           col(tsCol).as(s"${p}_ts"), col("band_id").as(s"${p}_band"),
           col("bucket").as(s"${p}_bucket"))
         .withWatermark(s"${p}_ts", watermarkDelay)
@@ -254,7 +266,9 @@ object Dedup {
           col("a_id") < col("b_id") &&
           col("b_ts") >= col("a_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
-      .withColumn("jaccard", jaccard(col("a_text"), col("b_text"), shingleSize))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
         col("a_ts").as("ts_a"), round(col("jaccard"), 6).as("jaccard"))
@@ -291,8 +305,12 @@ object Dedup {
         struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the union-find fast path reads ids as longs — any other id type
+    // (int, string, …) takes the type-agnostic iterative path
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
     val edgeCount = edges.count() // also materializes the cache
-    if (edgeCount <= driverSideThreshold) {
+    if (longIds && edgeCount <= driverSideThreshold) {
       // Adaptive small-graph path. Near-dup pair sets are a sliver of the
       // corpus (ids only, post-LSH): ≤ `driverSideThreshold` edges is
       // ≈ 16 MB on the driver — union-find solves that in milliseconds,

@@ -388,16 +388,20 @@ object QueryPack {
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
-  /** MinHash+LSH near-dup pairs (2-gram shingles; 8 bands × 4 rows).
+  /** MinHash+LSH near-dup pairs (2-gram shingles; 16 bands × 4 rows).
     * Every emitted pair carries an EXACT verified Jaccard, so the oracle
-    * is the exact all-pairs Jaccard at the same threshold — it agrees
-    * whenever banding recall is total, which holds for this corpus's
-    * planted near-dups (J ≥ 0.9 against a 0.9^4-per-band match rate,
-    * confirmed by the subset-of-exact spec).
+    * is the exact all-pairs Jaccard at the same threshold. The banding
+    * dial is set from the corpus's measured similarity structure —
+    * bimodal: background J < 0.1, planted near-dups J ≥ 0.9, nothing
+    * between. r=4 keeps background candidates ≈ N²·J⁴ negligible (r ≤ 2
+    * measured 25-90× slower here: J≈0.05 pairs × N² swamp the verify
+    * join), and 16 bands put the planted-pair miss probability at
+    * (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸ — the equality oracle holds across corpus
+    * regenerations, not just for this seed.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
-      numHashes = 32, bands = 8, shingleSize = 2, jaccardThreshold = 0.7)
+      numHashes = 64, bands = 16, shingleSize = 2, jaccardThreshold = 0.7)
 
   /** SimHash signatures — FNV token hashes, so the 64-bit majority vote
     * is restated verbatim in the oracle SQL. */

@@ -22,8 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (no substring is ever materialized), a ring buffer of the last n
   * token hashes feeds an order-sensitive splitmix64 chain per shingle,
   * and the result is sorted + deduplicated in place. Output: ascending
-  * distinct 64-bit shingle hashes; fewer than n tokens ⇒ empty array —
-  * the same set semantics as TextFunctions.shingles.
+  * distinct 64-bit shingle hashes; fewer than n tokens ⇒ empty array.
+  * Tokenization reproduces TextFunctions.tokens' split-FIELD semantics
+  * exactly (ASCII-space-only trim, ASCII `\s+` separators, empty edge
+  * fields kept), so the hash-set path, the string-shingle path, and the
+  * oracle's regex always agree on shingle-set cardinality and equality.
   */
 object ShingleOps {
   private def splitmix64(x: Long): Long = {
@@ -33,41 +36,65 @@ object ShingleOps {
     z ^ (z >>> 31)
   }
 
+  /** Java-regex `\s` (ASCII): the separator class `TextFunctions.tokens`
+    * splits on. Deliberately NOT `Character.isWhitespace`, which also
+    * matches U+2000-U+200A, U+3000 etc. — the hash-set path must
+    * tokenize identically to the string path and the oracle's regex.
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def shingleHashes(text: UTF8String, n: Int): GenericArrayData = {
     val s = text.toString
-    val len = s.length
+    // tokens() field semantics: ASCII-space-only trim; `\s+` runs
+    // separate fields; a leading/trailing non-space whitespace run
+    // yields an EMPTY edge field that counts as a token
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
     val ring = new Array[Long](n)
     var tokenCount = 0
     var out = new Array[Long](16)
     var outLen = 0
-    var i = 0
-    while (i <= len) {
-      // advance to the next token
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      if (i < len) {
-        var h = TextHashOps.FnvOffset
-        while (i < len && !Character.isWhitespace(s.charAt(i))) {
+
+    def emitToken(h: Long): Unit = {
+      ring(tokenCount % n) = h
+      tokenCount += 1
+      if (tokenCount >= n) {
+        // combine the last n token hashes, oldest first; the oldest is
+        // pre-mixed so even the first XOR is position-sensitive
+        // ("a b" must not hash like "b a")
+        var c = splitmix64(ring((tokenCount - n) % n))
+        var j = tokenCount - n + 1
+        while (j < tokenCount) {
+          c = splitmix64(c ^ ring(j % n))
+          j += 1
+        }
+        if (outLen == out.length) out = Arrays.copyOf(out, out.length * 2)
+        out(outLen) = c
+        outLen += 1
+      }
+    }
+
+    if (start < end) {
+      var i = start
+      var h = TextHashOps.FnvOffset
+      var emittedTrailing = false
+      while (i < end) {
+        val c = s.charAt(i)
+        if (isWs(c)) {
+          emitToken(h) // field before this separator run
+          h = TextHashOps.FnvOffset
+          while (i < end && isWs(s.charAt(i))) i += 1
+          if (i == end) { emitToken(TextHashOps.FnvOffset); emittedTrailing = true }
+        } else {
           val cp = s.codePointAt(i)
           h = (h ^ cp) * TextHashOps.FnvPrime
           i += Character.charCount(cp)
         }
-        ring(tokenCount % n) = h
-        tokenCount += 1
-        if (tokenCount >= n) {
-          // combine the last n token hashes, oldest first; the oldest is
-          // pre-mixed so even the first XOR is position-sensitive
-          // ("a b" must not hash like "b a")
-          var c = splitmix64(ring((tokenCount - n) % n))
-          var j = tokenCount - n + 1
-          while (j < tokenCount) {
-            c = splitmix64(c ^ ring(j % n))
-            j += 1
-          }
-          if (outLen == out.length) out = Arrays.copyOf(out, out.length * 2)
-          out(outLen) = c
-          outLen += 1
-        }
-      } else i += 1
+      }
+      if (!emittedTrailing) emitToken(h)
     }
     if (outLen == 0) return new GenericArrayData(Array.emptyLongArray)
     val trimmed = Arrays.copyOf(out, outLen)

@@ -90,6 +90,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(hs("a  \t b", 2) == hs("a b", 2))
   }
 
+  test("shingleHashes agrees with the string-shingle path on edge cases") {
+    // hash-set cardinality must equal the distinct string-shingle count
+    // for every tokenization quirk: edge empty fields ("\ta" has tokens
+    // ["", "a"]), ASCII-only \s (U+3000 is NOT a separator), surrogates
+    def nHashes(text: String, n: Int): Int =
+      Seq(text).toDF("text")
+        .select(size(TextFunctions.shingleHashes($"text", n)).as("v"))
+        .collect().head.getInt(0)
+    def nStrings(text: String, n: Int): Int =
+      Seq(text).toDF("text")
+        .select(size(array_distinct(TextFunctions.shingles($"text", n))).as("v"))
+        .collect().head.getInt(0)
+    val cases = Seq("\ta", "a\t", "\ta b\t", " \t a", "a\u3000b", "a \u3000 b",
+      "x🙂 y🙂 x🙂", "a  b", "\t\n", "a b a b", "", "   ")
+    for (t <- cases; n <- Seq(1, 2, 3)) {
+      assert(nHashes(t, n) == math.max(nStrings(t, n), 0),
+        s"cardinality mismatch on '${t.replace("\t", "\\t").replace("\n", "\\n")}' n=$n")
+    }
+    // equal token sequences ⇒ equal hash sets, across separator styles
+    assert(hsList("\ta b", 2) == hsList("\u000B\u000Ba  b", 2))
+    // U+3000 is inside the token, so these differ
+    assert(hsList("a\u3000b c", 2) != hsList("a b c", 2))
+  }
+
+  private def hsList(text: String, n: Int): List[Long] =
+    Seq(text).toDF("text")
+      .select(TextFunctions.shingleHashes($"text", n).as("v"))
+      .collect().head.getSeq[Long](0).toList
+
   test("langIdMarkers follows first-match priority") {
     assert(one[String](TextFunctions.langIdMarkers($"text"), "der hund und die katze") == "de")
     assert(one[String](TextFunctions.langIdMarkers($"text"), "the cat and the dog") == "en")

@@ -74,6 +74,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(distPath == expected)
   }
 
+  test("connected components with non-long ids take the distributed path") {
+    val pairs = Seq((1, 2), (2, 3), (10, 11)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
   test("connected components over planted near-dups cover all pair members") {
     val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.7)
     val members = pairs.select($"id_a".as("id")).union(pairs.select($"id_b"))
