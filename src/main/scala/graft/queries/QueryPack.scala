@@ -521,6 +521,37 @@ object QueryPack {
         col("n_events"))
   }
 
+  /** Deterministic weighted dataset mixing: each source keeps a
+    * tier-dependent fraction of its documents, selected by content hash
+    * (not random()) so the mix is reproducible across runs, engines, and
+    * partitionings — source reweighting, the knob a training pipeline
+    * turns to rebalance web/wiki/code proportions.
+    */
+  def weightedMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val tier = substring(col("source"), 4, 10).cast("int") % 4
+    val threshold = when(tier === 0, 1000L).when(tier === 1, 500L)
+      .when(tier === 2, 250L).otherwise(100L)
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 1000
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+           count(when(bucket < threshold, 1)).as("n_kept"))
+  }
+
+  /** Sliding (overlapping) event-time windows — 10-minute windows every
+    * 5 minutes, so each event lands in two windows. The reference uses
+    * only tumbling windows; this exercises Spark's sliding `window()`
+    * (the oracle unrolls the two covering window starts per event).
+    */
+  def slidingWindowCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   // -------------------------------------------------- embeddings (vectors)
 
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -690,6 +721,8 @@ object QueryPack {
     "q48_grouping_sets"     -> (groupingSetsSummary _),
     "q49_normalized_dedup"  -> (normalizedDedup _),
     "q50_range_join"        -> (rangeJoinEvents _),
+    "q51_weighted_mix"      -> (weightedMix _),
+    "q52_sliding_window"    -> (slidingWindowCounts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1035,6 +1068,26 @@ object QueryPack {
         |  ON ev.user_id = a.a_user
         | AND ev.ts_s >= a.a_start AND ev.ts_s < a.a_start + 3600
         |GROUP BY 1, 2""".stripMargin,
+    "q51_weighted_mix" ->
+      s"""WITH b AS (
+         | SELECT source,
+         |  (${fnvSql("text")} & 2147483647) % 1000 AS bucket,
+         |  CASE (CAST(substr(source, 4) AS INT) % 4)
+         |   WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100
+         |  END AS thr
+         | FROM documents)
+         |SELECT source, COUNT(*) AS n_total,
+         | COUNT(CASE WHEN bucket < thr THEN 1 END) AS n_kept
+         |FROM b GROUP BY source""".stripMargin,
+    "q52_sliding_window" ->
+      s"""WITH w AS (
+         | SELECT event_type, value,
+         |  unnest([CAST(floor(epoch(ts)/300)*300 AS BIGINT),
+         |          CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT)]) AS window_start
+         | FROM events)
+         |SELECT window_start, event_type, COUNT(*) AS n_events,
+         | ${dsumSql("value")} AS sum_value
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
