@@ -65,6 +65,17 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"expected the N-total scalar to broadcast in:\n$plan")
   }
 
+  test("q05: rank filter plans map-side WindowGroupLimit (no full shuffle of ranked rows)") {
+    // Catalyst's InferWindowGroupLimit turns rank<=k into per-partition
+    // top-k BEFORE the exchange — the reason a custom top-k operator is
+    // not needed (SURVEY §7.4: don't hand-schedule what the optimizer
+    // already does). This pins the plan so a regression (e.g. a filter
+    // rewrite hiding the rank bound) surfaces here.
+    val plan = executedPlan(QueryPack.windowRank(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown in:\n$plan")
+  }
+
   test("inventory-wide: no cartesian products; nested-loop only where intended") {
     // BroadcastNestedLoopJoin is legitimate exactly where one side is a
     // deliberately tiny broadcast: the brute-force ANN baseline (q23),
