@@ -14,6 +14,61 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkTest {
 
   private val TenMinutesNs = 10L * 60 * 1000 * 1000 * 1000
 
+  test("windowed stream recovers from checkpoint without loss or duplication") {
+    // exactly-once across a restart: run a file-source windowed count,
+    // stop the query, append more data, restart from the SAME
+    // checkpoint — every closed window must appear exactly once
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graft-ckpt-src").toString
+    val outDir = Files.createTempDirectory("graft-ckpt-out").toString
+    val ckptDir = Files.createTempDirectory("graft-ckpt-state").toString
+    import spark.implicits._
+    def ts(minutes: Long) = new Timestamp(minutes * 60000L)
+    def append(rows: Seq[(Timestamp, String)]): Unit =
+      rows.toDF("ts", "event_type").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1") // several micro-batches per run
+        .parquet(srcDir)
+      graft.operators.WindowedAgg.tumbling(stream, "ts", "5 minutes",
+          "1 minute", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+        .select(col("window_start"), col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+    // window [0,5): 3 clicks; [5,10): 2 views
+    append(Seq((ts(1), "click"), (ts(2), "click"), (ts(4), "click")))
+    append(Seq((ts(6), "view"), (ts(8), "view")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from checkpoint; new data closes the earlier windows
+    append(Seq((ts(12), "click"), (ts(13), "click")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    // third run: close window [10,15) too
+    append(Seq((ts(21), "view")))
+    val q3 = startQuery()
+    q3.processAllAvailable()
+    q3.stop()
+    val out = spark.read.parquet(outDir)
+      .select($"window_start".cast("long"), $"event_type", $"n")
+      .as[(Long, String, Long)].collect().toList
+    // no window/event_type pair may be emitted twice across restarts
+    assert(out.size == out.map(r => (r._1, r._2)).distinct.size,
+      s"duplicate window emissions: $out")
+    val byWindow = out.map { case (w, e, n) => (w / 60, e) -> n }.toMap
+    assert(byWindow((0L, "click")) == 3L)
+    assert(byWindow((5L, "view")) == 2L)
+    assert(byWindow((10L, "click")) == 2L)
+  }
+
   test("enrollments stream: window emits only after watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
