@@ -161,13 +161,24 @@ object Dedup {
     * stats) tightens pruning further when a corpus is stopword-skewed,
     * and slots into the same pipeline as a drop-in order key.
     */
+  /** `dfOrderHotShingles = M > 0` switches the prefix's global shingle
+    * order from raw hash order to ascending-document-frequency order for
+    * the top-M hottest shingles (rarest first, hottest LAST — pushed out
+    * of every prefix). Recall stays total under ANY total order
+    * (pigeonhole); what changes is pruning power: on a stopword-skewed
+    * corpus the hash order scatters stopword shingles into prefixes,
+    * where each contributes ~df² candidate pairs — df-ordering removes
+    * exactly those. Costs one bounded stats pass (top-M collect, ≈16 B/
+    * entry broadcast as a map literal) at operator construction.
+    */
   def exactJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int,
       threshold: Double,
-      materializeIndex: Boolean = false): DataFrame = {
+      materializeIndex: Boolean = false,
+      dfOrderHotShingles: Int = 0): DataFrame = {
     // Lazy mode (default): the hash-set relation is recomputed by its
     // three consumers (prefix index ×2, verification) — map-side shingle
     // passes, no materialization, one job. Materialized mode persists it
@@ -182,19 +193,7 @@ object Dedup {
       if (materializeIndex)
         shLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else shLazy
-    // prefix length sz − α + 1 with α = ⌈t·sz⌉, nudged DOWN at FP
-    // boundaries (a longer prefix is always safe for recall)
-    val prefix = sh.select(col(idCol), col("sz"),
-      explode(slice(col("sh"), lit(1),
-        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))).as("shingle"))
-    val a = prefix.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("shingle"))
-    val b = prefix.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("shingle"))
-    val candidates = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9) &&
-              col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates = jaccardPrefixCandidates(sh, idCol, threshold, dfOrderHotShingles)
     // Verification joins the full hash sets back for candidates only.
     val verified = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
@@ -209,6 +208,59 @@ object Dedup {
       sh.unpersist(false)
       v
     } else verified
+  }
+
+  /** Prefix-filtered candidate pairs over a (id, sh, sz) hash-set
+    * relation — package-private so specs can measure candidate counts
+    * directly. `sh` arrays are ascending-distinct hashes.
+    */
+  private[operators] def jaccardPrefixCandidates(
+      sh: DataFrame, idCol: String, threshold: Double,
+      dfOrderHotShingles: Int): DataFrame = {
+    val ordered: DataFrame =
+      if (dfOrderHotShingles > 0) {
+        // Bounded hot-shingle stats: top-M by document frequency. The
+        // collect is capped at M rows; everything outside the hot set
+        // keeps its hash as the order key (rare by assumption).
+        val hot = sh.select(explode(col("sh")).as("shingle"))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 1)
+          .orderBy(col("df").desc, col("shingle"))
+          .limit(dfOrderHotShingles)
+          .collect()
+        if (hot.isEmpty) sh.withColumn("sh_ord", col("sh"))
+        else {
+          // rank hot shingles by ASCENDING df so the hottest sort last,
+          // after every non-hot shingle
+          val ranks: Map[Long, Long] = hot
+            .sortBy(r => (r.getLong(1), r.getLong(0)))
+            .zipWithIndex.map { case (r, i) => r.getLong(0) -> i.toLong }.toMap
+          val rankMap = typedLit(ranks)
+          def cmp(l: Column, r: Column): Column = {
+            val lo = element_at(rankMap, l)
+            val ro = element_at(rankMap, r)
+            val byHash = when(l < r, -1).when(l > r, 1).otherwise(0)
+            when(lo.isNull && ro.isNull, byHash)
+              .when(lo.isNull, lit(-1)) // non-hot before hot
+              .when(ro.isNull, lit(1))
+              .otherwise(when(lo < ro, -1).when(lo > ro, 1).otherwise(byHash))
+          }
+          sh.withColumn("sh_ord", array_sort(col("sh"), cmp))
+        }
+      } else sh.withColumn("sh_ord", col("sh"))
+    // prefix length sz − α + 1 with α = ⌈t·sz⌉, nudged DOWN at FP
+    // boundaries (a longer prefix is always safe for recall)
+    val prefix = ordered.select(col(idCol), col("sz"),
+      explode(slice(col("sh_ord"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))).as("shingle"))
+    val a = prefix.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = prefix.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9) &&
+              col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Streaming near-duplicate pairs: MinHash-LSH banding applied to a

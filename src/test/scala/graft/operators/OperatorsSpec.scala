@@ -91,6 +91,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     cc.foreach { r => assert(members.contains(r.getLong(1)) && r.getLong(1) <= r.getLong(0)) }
   }
 
+  test("df-ordered prefix: same pairs, strictly fewer candidates on skew") {
+    // a stopword-skewed corpus: every doc shares the same hot template
+    // phrase; only the tails distinguish them
+    // 8 hot template shingles per doc + 6 unique tail shingles: at
+    // t=0.7 the prefix (sz − ⌈t·sz⌉ + 1 = 5) fits entirely inside the
+    // rare tail once hot shingles sort last
+    val template = "the quick brown fox jumps over the lazy dog"
+    val skewed = (0 until 60).map(i =>
+        (i.toLong, s"$template u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.7)) {
+      val plain = Dedup.exactJaccardPairs(skewed, "doc_id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val dfOrdered = Dedup.exactJaccardPairs(skewed, "doc_id", "text", 2, t,
+          dfOrderHotShingles = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(dfOrdered == plain, s"threshold $t: result sets differ")
+    }
+    // pruning power: candidate pairs BEFORE verification must shrink
+    // when hot shingles are pushed out of the prefixes
+    val sh = skewed.select($"doc_id",
+        graft.functions.TextFunctions.shingleHashes($"text", 2).as("sh"))
+      .withColumn("sz", size($"sh")).filter($"sz" > 0)
+    val nPlain = Dedup.jaccardPrefixCandidates(sh, "doc_id", 0.7, 0).count()
+    val nOrdered = Dedup.jaccardPrefixCandidates(sh, "doc_id", 0.7, 1000).count()
+    assert(nOrdered < nPlain,
+      s"df-ordering should prune candidates: $nOrdered vs $nPlain")
+    // and on the real corpus the two orders agree too
+    val realPlain = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val realOrdered = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.7,
+        dfOrderHotShingles = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(realOrdered == realPlain)
+  }
+
   test("prefix-filtered jaccard equals brute-force all-pairs jaccard") {
     // recall proof-by-comparison: the PPJoin-style prefix index must
     // reproduce the O(n²) cross-join answer exactly, pairs AND scores
