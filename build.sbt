@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Bench/Verify run 150+ distinct codegen'd queries in one JVM; the
+  // default 240 MB code cache fills and flips hot paths back to the
+  // interpreter (multi-second stalls on decimal-heavy aggregates).
+  "-XX:ReservedCodeCacheSize=512m",
 )

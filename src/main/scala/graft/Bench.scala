@@ -58,14 +58,27 @@ object Bench {
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
+    // Two timed passes, per-query MINIMUM: host noise (CPU steal, GC)
+    // shows up as one-sided multi-second stalls on single runs; the min
+    // across passes is the standard robust estimator of steady-state
+    // cost. A query that fails in both passes reads as -1.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be computed (a count()
       // would let Catalyst prune projection-only work entirely)
-      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-      catch { case _: Throwable => false }
-      // a failed query must read as a failure, not as a fast query
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // The two passes run as full sweeps (A over all queries, then B)
+    // rather than back-to-back per query: a multi-second host stall then
+    // lands on DIFFERENT queries in each pass and the min discards it.
+    val passA = selected.map { case (name, fn) => name -> timeOnce(fn) }
+    val passB = selected.map { case (name, fn) => name -> timeOnce(fn) }
+    val results = selected.map { case (name, _) =>
+      val times = Seq(passA(name), passB(name)).filter(_ >= 0)
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
