@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // HotSpot never JIT-compiles methods over 8000 bytecodes
+      // (DontCompileHugeMethods), so a generated whole-stage method past
+      // that limit runs INTERPRETED forever — observed as sporadic 20×
+      // stalls on the widest codegen stages (cube/rollup + decimal
+      // sums). Below the limit Spark falls back to the still-compiled
+      // non-codegen path: slightly slower best case, no interpreter
+      // cliff.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader init should not be
@@ -47,21 +55,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
-    // Two-pass measurement (JMH-style): pass 1 runs every query once
-    // untimed so residual one-time costs (Janino compilation of each
-    // query's generated classes, C2 JIT of operator paths the generic
-    // warmup didn't reach) don't land on whichever query happens to run
-    // first; pass 2 is the timed steady-state run. At these data sizes
-    // the first-executed query otherwise absorbs seconds of JIT noise
-    // that has nothing to do with its plan.
-    selected.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-    }
-    // Two timed passes, per-query MINIMUM: host noise (CPU steal, GC)
-    // shows up as one-sided multi-second stalls on single runs; the min
-    // across passes is the standard robust estimator of steady-state
-    // cost. A query that fails in both passes reads as -1.
+    // Two timed passes, per-query MINIMUM (JMH-style): one-time costs
+    // (Janino compilation of each query's generated classes, C2 JIT of
+    // paths the generic warmup missed) land in pass A and the min
+    // discards them, as it does host-noise stalls (CPU steal, GC) —
+    // which at these data sizes otherwise dwarf the plans being
+    // measured. A query that fails in both passes reads as -1.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

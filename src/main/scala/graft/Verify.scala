@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // Reference semantics are lenient/non-ANSI (SURVEY.md §7.3).
       .config("spark.sql.ansi.enabled", "false")
+      // keep generated methods under HotSpot's JIT-compilable size
+      // (DontCompileHugeMethods) — see Bench.scala
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

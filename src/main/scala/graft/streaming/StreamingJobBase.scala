@@ -50,6 +50,10 @@ abstract class StreamingJobBase extends Serializable {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // generated whole-stage methods past ~8000 bytecodes never JIT
+      // (HotSpot DontCompileHugeMethods) and run interpreted — fall back
+      // to the non-codegen path instead of hitting that cliff
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
 }
 
