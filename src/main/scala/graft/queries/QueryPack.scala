@@ -552,6 +552,38 @@ object QueryPack {
       .select(col("window.start").cast("long").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** PII / pattern scanning: per source, how many documents contain
+    * email-shaped or URL-shaped strings — the redaction-triage scan a
+    * curation pipeline runs before release. Patterns stay in the
+    * Java∩RE2 regex subset so both engines match identically.
+    */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[A-Za-z0-9./_-]+"
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("text").rlike(email), 1)).as("n_with_email"),
+           count(when(col("text").rlike(url), 1)).as("n_with_url"))
+  }
+
+  /** End-to-end near-dup REMOVAL: cluster near-duplicates (q45's
+    * connected components over exact-Jaccard pairs) and keep only the
+    * canonical (minimum-id) member of each cluster — the survivor count
+    * per language is what a curation pipeline reports after dedup.
+    */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+    val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("cluster_id")) // non-canonical members
+      .select(col("node").as("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_survivors"))
+  }
+
   // -------------------------------------------------- embeddings (vectors)
 
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -723,6 +755,8 @@ object QueryPack {
     "q50_range_join"        -> (rangeJoinEvents _),
     "q51_weighted_mix"      -> (weightedMix _),
     "q52_sliding_window"    -> (slidingWindowCounts _),
+    "q53_pii_scan"          -> (piiScan _),
+    "q54_dedup_survivors"   -> (dedupSurvivors _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1088,6 +1122,38 @@ object QueryPack {
          |SELECT window_start, event_type, COUNT(*) AS n_events,
          | ${dsumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2""".stripMargin,
+    "q53_pii_scan" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(CASE WHEN regexp_matches(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 END) AS n_with_email,
+        | COUNT(CASE WHEN regexp_matches(text,
+        |   'https?://[A-Za-z0-9./_-]+') THEN 1 END) AS n_with_url
+        |FROM documents GROUP BY source""".stripMargin,
+    "q54_dedup_survivors" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t),
+        |p AS (
+        | SELECT a.doc_id AS u, b.doc_id AS v
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+        |reach AS (
+        | SELECT u AS node, u AS r FROM e
+        | UNION
+        | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u),
+        |dropped AS (
+        | SELECT node AS doc_id FROM reach GROUP BY node
+        | HAVING MIN(r) <> node)
+        |SELECT lang, COUNT(*) AS n_survivors
+        |FROM documents
+        |WHERE doc_id < 1000 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
