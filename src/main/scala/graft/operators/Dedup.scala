@@ -237,8 +237,10 @@ object Dedup {
             .zipWithIndex.map { case (r, i) => r.getLong(0) -> i.toLong }.toMap
           val rankMap = typedLit(ranks)
           def cmp(l: Column, r: Column): Column = {
-            val lo = element_at(rankMap, l)
-            val ro = element_at(rankMap, r)
+            // try_element_at: missing key → null in BOTH ANSI modes
+            // (plain element_at throws under Spark 4's default ANSI)
+            val lo = try_element_at(rankMap, l)
+            val ro = try_element_at(rankMap, r)
             val byHash = when(l < r, -1).when(l > r, 1).otherwise(0)
             when(lo.isNull && ro.isNull, byHash)
               .when(lo.isNull, lit(-1)) // non-hot before hot

@@ -560,11 +560,16 @@ object QueryPack {
   def piiScan(s: SparkSession, dir: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val url = "https?://[A-Za-z0-9./_-]+"
+    // the synthetic corpus contains no emails/URLs (those columns gate
+    // the pattern plumbing at zero); the long-word column matches most
+    // documents, so the oracle check is NOT vacuous for the regex path
+    val longWord = "[A-Za-z]{8,}"
     Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            count(when(col("text").rlike(email), 1)).as("n_with_email"),
-           count(when(col("text").rlike(url), 1)).as("n_with_url"))
+           count(when(col("text").rlike(url), 1)).as("n_with_url"),
+           count(when(col("text").rlike(longWord), 1)).as("n_with_longword"))
   }
 
   /** End-to-end near-dup REMOVAL: cluster near-duplicates (q45's
@@ -573,13 +578,13 @@ object QueryPack {
     * per language is what a curation pipeline reports after dedup.
     */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
-    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text",
-      shingleSize = 2, threshold = 0.5)
-    val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .filter(col("node") =!= col("cluster_id")) // non-canonical members
-      .select(col("node").as("doc_id"))
-    docs.join(dropped, Seq("doc_id"), "left_anti")
+    // reuses q45's cluster pipeline verbatim — q54 summarizes exactly
+    // the clusters q45 reports, and parameter tuning stays in one place
+    val dropped = dupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id")) // non-canonical members
+      .select(col("doc_id"))
+    Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      .join(dropped, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_survivors"))
   }
@@ -1118,7 +1123,7 @@ object QueryPack {
          | SELECT event_type, value,
          |  unnest([CAST(floor(epoch(ts)/300)*300 AS BIGINT),
          |          CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT)]) AS window_start
-         | FROM events)
+         | FROM events WHERE ts IS NOT NULL)
          |SELECT window_start, event_type, COUNT(*) AS n_events,
          | ${dsumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2""".stripMargin,
@@ -1127,7 +1132,9 @@ object QueryPack {
         | COUNT(CASE WHEN regexp_matches(text,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 END) AS n_with_email,
         | COUNT(CASE WHEN regexp_matches(text,
-        |   'https?://[A-Za-z0-9./_-]+') THEN 1 END) AS n_with_url
+        |   'https?://[A-Za-z0-9./_-]+') THEN 1 END) AS n_with_url,
+        | COUNT(CASE WHEN regexp_matches(text,
+        |   '[A-Za-z]{8,}') THEN 1 END) AS n_with_longword
         |FROM documents GROUP BY source""".stripMargin,
     "q54_dedup_survivors" ->
       """WITH RECURSIVE t AS (

@@ -15,6 +15,9 @@ object SparkTest {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same codegen fallback regime as the Bench/Verify/job sessions,
+      // so plan-pinning specs grade the plans those sessions execute
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

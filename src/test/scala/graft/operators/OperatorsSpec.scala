@@ -127,6 +127,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(realOrdered == realPlain)
   }
 
+  test("df-ordered prefix works under ANSI mode (library sessions may not disable it)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.ansi.enabled", "true")
+    val im = s2.implicits
+    import im._
+    val docs2 = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"),
+        (3L, "x y z w v u t")).toDF("doc_id", "text")
+    val pairs = Dedup.exactJaccardPairs(docs2, "doc_id", "text", 2, 0.5,
+        dfOrderHotShingles = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("prefix-filtered jaccard equals brute-force all-pairs jaccard") {
     // recall proof-by-comparison: the PPJoin-style prefix index must
     // reproduce the O(n²) cross-join answer exactly, pairs AND scores

@@ -34,8 +34,11 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkTest {
         .schema("ts timestamp, event_type string")
         .option("maxFilesPerTrigger", "1") // several micro-batches per run
         .parquet(srcDir)
+      // 10-minute watermark delay: within run 1 the two seed files may
+      // process in either mtime order; the delay must exceed their max
+      // timestamp gap so neither order drops the other file as late
       graft.operators.WindowedAgg.tumbling(stream, "ts", "5 minutes",
-          "1 minute", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+          "10 minutes", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
         .select(col("window_start"), col("event_type"), col("n"))
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckptDir)
@@ -48,12 +51,13 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkTest {
     q1.processAllAvailable()
     q1.stop()
     // restart from checkpoint; new data closes the earlier windows
+    // (watermark = max ts − 10 min must pass each window's end)
     append(Seq((ts(12), "click"), (ts(13), "click")))
     val q2 = startQuery()
     q2.processAllAvailable()
     q2.stop()
-    // third run: close window [10,15) too
-    append(Seq((ts(21), "view")))
+    // third run: advance far enough to close [10,15) as well
+    append(Seq((ts(30), "view")))
     val q3 = startQuery()
     q3.processAllAvailable()
     q3.stop()
