@@ -705,6 +705,138 @@ object QueryPack {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("total_subwords"))
 
+  /** Benchmark decontamination: training documents that share ≥3 distinct
+    * word 3-grams with any held-out/eval document (here: doc_id % 100 == 0
+    * stands in for the benchmark set). The eval n-gram index is tiny
+    * relative to the corpus, so it BROADCASTS — the 100 TB-side scan
+    * stream-probes a hash set and never shuffles by shingle. This is the
+    * n-gram-overlap contamination check (à la GPT-3/PaLM appendix
+    * methodology) every pretraining pipeline runs before evaluation.
+    */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("shingle"))
+    val evalSh = sh.filter(col("doc_id") % 100 === 0).select("shingle").distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(evalSh), Seq("shingle"))
+      // (doc_id, shingle) is distinct after array_distinct+explode, so a
+      // plain count IS the distinct-shared-shingle count — no
+      // count(distinct) expansion in the aggregate
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** Gopher-style repetition quality signals, per language: duplicate-token
+    * ratio (1 − distinct/total) and top-token fraction (most frequent
+    * token's share), plus how many documents cross the repetitive-doc
+    * threshold. Two-phase aggregation — explode → (doc,token) partial
+    * counts → per-doc stats — keeps every stage a hash aggregate; no
+    * per-doc collection ever materializes.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perTok = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+           max(col("c")).as("top_c"))
+    // left join so zero-token docs still count with ratio 0
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_ratio", when(col("n_tok").isNull, lit(0.0))
+        .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_tok")))
+      .withColumn("top_frac", when(col("n_tok").isNull, lit(0.0))
+        .otherwise(col("top_c").cast("double") / col("n_tok")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           davg(col("dup_ratio")).as("avg_dup_ratio"),
+           davg(col("top_frac")).as("avg_top_frac"),
+           count(when(col("top_frac") >= 0.05, 1)).as("n_repetitive"))
+  }
+
+  /** LAG-based inter-event gaps per user: total/max gap seconds and
+    * session-break count. Gap arithmetic stays on epoch-second longs
+    * (exact), and the window orders by (ts_s, event_id) so consecutive
+    * differences are the sorted-sequence diffs in both engines.
+    */
+  def userGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    Tables.events(s, dir).filter(col("user_id") < 50)
+      .withColumn("ts_s", col("ts").cast("long"))
+      .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("gap")).as("sum_gap_s"),
+           max(col("gap")).as("max_gap_s"),
+           count(when(col("gap") > 1800L, 1)).as("n_breaks"))
+  }
+
+  /** Correlated-subquery shape: orders strictly above their own customer's
+    * average order value. Spark decorrelates by hand — one window pass
+    * computes each customer's (sum, count); the oracle states the classic
+    * correlated form and lets DuckDB decorrelate. The comparison is the
+    * DIVISION-FREE exact-decimal cross-multiplication
+    * price·cnt > sum — no engine-dependent rounding at the boundary.
+    */
+  def aboveOwnAvg(s: SparkSession, dir: String): DataFrame = {
+    // decimal(20,6) price × decimal(8,0) count stays within decimal(38,_)
+    // in both engines (o_totalprice < 10^7, per-customer orders < 10^8)
+    val d20 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, dir)
+      .withColumn("sum_dec", sum(col("o_totalprice").cast(d20)).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("o_totalprice").cast(d20) *
+        col("cnt").cast(org.apache.spark.sql.types.DecimalType(8, 0)) > col("sum_dec"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+           countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  /** Deterministic per-group MODE: most frequent l_quantity per return
+    * flag, smallest value on count ties — counts-then-rank, the exact
+    * two-phase form both engines compute identically (native mode()
+    * functions break ties arbitrarily).
+    */
+  def modeQuantity(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_n"))
+  }
+
+  /** Corpus-level top-25 bigrams (raw frequency, within-doc repeats
+    * counted). Explode → hash aggregate → TakeOrderedAndProject: the
+    * top-k never sorts the full bigram vocabulary.
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(25)
+
+  /** Deterministic stratified sample: first 20 documents per language in
+    * content-hash order — reproducible across runs, engines, and
+    * partitionings (the property random() sampling loses), evenly spread
+    * over the corpus because the hash order is content-uniform.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(TextHashExpressions.fnv64(col("text")).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -762,6 +894,13 @@ object QueryPack {
     "q52_sliding_window"    -> (slidingWindowCounts _),
     "q53_pii_scan"          -> (piiScan _),
     "q54_dedup_survivors"   -> (dedupSurvivors _),
+    "q55_decontam"          -> (decontamination _),
+    "q56_repetition"        -> (repetitionStats _),
+    "q57_user_gaps"         -> (userGaps _),
+    "q58_above_own_avg"     -> (aboveOwnAvg _),
+    "q59_mode"              -> (modeQuantity _),
+    "q60_bigram_topk"       -> (topBigrams _),
+    "q61_stratified_sample" -> (stratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1161,6 +1300,79 @@ object QueryPack {
         |FROM documents
         |WHERE doc_id < 1000 AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang""".stripMargin,
+    "q55_decontam" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+         |d AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         | FROM t),
+         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM d WHERE doc_id % 100 = 0),
+         |tr AS (SELECT doc_id, unnest(s) AS shingle FROM d WHERE doc_id % 100 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY doc_id HAVING COUNT(*) >= 3""".stripMargin,
+    "q56_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+         |pt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+         |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |        COUNT(*) AS n_distinct, MAX(c) AS top_c
+         |       FROM pt GROUP BY doc_id),
+         |f AS (SELECT d.lang,
+         |  CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |       ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_tok END AS dup_ratio,
+         |  CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |       ELSE CAST(top_c AS DOUBLE) / n_tok END AS top_frac
+         | FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | ${davgSql("dup_ratio")} AS avg_dup_ratio,
+         | ${davgSql("top_frac")} AS avg_top_frac,
+         | COUNT(CASE WHEN top_frac >= 0.05 THEN 1 END) AS n_repetitive
+         |FROM f GROUP BY lang""".stripMargin,
+    "q57_user_gaps" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        | FROM events WHERE user_id < 50),
+        |g AS (
+        | SELECT user_id,
+        |  ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+        | FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(gap) AS BIGINT) AS sum_gap_s,
+        | MAX(gap) AS max_gap_s,
+        | COUNT(CASE WHEN gap > 1800 THEN 1 END) AS n_breaks
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q58_above_own_avg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above,
+        | COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders o1
+        |WHERE CAST(o_totalprice AS DECIMAL(20,6))
+        |    * CAST((SELECT COUNT(*) FROM orders o2
+        |            WHERE o2.o_custkey = o1.o_custkey) AS DECIMAL(8,0))
+        |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(20,6))) FROM orders o3
+        |       WHERE o3.o_custkey = o1.o_custkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q59_mode" ->
+      """WITH c AS (
+        | SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        | FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n FROM (
+        | SELECT l_returnflag, l_quantity, c,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY c DESC, l_quantity) AS rn
+        | FROM c) t WHERE rn = 1""".stripMargin,
+    "q60_bigram_topk" ->
+      s"""WITH t AS (SELECT ${toksSql("text")} AS w FROM documents),
+         |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+         |      FROM t)
+         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+    "q61_stratified_sample" ->
+      s"""WITH h0 AS (SELECT lang, doc_id, ${fnvSql("text")} AS ufh FROM documents),
+         |h AS (SELECT lang, doc_id, ${signedSql("ufh")} AS fh FROM h0)
+         |SELECT lang, doc_id, rn FROM (
+         | SELECT lang, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fh, doc_id) AS INT) AS rn
+         | FROM h) t WHERE rn <= 20""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,

@@ -96,6 +96,18 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("q55: eval n-gram index broadcasts; corpus side never shuffles by shingle") {
+    val plan = executedPlan(QueryPack.decontamination(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the eval shingle set to broadcast in:\n$plan")
+  }
+
+  test("q60: corpus top-k bigrams plans TakeOrderedAndProject, not a full sort") {
+    val plan = executedPlan(QueryPack.topBigrams(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k (no global sort) in:\n$plan")
+  }
+
   test("q42: as-of join plans a single shuffle pass, no range explosion") {
     val plan = executedPlan(QueryPack.asofLatestOrder(spark, dir))
     assert(!plan.contains("CartesianProduct"),
