@@ -123,12 +123,23 @@ object Dedup {
         banded.unpersist(false)
         c
       } else candidatesLazy
-    // Texts join back only for the (small) candidate set.
-    val texts = docs.select(col(idCol), col(textCol))
+    // Hash sets join back only for the (small) candidate set — the same
+    // ascending-distinct shingle-hash representation the index was built
+    // from, so verification is a native sorted-merge count
+    // (sorted_intersect_count) instead of re-shingling document strings
+    // per pair. Hash-set Jaccard equals string-set Jaccard absent 64-bit
+    // FNV collisions inside a pair's union — the equivalence the exact
+    // pipeline (exactJaccardPairs) already verifies against its
+    // string-based oracle.
+    val hsets = docs.select(col(idCol),
+      TextFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
+    val sic = org.apache.spark.sql.graft.VectorExpressions.sortedIntersectCount _
     candidates
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("text_a"), col("text_b"), shingleSize))
+      .join(hsets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hsets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", sic(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -198,7 +209,9 @@ object Dedup {
     val verified = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // native sorted-merge count — sh arrays are ascending-distinct
+      .withColumn("inter", org.apache.spark.sql.graft.VectorExpressions
+        .sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -320,7 +333,8 @@ object Dedup {
           col("a_id") < col("b_id") &&
           col("b_ts") >= col("a_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("inter", org.apache.spark.sql.graft.VectorExpressions
+        .sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)

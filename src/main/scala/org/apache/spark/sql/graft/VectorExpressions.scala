@@ -93,8 +93,85 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd |A ∩ B| over two ASCENDING-SORTED distinct
+  * `array<long>` columns — a linear two-pointer merge, no hash set and
+  * no intermediate intersection array.
+  *
+  * `size(array_intersect(a, b))` materializes the intersection (an
+  * `ArrayData` allocation plus an internal hash structure) per row just
+  * to take its length; on the near-dup verify paths this runs once per
+  * CANDIDATE PAIR, the hottest loop of the whole dedup family. The
+  * shingle-hash arrays feeding it ([[ShingleExpressions.shingleHashes]],
+  * minhash/band pipelines) are produced ascending-distinct, so the merge
+  * is exact. Sortedness is a PRECONDITION, not checked — on unsorted
+  * input the count is an undercount; keep the generic `array_intersect`
+  * for arbitrary arrays.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  // null elements (never produced by the shingle pipeline, but legal in
+  // the array type) poison the count to null rather than silently
+  // comparing garbage
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint> inputs, got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x < $y) { $i++; }
+         |  else if ($x > $y) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $c; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       ArrayDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

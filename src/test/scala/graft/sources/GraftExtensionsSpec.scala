@@ -52,6 +52,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("s") == (ha & hb))
   }
 
+  test("sorted_intersect_count evaluates as a SQL function") {
+    val row = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 5L)) AS c,
+        |       sorted_intersect_count(array(1L), CAST(NULL AS ARRAY<BIGINT>)) AS n
+        |""".stripMargin).collect().head
+    assert(row.getAs[Int]("c") == 2 && row.isNullAt(1))
+  }
+
   test("SQL form rejects wrong arity") {
     intercept[Exception] { spark.sql("SELECT fnv64('a', 'b')").collect() }
   }
