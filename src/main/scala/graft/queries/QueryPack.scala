@@ -708,8 +708,13 @@ object QueryPack {
   /** Benchmark decontamination: training documents that share ≥3 distinct
     * word 3-grams with any held-out/eval document (here: doc_id % 100 == 0
     * stands in for the benchmark set). The eval n-gram index is tiny
-    * relative to the corpus, so it BROADCASTS — the 100 TB-side scan
-    * stream-probes a hash set and never shuffles by shingle. This is the
+    * relative to the corpus, so at this scale it BROADCASTS — the
+    * corpus-side scan stream-probes a hash set and never shuffles by
+    * shingle. No explicit broadcast hint: the eval set is ~1% of corpus
+    * distinct 3-grams and GROWS WITH THE CORPUS, so a forced hint would
+    * OOM once the index outgrows broadcast range — AQE sees the actual
+    * post-shuffle size and picks broadcast while it fits, then degrades
+    * to a shuffle equi-join on the shingle when it doesn't. This is the
     * n-gram-overlap contamination check (à la GPT-3/PaLM appendix
     * methodology) every pretraining pipeline runs before evaluation.
     */
@@ -719,7 +724,7 @@ object QueryPack {
       explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("shingle"))
     val evalSh = sh.filter(col("doc_id") % 100 === 0).select("shingle").distinct()
     sh.filter(col("doc_id") % 100 =!= 0)
-      .join(broadcast(evalSh), Seq("shingle"))
+      .join(evalSh, Seq("shingle"))
       // (doc_id, shingle) is distinct after array_distinct+explode, so a
       // plain count IS the distinct-shared-shingle count — no
       // count(distinct) expansion in the aggregate

@@ -111,9 +111,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
-  // null elements (never produced by the shingle pipeline, but legal in
-  // the array type) poison the count to null rather than silently
-  // comparing garbage
+  // any null element (never produced by the shingle pipeline, but legal
+  // in the array type) poisons the count to null rather than silently
+  // comparing garbage — including elements past the point where one
+  // pointer exhausts, which the merge loop alone would never visit
   override def nullable: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
@@ -138,6 +139,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       else if (x > y) j += 1
       else { c += 1; i += 1; j += 1 }
     }
+    // tail scan: the merge stops when one side exhausts, but the
+    // null-poison contract covers EVERY element, visited or not
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    while (j < m) { if (b.isNullAt(j)) return null; j += 1 }
     c
   }
 
@@ -158,6 +163,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  else if ($x > $y) { $j++; }
          |  else { $c++; $i++; $j++; }
          |}
+         |// tail scan: null-poison covers elements past the merge too
+         |while (!${ev.isNull} && $i < $n) { if ($a.isNullAt($i)) { ${ev.isNull} = true; } $i++; }
+         |while (!${ev.isNull} && $j < $m) { if ($b.isNullAt($j)) { ${ev.isNull} = true; } $j++; }
          |if (!${ev.isNull}) { ${ev.value} = $c; }
        """.stripMargin
     })

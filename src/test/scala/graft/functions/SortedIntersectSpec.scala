@@ -29,6 +29,19 @@ class SortedIntersectSpec extends AnyFunSuite with SparkTest {
     assert(diff.count() == 0)
   }
 
+  test("any null element poisons the count — even past pointer exhaustion") {
+    import spark.implicits._
+    // the trailing NULL in (1) vs (1, NULL) is never reached by the
+    // two-pointer merge; the tail scan must still null the count
+    val df = Seq((Seq[java.lang.Long](1L), Seq[java.lang.Long](1L, null)))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("ab"),
+      VectorExpressions.sortedIntersectCount(col("b"), col("a")).as("ba"))
+      .collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+
   test("identical arrays count fully; disjoint count zero") {
     import spark.implicits._
     val df = Seq((Seq(1L, 5L, 9L), Seq(1L, 5L, 9L), Seq(2L, 6L))).toDF("a", "b", "c")

@@ -96,10 +96,15 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
     }
   }
 
-  test("q55: eval n-gram index broadcasts; corpus side never shuffles by shingle") {
-    val plan = executedPlan(QueryPack.decontamination(spark, dir))
+  test("q55: eval n-gram index broadcasts via AQE at this scale — no hint") {
+    // no broadcast() hint in the query (a hint would OOM once the eval
+    // index outgrows broadcast range); AQE must still pick a broadcast
+    // join here from the observed post-shuffle size
+    val df = QueryPack.decontamination(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
-      s"expected the eval shingle set to broadcast in:\n$plan")
+      s"expected AQE to broadcast the eval shingle set in:\n$plan")
   }
 
   test("q60: corpus top-k bigrams plans TakeOrderedAndProject, not a full sort") {
