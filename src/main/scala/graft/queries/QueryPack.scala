@@ -8,11 +8,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The engine's query inventory, one entry per operator family from
-  * SURVEY.md §2 plus the training-data extensions. Each query has a
-  * DuckDB oracle in [[oracles]] unless its mechanism is approximate by
-  * design (multi-probe ANN: q24/q28/q38) — signature operators hash with
-  * cross-engine-reproducible FNV arithmetic so even they are fully
-  * oracle-checked.
+  * SURVEY.md §2 plus the training-data extensions. EVERY query has a
+  * DuckDB oracle in [[oracles]]: signature operators hash with
+  * cross-engine-reproducible FNV arithmetic, and even the multi-probe
+  * ANN family (q24/q28/q38) — approximate relative to brute force but
+  * fully deterministic — is replayed exactly in SQL from the embedded
+  * splitmix64 hyperplane-weight matrix / centroid arithmetic.
   *
   * Determinism contract with the oracle:
   *  - double aggregates go through [[ExactNum]] (exact decimal sums);
@@ -79,6 +80,34 @@ object QueryPack {
       (0 until 64).map(b =>
         s" + (CASE WHEN c$b > 0 THEN CAST('${java.lang.Long.toUnsignedString(1L << b)}' AS HUGEINT) ELSE 0 END)")
         .mkString + ") AS UBIGINT)"
+
+  // ---- DuckDB twins of the hyperplane-LSH bucketing ------------------
+  // (org.apache.spark.sql.graft.VectorHashOps — weights regenerate from
+  // splitmix64(dim, plane), so the EXACT weight matrix embeds here as
+  // double literals; Double.toString round-trips through DuckDB's
+  // decimal parser bit-for-bit. Only projection SIGNS feed the bucket
+  // bits, and the smallest |projection| on the test corpora is ~1e-5 —
+  // ten orders of magnitude above cross-engine summation noise — so the
+  // replay is exact (AnnOracleMarginSpec pins that margin).)
+
+  /** 64-dim weight row of hyperplane `plane` as a DuckDB double-list literal. */
+  private def planeWeightsSql(plane: Int): String =
+    "[" + (0 until 64).map(d =>
+      org.apache.spark.sql.graft.VectorHashOps.weight(d, plane)).mkString(",") + "]"
+
+  /** Packed bucket id of table `table` (MSB-first over its planes) for a
+    * DOUBLE[] column `emb` — mirrors VectorHashOps.buckets. */
+  private def bucketSql(emb: String, table: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { i =>
+      val bit = 1L << (nPlanes - 1 - i)
+      s"(CASE WHEN list_dot_product($emb, ${planeWeightsSql(table * nPlanes + i)}) >= 0 THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Multi-probe collision predicate between bucket columns `a`/`b`:
+    * single-bit probes ⇒ candidate iff hamming ≤ 1 in SOME table. */
+  private def anyTableCollidesSql(a: String, b: String, nTables: Int): String =
+    (0 until nTables).map(t =>
+      s"bit_count(xor($a$t, $b$t)) <= 1").mkString("(", " OR ", ")")
 
   // ------------------------------------------------------------- relational
 
@@ -599,22 +628,35 @@ object QueryPack {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** IVF ANN: label cells as the coarse quantizer — rows-only check. */
+  /** IVF ANN: label cells as the coarse quantizer. The probe selection
+    * is deterministic (centroids are plain per-dim means, ranked with a
+    * label tie-break), so the DuckDB oracle replays the exact same
+    * cell-probe + in-cell exact search. Output carries ids and ranks
+    * only — the ORDERING is the contract; the raw cosine doubles differ
+    * across engines by ulps and are checked via the q23 margin analysis.
+    */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.ivfTopK(queries, emb, 10, dim = 64, nProbes = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN — approximate; rows-only check. */
+  /** LSH-bucketed ANN. Approximate relative to brute force, but fully
+    * DETERMINISTIC: hyperplane weights regenerate from splitmix64(dim,
+    * plane), so the candidate set ("collides within hamming ≤ 1 in any
+    * table") is replayable — the oracle embeds the same weight matrix as
+    * double literals and reproduces candidates + exact re-ranking in
+    * SQL. Sign margins are ≥1e-5 vs ~1e-15 FP noise (see
+    * AnnOracleMarginSpec), so cross-engine bucket bits are stable.
+    */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.lshTopK(queries, emb, 10, nPlanes = 6, nTables = 4)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   def centroidStats(s: SparkSession, dir: String): DataFrame =
@@ -643,10 +685,14 @@ object QueryPack {
     graft.operators.Similarity.cosinePairsExact(
       Tables.embeddings(s, dir).filter(col("vec_id") < 300), threshold = 0.4)
 
-  /** LSH-bucketed embedding near-dup — approximate; rows-only check. */
+  /** LSH-bucketed embedding near-dup. Deterministic approximation: the
+    * oracle replays the bucket predicate (hamming ≤ 1 in either table,
+    * from the embedded weight matrix) plus the exact cosine threshold.
+    */
   def embNearDupLsh(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupLsh(
       Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 4)
+      .select(col("id_a"), col("id_b"))
 
   /** Multimodal decode: binary blob → typed metadata via mapPartitions
     * (stubbed codec, real plumbing), aggregated per format.
@@ -1072,6 +1118,24 @@ object QueryPack {
         |    ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id) AS INT) AS rank
         | FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id) t
         |WHERE rank <= 10""".stripMargin,
+    // replay of the deterministic LSH: same splitmix64 weight matrix
+    // (embedded as literals), same multi-probe candidate rule (hamming
+    // ≤ 1 in any of 4 six-plane tables), exact re-rank over candidates
+    "q24_knn_lsh" -> {
+      val buckets = (0 until 4).map(t => s"${bucketSql("emb", t, 6)} AS b$t").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb, $buckets FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+         |  FROM b WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
+         | FROM q JOIN b c ON c.vec_id <> q.query_id
+         |  AND ${anyTableCollidesSql("q.qb", "c.b", 4)}) t
+         |WHERE rank <= 10""".stripMargin
+    },
     "q25_centroid_stats" ->
       s"""SELECT label, COUNT(*) AS n,
          | ${favgSql("embedding[1]")} AS avg_d0,
@@ -1088,6 +1152,18 @@ object QueryPack {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
+    // LSH near-dup replay: bucket predicate (hamming ≤ 1 in either
+    // 4-plane table) + the exact cosine threshold over candidates
+    "q28_emb_neardup_lsh" -> {
+      val buckets = (0 until 2).map(t => s"${bucketSql("emb", t, 4)} AS b$t").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb, $buckets FROM e)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id
+         | AND ${anyTableCollidesSql("a.b", "c.b", 2)}
+         |WHERE list_cosine_similarity(a.emb, c.emb) >= 0.35""".stripMargin
+    },
     "q29_media_decode" ->
       """WITH m AS (
         | SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
@@ -1136,6 +1212,27 @@ object QueryPack {
       s"""SELECT c_nationkey, COUNT(*) AS n_above FROM customer
          |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer)
          |GROUP BY c_nationkey""".stripMargin,
+    // IVF replay: per-label mean centroids, rank cells by query-centroid
+    // cosine (label tie-break), exact search inside the top-3 cells
+    "q38_knn_ivf" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cent AS (SELECT label, $centroid AS centroid FROM e GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+         |probed AS (SELECT query_id, label FROM (
+         | SELECT q.query_id, cent.label,
+         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, cent.centroid) DESC, cent.label) AS pr
+         | FROM q CROSS JOIN cent) p WHERE pr <= 3)
+         |SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
+         | FROM q JOIN probed ON probed.query_id = q.query_id
+         |  JOIN e c ON c.label = probed.label AND c.vec_id <> q.query_id) t
+         |WHERE rank <= 10""".stripMargin
+    },
     "q39_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS p50_qty,
