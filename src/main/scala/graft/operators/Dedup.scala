@@ -278,6 +278,55 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / |A| ≥ t for
+    * the smaller shingle set A — the "document embedded in a larger
+    * document" case symmetric Jaccard misses (a quote, a concatenation, a
+    * page wrapped in boilerplate); a real dedup pass runs both.
+    *
+    * Prefix filtering adapts from [[exactJaccardPairs]]: containment ≥ t
+    * forces |A∩B| ≥ ⌈t·|A|⌉, so at most |A| − ⌈t·|A|⌉ of A's shingles
+    * fall outside B — A's (|A| − ⌈t·|A|⌉ + 1)-element prefix under the
+    * global hash order must hit B (pigeonhole), giving total recall with
+    * only the SMALL side prefix-indexed. The big side indexes all its
+    * shingles: no length filter exists for containment (B may be
+    * arbitrarily larger), which is the fundamental extra cost vs Jaccard —
+    * the join tracks Σ_A prefix(A)·df(shingle), so df-skew mitigations
+    * (stopword-shingle ordering, AQE skew splitting) matter more here.
+    * Survivors verify exactly on the full hash sets (sorted-merge count).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol),
+        TextFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    // inner (contained) side: prefix of the sz − ⌈t·sz⌉ + 1 smallest hashes
+    val prefix = sh.select(col(idCol).as("id_inner"), col("sz").as("sz_i"),
+      explode(slice(col("sh"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))).as("shingle"))
+    // outer (containing) side: full inverted index
+    val full = sh.select(col(idCol).as("id_outer"), col("sz").as("sz_o"),
+      explode(col("sh")).as("shingle"))
+    // orientation: inner is the strictly smaller set; equal sizes orient by id
+    val candidates = prefix.join(full, Seq("shingle"))
+      .filter(col("sz_o") > col("sz_i") ||
+        (col("sz_o") === col("sz_i") && col("id_inner") < col("id_outer")))
+      .select("id_inner", "id_outer")
+      .dropDuplicates("id_inner", "id_outer")
+    candidates
+      .join(sh.select(col(idCol).as("id_inner"), col("sh").as("sh_i"), col("sz").as("sz_i")), "id_inner")
+      .join(sh.select(col(idCol).as("id_outer"), col("sh").as("sh_o")), "id_outer")
+      .withColumn("inter", org.apache.spark.sql.graft.VectorExpressions
+        .sortedIntersectCount(col("sh_i"), col("sh_o")))
+      .withColumn("containment", col("inter").cast("double") / col("sz_i"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_inner"), col("id_outer"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Streaming near-duplicate pairs: MinHash-LSH banding applied to a
     * document STREAM. Each arriving document's banded signature joins
     * against other documents' bands within `intervalSeconds` of event

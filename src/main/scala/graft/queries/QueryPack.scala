@@ -888,6 +888,113 @@ object QueryPack {
       .select(col("lang"), col("doc_id"), col("rn"))
   }
 
+  /** FULL OUTER join — per-nation counts of one market segment's
+    * customers vs high-balance suppliers, where either side of a nation
+    * may be absent. The reference has no joins at all (SURVEY §2.4); this
+    * completes the engine's join-type inventory (inner/semi/anti/left/
+    * full/cross are all exercised across the pack).
+    */
+  def fullOuterNation(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, dir).filter(col("s_acctbal") > 9000.0)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** Token-budget truncation: the "clip every document to its first N
+    * tokens" pass a pretraining pipeline runs when packing sequences.
+    * Per language: docs over budget, tokens kept, characters kept —
+    * slice + aggregate higher-order functions, all codegen-friendly,
+    * zero shuffles before the final aggregate.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 32
+    Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("kept_chars",
+        aggregate(slice(col("toks"), 1, budget), lit(0L),
+          (acc, t) => acc + length(t).cast("long")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("n_tok") > budget, 1)).as("n_truncated"),
+           sum(least(col("n_tok"), lit(budget.toLong))).as("kept_tokens"),
+           sum(col("kept_chars")).as("kept_chars"))
+  }
+
+  /** Int8 scalar quantization of embeddings: q = clamp(⌊x·512⌋, ±127),
+    * the storage-compression step of a vector index build. All arithmetic
+    * is exact across engines (×512 is a power-of-two double multiply —
+    * no rounding — and floor/clamp are integral), so the per-label sums
+    * hash-match. Saturation counts surface how much of the corpus the
+    * chosen scale clips.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("qv", transform(col("embedding"), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") * 512.0).cast("long")))))
+      .withColumn("sum_q", aggregate(col("qv"), lit(0L), (a, b) => a + b))
+      .withColumn("n_sat", size(filter(col("qv"), v => abs(v) === 127L)).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("sum_q")).as("sum_q"),
+           sum(col("n_sat")).as("n_saturated"))
+
+  /** Asymmetric containment near-dup (doc-inside-doc): smaller shingle
+    * set ≥80% contained in a larger one — the quote/concatenation case
+    * Jaccard misses. Bounded to the same deterministic id slice as
+    * q22/q45.
+    */
+  def containmentDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id", "text", shingleSize = 2, threshold = 0.8)
+
+  /** NTILE quartiles of customer balance within each market segment —
+    * the bucketing window function (q05/q35/q57 cover rank/frame/lag).
+    * Fully deterministic: the order key (acctbal, custkey) is total.
+    */
+  def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+  }
+
+  /** Calendar aggregation: orders per month (year·100+month key) —
+    * date-part extraction coverage. Integer month keys keep the grouping
+    * timezone-free in both engines.
+    */
+  def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("ym",
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+
+  /** RANGE-frame window: for each order, how many orders the same
+    * customer placed in the trailing 30 days — a VALUE-range frame (vs
+    * q35's ROWS frame), deterministic regardless of tie order because
+    * the frame is defined on the day value itself. Day numbers stay on
+    * integer arithmetic (timezone-free, exact).
+    */
+  def trailingWindowOrders(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    Tables.orders(s, dir).filter(col("o_custkey") < 100)
+      .withColumn("d", day)
+      .withColumn("n_recent", count(lit(1)).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("d")).rangeBetween(-30, 0)))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_recent"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -952,6 +1059,13 @@ object QueryPack {
     "q59_mode"              -> (modeQuantity _),
     "q60_bigram_topk"       -> (topBigrams _),
     "q61_stratified_sample" -> (stratifiedSample _),
+    "q62_full_outer"        -> (fullOuterNation _),
+    "q63_token_budget"      -> (tokenBudget _),
+    "q64_emb_quantize"      -> (embQuantize _),
+    "q65_containment"       -> (containmentDups _),
+    "q66_ntile_quartiles"   -> (ntileQuartiles _),
+    "q67_monthly_orders"    -> (monthlyOrders _),
+    "q68_trailing_window"   -> (trailingWindowOrders _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1475,6 +1589,70 @@ object QueryPack {
          | SELECT lang, doc_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fh, doc_id) AS INT) AS rn
          | FROM h) t WHERE rn <= 20""".stripMargin,
+    "q62_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+        |           WHERE c_mktsegment = 'MACHINERY' GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL JOIN s ON c.nk = s.nk""".stripMargin,
+    "q63_token_budget" ->
+      s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents),
+         |f AS (SELECT lang, len(w) AS n_tok,
+         |  COALESCE(list_sum(list_transform(w[1:32], x -> length(x))), 0) AS kept_chars
+         | FROM t)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN n_tok > 32 THEN 1 END) AS n_truncated,
+         | CAST(SUM(LEAST(n_tok, 32)) AS BIGINT) AS kept_tokens,
+         | CAST(SUM(kept_chars) AS BIGINT) AS kept_chars
+         |FROM f GROUP BY lang""".stripMargin,
+    "q64_emb_quantize" ->
+      """WITH e AS (
+        | SELECT label, list_transform(embedding, x ->
+        |   GREATEST(-127, LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 512.0) AS BIGINT)))) AS qv
+        | FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs,
+        | CAST(SUM(list_sum(qv)) AS BIGINT) AS sum_q,
+        | CAST(SUM(len(list_filter(qv, v -> abs(v) = 127))) AS BIGINT) AS n_saturated
+        |FROM e GROUP BY label""".stripMargin,
+    "q65_containment" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t WHERE len(w) >= 2)
+        |SELECT id_inner, id_outer, ROUND(c, 6) AS containment FROM (
+        | SELECT a.doc_id AS id_inner, b.doc_id AS id_outer,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+        | FROM d a JOIN d b
+        |   ON (len(b.s) > len(a.s) OR (len(b.s) = len(a.s) AND a.doc_id < b.doc_id))) x
+        |WHERE c >= 0.8""".stripMargin,
+    "q66_ntile_quartiles" ->
+      s"""WITH q AS (
+         | SELECT c_mktsegment, c_acctbal,
+         |  CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+         |    ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+         | FROM customer)
+         |SELECT c_mktsegment, quartile, COUNT(*) AS n,
+         | ${davgSql("c_acctbal")} AS avg_bal
+         |FROM q GROUP BY 1, 2""".stripMargin,
+    "q67_monthly_orders" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+         |   + EXTRACT(month FROM o_orderdate) AS INT) AS ym,
+         | COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q68_trailing_window" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d
+        | FROM orders WHERE o_custkey < 100)
+        |SELECT o_custkey, o_orderkey,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_recent
+        |FROM o""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
