@@ -158,6 +158,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("containment pairs equal brute-force containment on the bounded slice") {
+    val slice = docs.filter($"doc_id" < 500)
+    val got = Dedup.containmentPairs(slice, "doc_id", "text", 2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: distinct 2-shingle sets, all ordered pairs, C = |A∩B|/|A|
+    val sets = slice.select($"doc_id",
+        array_distinct(graft.functions.TextFunctions.shingles($"text", 2)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      .filter(_._2.nonEmpty)
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if sb.size > sa.size || (sb.size == sa.size && ia < ib)
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= 0.8
+    } yield (ia, ib, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(expect.nonEmpty, "test corpus must contain contained documents")
+    assert(got == expect)
+  }
+
+  test("containment orientation: the contained side is never the larger set") {
+    val got = Dedup.containmentPairs(docs.filter($"doc_id" < 500), "doc_id", "text", 2, 0.8)
+    val sizes = docs.filter($"doc_id" < 500)
+      .select($"doc_id", size(array_distinct(
+        graft.functions.TextFunctions.shingles($"text", 2))).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.collect().foreach { r =>
+      val (i, o) = (r.getLong(0), r.getLong(1))
+      assert(sizes(i) < sizes(o) || (sizes(i) == sizes(o) && i < o))
+    }
+  }
+
   test("simhash: near-dup docs have close hamming distance") {
     val planted = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -113,6 +113,41 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"expected top-k (no global sort) in:\n$plan")
   }
 
+  test("q62: full outer join stays an equi-join over pre-aggregated sides") {
+    val plan = executedPlan(QueryPack.fullOuterNation(spark, dir))
+    assert(plan.contains("FullOuter"), s"expected a full outer join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "full outer must stay an equi-join")
+    // both sides aggregate BELOW the join: the join sees one row per
+    // nation, not one per customer/supplier
+    val opt = QueryPack.fullOuterNation(spark, dir).queryExecution.optimizedPlan.toString
+    val joinIdx = opt.indexOf("Join FullOuter")
+    val aggAfter = Iterator.iterate(opt.indexOf("Aggregate"))(i =>
+      opt.indexOf("Aggregate", i + 1)).takeWhile(_ >= 0).count(_ > joinIdx)
+    assert(joinIdx >= 0 && aggAfter >= 2,
+      s"expected per-side pre-aggregation below the join in:\n$opt")
+  }
+
+  test("q64: embedding quantization is one map-side pass + one aggregate exchange") {
+    val plan = executedPlan(QueryPack.embQuantize(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle (the final agg) in:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), "no join should appear")
+  }
+
+  test("q63: token-budget truncation is one map-side pass + one aggregate exchange") {
+    val plan = executedPlan(QueryPack.tokenBudget(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle (the final agg) in:\n$plan")
+  }
+
+  test("q68: range-frame window plans one shuffle on the partition key") {
+    val plan = executedPlan(QueryPack.trailingWindowOrders(spark, dir))
+    assert(plan.contains("Window"), s"expected a window pass in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey"),
+      s"expected the custkey filter at the scan in:\n$plan")
+  }
+
   test("q42: as-of join plans a single shuffle pass, no range explosion") {
     val plan = executedPlan(QueryPack.asofLatestOrder(spark, dir))
     assert(!plan.contains("CartesianProduct"),
