@@ -38,4 +38,19 @@ object StreamJoins {
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $intervalSeconds SECONDS") &&
         col(rightTs) <= col(leftTs))
   }
+
+  /** Stream-static enrichment: join a stream against a (small) static
+    * dimension table, re-read per micro-batch and broadcast — the
+    * stateless sibling of the interval join (no watermark needed on the
+    * static side, no join state at all; Spark re-plans the static side
+    * each batch, so a dimension refresh on disk is picked up live).
+    * `left` (default) keeps stream rows that miss the dimension.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
 }

@@ -995,6 +995,53 @@ object QueryPack {
       .select(col("o_custkey"), col("o_orderkey"), col("n_recent"))
   }
 
+  /** Sequence-packing accounting (concat-then-chunk, the GPT-style
+    * packing strategy): per language, documents concatenate in
+    * content-hash order and split into fixed 2048-token context windows.
+    * Emits bins needed and how many documents straddle a bin boundary —
+    * the packing-efficiency numbers a pretraining pipeline reports.
+    * Deterministic: the hash order is total and the cumulative sums are
+    * integer arithmetic. At scale the same window runs per (lang, shard)
+    * — packing is embarrassingly parallel across shards by construction.
+    */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val binTokens = 2048L
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(TextHashExpressions.fnv64(col("text")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // integer `div` keeps bin ids exact at any corpus size (a double
+      // floor would drift past 2^53 cumulative tokens)
+      .withColumn("splits", when(col("n_tok") > 0,
+        expr(s"(cum_before + n_tok - 1) div $binTokens - cum_before div $binTokens"))
+        .otherwise(lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           expr(s"(sum(n_tok) + ${binTokens - 1}) div $binTokens").as("n_bins"),
+           count(when(col("splits") > 0, 1)).as("n_boundary_docs"))
+  }
+
+  /** percent_rank / cume_dist distribution metrics per market segment —
+    * the remaining analytic-window functions (row_number/rank: q05,
+    * frames: q35/q68, lag: q57, ntile: q66). Both are deterministic
+    * under ties by definition (value-based), and the averages go through
+    * the exact-decimal path.
+    */
+  def rankMetrics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    Tables.customer(s, dir)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           davg(col("pr")).as("avg_percent_rank"),
+           davg(col("cd")).as("avg_cume_dist"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1066,6 +1113,8 @@ object QueryPack {
     "q66_ntile_quartiles"   -> (ntileQuartiles _),
     "q67_monthly_orders"    -> (monthlyOrders _),
     "q68_trailing_window"   -> (trailingWindowOrders _),
+    "q69_sequence_pack"     -> (sequencePack _),
+    "q70_rank_metrics"      -> (rankMetrics _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1653,6 +1702,37 @@ object QueryPack {
         | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
         |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_recent
         |FROM o""".stripMargin,
+    "q69_sequence_pack" -> {
+      val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"""WITH h0 AS (SELECT lang, doc_id, CAST($nTok AS BIGINT) AS n_tok,
+         |  ${fnvSql("text")} AS ufh FROM documents),
+         |h AS (SELECT lang, doc_id, n_tok, ${signedSql("ufh")} AS fh FROM h0),
+         |c AS (SELECT lang, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY fh, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         | FROM h),
+         |f AS (SELECT lang, n_tok,
+         |  CASE WHEN n_tok > 0
+         |       THEN (cum_before + n_tok - 1) // 2048 - cum_before // 2048
+         |       ELSE 0 END AS splits
+         | FROM c)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         | CAST((SUM(n_tok) + 2047) // 2048 AS BIGINT) AS n_bins,
+         | COUNT(CASE WHEN splits > 0 THEN 1 END) AS n_boundary_docs
+         |FROM f GROUP BY lang""".stripMargin
+    },
+    "q70_rank_metrics" ->
+      s"""WITH r AS (
+         | SELECT c_mktsegment,
+         |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
+         |  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd
+         | FROM customer)
+         |SELECT c_mktsegment, COUNT(*) AS n,
+         | ${davgSql("pr")} AS avg_percent_rank,
+         | ${davgSql("cd")} AS avg_cume_dist
+         |FROM r GROUP BY c_mktsegment""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,

