@@ -227,42 +227,51 @@ object Dedup {
     * relation — package-private so specs can measure candidate counts
     * directly. `sh` arrays are ascending-distinct hashes.
     */
+  /** Adds `sh_ord`: the shingle-hash array re-sorted under the prefix
+    * global order — raw hash order, or (dfOrderHotShingles = M > 0)
+    * ascending-document-frequency order for the top-M hottest shingles
+    * (hottest LAST, pushed out of every prefix). Shared by the Jaccard
+    * and containment prefix filters.
+    */
+  private def withPrefixOrder(
+      sh: DataFrame, dfOrderHotShingles: Int): DataFrame =
+    if (dfOrderHotShingles > 0) {
+      // Bounded hot-shingle stats: top-M by document frequency. The
+      // collect is capped at M rows; everything outside the hot set
+      // keeps its hash as the order key (rare by assumption).
+      val hot = sh.select(explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1)
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(dfOrderHotShingles)
+        .collect()
+      if (hot.isEmpty) sh.withColumn("sh_ord", col("sh"))
+      else {
+        // rank hot shingles by ASCENDING df so the hottest sort last,
+        // after every non-hot shingle
+        val ranks: Map[Long, Long] = hot
+          .sortBy(r => (r.getLong(1), r.getLong(0)))
+          .zipWithIndex.map { case (r, i) => r.getLong(0) -> i.toLong }.toMap
+        val rankMap = typedLit(ranks)
+        def cmp(l: Column, r: Column): Column = {
+          // try_element_at: missing key → null in BOTH ANSI modes
+          // (plain element_at throws under Spark 4's default ANSI)
+          val lo = try_element_at(rankMap, l)
+          val ro = try_element_at(rankMap, r)
+          val byHash = when(l < r, -1).when(l > r, 1).otherwise(0)
+          when(lo.isNull && ro.isNull, byHash)
+            .when(lo.isNull, lit(-1)) // non-hot before hot
+            .when(ro.isNull, lit(1))
+            .otherwise(when(lo < ro, -1).when(lo > ro, 1).otherwise(byHash))
+        }
+        sh.withColumn("sh_ord", array_sort(col("sh"), cmp))
+      }
+    } else sh.withColumn("sh_ord", col("sh"))
+
   private[operators] def jaccardPrefixCandidates(
       sh: DataFrame, idCol: String, threshold: Double,
       dfOrderHotShingles: Int): DataFrame = {
-    val ordered: DataFrame =
-      if (dfOrderHotShingles > 0) {
-        // Bounded hot-shingle stats: top-M by document frequency. The
-        // collect is capped at M rows; everything outside the hot set
-        // keeps its hash as the order key (rare by assumption).
-        val hot = sh.select(explode(col("sh")).as("shingle"))
-          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 1)
-          .orderBy(col("df").desc, col("shingle"))
-          .limit(dfOrderHotShingles)
-          .collect()
-        if (hot.isEmpty) sh.withColumn("sh_ord", col("sh"))
-        else {
-          // rank hot shingles by ASCENDING df so the hottest sort last,
-          // after every non-hot shingle
-          val ranks: Map[Long, Long] = hot
-            .sortBy(r => (r.getLong(1), r.getLong(0)))
-            .zipWithIndex.map { case (r, i) => r.getLong(0) -> i.toLong }.toMap
-          val rankMap = typedLit(ranks)
-          def cmp(l: Column, r: Column): Column = {
-            // try_element_at: missing key → null in BOTH ANSI modes
-            // (plain element_at throws under Spark 4's default ANSI)
-            val lo = try_element_at(rankMap, l)
-            val ro = try_element_at(rankMap, r)
-            val byHash = when(l < r, -1).when(l > r, 1).otherwise(0)
-            when(lo.isNull && ro.isNull, byHash)
-              .when(lo.isNull, lit(-1)) // non-hot before hot
-              .when(ro.isNull, lit(1))
-              .otherwise(when(lo < ro, -1).when(lo > ro, 1).otherwise(byHash))
-          }
-          sh.withColumn("sh_ord", array_sort(col("sh"), cmp))
-        }
-      } else sh.withColumn("sh_ord", col("sh"))
+    val ordered = withPrefixOrder(sh, dfOrderHotShingles)
     // prefix length sz − α + 1 with α = ⌈t·sz⌉, nudged DOWN at FP
     // boundaries (a longer prefix is always safe for recall)
     val prefix = ordered.select(col(idCol), col("sz"),
@@ -299,24 +308,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      dfOrderHotShingles: Int = 0): DataFrame = {
     val sh = docs.select(col(idCol),
         TextFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-    // inner (contained) side: prefix of the sz − ⌈t·sz⌉ + 1 smallest hashes
-    val prefix = sh.select(col(idCol).as("id_inner"), col("sz").as("sz_i"),
-      explode(slice(col("sh"), lit(1),
-        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))).as("shingle"))
-    // outer (containing) side: full inverted index
-    val full = sh.select(col(idCol).as("id_outer"), col("sz").as("sz_o"),
-      explode(col("sh")).as("shingle"))
-    // orientation: inner is the strictly smaller set; equal sizes orient by id
-    val candidates = prefix.join(full, Seq("shingle"))
-      .filter(col("sz_o") > col("sz_i") ||
-        (col("sz_o") === col("sz_i") && col("id_inner") < col("id_outer")))
-      .select("id_inner", "id_outer")
-      .dropDuplicates("id_inner", "id_outer")
+    val candidates =
+      containmentPrefixCandidates(sh, idCol, threshold, dfOrderHotShingles)
     candidates
       .join(sh.select(col(idCol).as("id_inner"), col("sh").as("sh_i"), col("sz").as("sz_i")), "id_inner")
       .join(sh.select(col(idCol).as("id_outer"), col("sh").as("sh_o")), "id_outer")
@@ -325,6 +324,34 @@ object Dedup {
       .withColumn("containment", col("inter").cast("double") / col("sz_i"))
       .filter(col("containment") >= threshold)
       .select(col("id_inner"), col("id_outer"), round(col("containment"), 6).as("containment"))
+  }
+
+  /** Containment candidate pairs over a (id, sh, sz) hash-set relation —
+    * package-private so specs can measure candidate counts. Recall is
+    * total under ANY global order (the pigeonhole argument only counts
+    * how many of A's shingles can miss B), so df-ordering the inner
+    * prefix is a pure pruning win: the containing side indexes ALL its
+    * shingles regardless.
+    */
+  private[operators] def containmentPrefixCandidates(
+      sh: DataFrame, idCol: String, threshold: Double,
+      dfOrderHotShingles: Int): DataFrame = {
+    val ordered = withPrefixOrder(sh, dfOrderHotShingles)
+    // inner (contained) side: prefix of the sz − ⌈t·sz⌉ + 1 first hashes
+    // under the global order
+    val prefix = ordered.select(col(idCol).as("id_inner"), col("sz").as("sz_i"),
+      explode(slice(col("sh_ord"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))).as("shingle"))
+    // outer (containing) side: full inverted index (no length bound
+    // exists for containment — B may be arbitrarily larger)
+    val full = sh.select(col(idCol).as("id_outer"), col("sz").as("sz_o"),
+      explode(col("sh")).as("shingle"))
+    // orientation: inner is the strictly smaller set; equal sizes orient by id
+    prefix.join(full, Seq("shingle"))
+      .filter(col("sz_o") > col("sz_i") ||
+        (col("sz_o") === col("sz_i") && col("id_inner") < col("id_outer")))
+      .select("id_inner", "id_outer")
+      .dropDuplicates("id_inner", "id_outer")
   }
 
   /** Streaming near-duplicate pairs: MinHash-LSH banding applied to a

@@ -177,6 +177,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == expect)
   }
 
+  test("df-ordered containment: same pairs, strictly fewer candidates on skew") {
+    // same stopword-skewed corpus shape as the jaccard df-order spec,
+    // plus planted containments: short docs embedded in longer ones
+    val template = "the quick brown fox jumps over the lazy dog"
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"$template u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+    val contained = (0 until 10).map(i =>
+      (100L + i, s"$template u${i}a u${i}b u${i}c u${i}d"))
+    val skewed = (base ++ contained).toDF("doc_id", "text")
+    val plain = Dedup.containmentPairs(skewed, "doc_id", "text", 2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.nonEmpty, "planted containments must be found")
+    val dfOrdered = Dedup.containmentPairs(skewed, "doc_id", "text", 2, 0.8,
+        dfOrderHotShingles = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dfOrdered == plain, "df-ordering must not change the result")
+    val sh = skewed.select($"doc_id",
+        graft.functions.TextFunctions.shingleHashes($"text", 2).as("sh"))
+      .withColumn("sz", size($"sh")).filter($"sz" > 0)
+    val nPlain = Dedup.containmentPrefixCandidates(sh, "doc_id", 0.8, 0).count()
+    val nOrdered = Dedup.containmentPrefixCandidates(sh, "doc_id", 0.8, 1000).count()
+    assert(nOrdered < nPlain,
+      s"df-ordering should prune candidates: $nOrdered vs $nPlain")
+  }
+
   test("containment orientation: the contained side is never the larger set") {
     val got = Dedup.containmentPairs(docs.filter($"doc_id" < 500), "doc_id", "text", 2, 0.8)
     val sizes = docs.filter($"doc_id" < 500)
