@@ -51,6 +51,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(exprs(1), "nPlanes"), intLit(exprs(2), "nTables"))
       })
 
+  /** `shingle_hashes(text, n)` — the shingle width must be an integer
+    * literal (it shapes the generated code).
+    */
+  private val shingleBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "shingle_hashes"),
+      { exprs =>
+        require(exprs.length == 2, "shingle_hashes expects (text, n)")
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            ShingleHashes(exprs.head, n)
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: n must be an integer literal, got $other")
+        }
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(one("fnv64")(Fnv64))
     ext.injectFunction(one("simhash64")(SimHash64))
@@ -60,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(two("sorted_intersect_count")(SortedIntersectCount))
     ext.injectFunction(two("envelope_field")(EnvelopeField))
     ext.injectFunction(hyperplaneBuilder)
+    ext.injectFunction(shingleBuilder)
+    // size(array_intersect(shingle_hashes(..), shingle_hashes(..))) →
+    // native sorted-merge count (see Rules.scala)
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
   }
 }

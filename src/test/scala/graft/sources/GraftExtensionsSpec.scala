@@ -60,6 +60,36 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Int]("c") == 2 && row.isNullAt(1))
   }
 
+  test("optimizer rewrites size(array_intersect) of shingle hashes to the sorted merge") {
+    // a file-backed source — a LocalRelation would be constant-folded
+    // away before the plan assertion could observe the rewrite
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("pairs_src")
+    val q = spark.sql(
+      """SELECT doc_id,
+        | size(array_intersect(shingle_hashes(text, 2),
+        |   shingle_hashes(CASE WHEN doc_id % 10 = 0 THEN CAST(NULL AS STRING)
+        |                       ELSE text END, 2))) AS c,
+        | size(shingle_hashes(text, 2)) AS expect
+        |FROM pairs_src""".stripMargin)
+    // the optimized plan must carry the native expression...
+    assert(q.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"),
+      s"expected the rewrite in:\n${q.queryExecution.optimizedPlan}")
+    // ...and agree with the generic path: self-intersection equals the
+    // set size, and a null input propagates to a null count
+    q.collect().foreach { r =>
+      if (r.getLong(0) % 10 == 0) assert(r.isNullAt(1))
+      else assert(r.getInt(1) == r.getInt(2))
+    }
+  }
+
+  test("rewrite does not fire on arrays that are not provably sorted") {
+    val q = spark.sql(
+      "SELECT size(array_intersect(array(3L, 1L), array(1L, 2L))) AS c")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"))
+    assert(q.collect().head.getInt(0) == 1)
+  }
+
   test("SQL form rejects wrong arity") {
     intercept[Exception] { spark.sql("SELECT fnv64('a', 'b')").collect() }
   }
