@@ -17,16 +17,22 @@ object Skew {
     * partials per key. Count/sum split into partial+final exactly like
     * Spark's own HashAggregate, one level deeper.
     */
+  /** `valueTransform` pre-casts the value before the partial sum (e.g.
+    * to an exact decimal — sums of any one type re-aggregate without
+    * loss, so the two-phase result equals the single-phase one).
+    */
   def saltedSum(
       df: DataFrame,
       keyCol: String,
       valueCol: String,
       saltSource: Column,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16,
+      valueTransform: Column => Column = identity): DataFrame = {
     val salted = df.withColumn("_salt", pmod(xxhash64(saltSource), lit(saltBuckets)))
     salted
       .groupBy(col(keyCol), col("_salt"))
-      .agg(sum(col(valueCol)).as("_partial_sum"), count(lit(1)).as("_partial_n"))
+      .agg(sum(valueTransform(col(valueCol))).as("_partial_sum"),
+           count(lit(1)).as("_partial_n"))
       .groupBy(col(keyCol))
       .agg(sum(col("_partial_sum")).as(s"sum_$valueCol"),
            sum(col("_partial_n")).as("n"))

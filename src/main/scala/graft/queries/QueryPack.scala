@@ -1042,6 +1042,22 @@ object QueryPack {
            davg(col("cd")).as("avg_cume_dist"))
   }
 
+  /** Salted two-phase aggregation over a genuinely skewed key: events
+    * have ~5 distinct types, so an unsalted groupBy condemns a 1000-
+    * executor cluster to 5 reducers. The deterministic salt (hash of
+    * event_id, not rand() — retried tasks must reproduce) spreads each
+    * hot key over 32 partial aggregates; the final merge re-sums exact
+    * decimals, so the answer is bit-identical to the unsalted query —
+    * which is exactly what the oracle states.
+    */
+  def saltedEventSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSum(
+        Tables.events(s, dir), "event_type", "value",
+        saltSource = col("event_id"), saltBuckets = 32,
+        valueTransform = _.cast(ExactNum.Dec))
+      .select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("n"))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1115,6 +1131,7 @@ object QueryPack {
     "q68_trailing_window"   -> (trailingWindowOrders _),
     "q69_sequence_pack"     -> (sequencePack _),
     "q70_rank_metrics"      -> (rankMetrics _),
+    "q71_salted_agg"        -> (saltedEventSum _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1733,6 +1750,9 @@ object QueryPack {
          | ${davgSql("pr")} AS avg_percent_rank,
          | ${davgSql("cd")} AS avg_cume_dist
          |FROM r GROUP BY c_mktsegment""".stripMargin,
+    "q71_salted_agg" ->
+      s"""SELECT event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS n
+         |FROM events GROUP BY event_type""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,

@@ -3,7 +3,7 @@
  * EnvelopeExpressions.scala. */
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Coalesce, Expression, Literal, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -24,8 +24,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Result compatibility: both sides return IntegerType; `array_intersect`
   * deduplicates its output, which equals the merge count on distinct
   * inputs; null arrays propagate null under the default (non-legacy)
-  * `size` semantics — the legacy `size(null) = -1` mode disables the
-  * rewrite rather than changing behavior.
+  * `size` semantics. Lenient sessions (`ansi.enabled=false` with the
+  * legacy `size(null) = -1` default) still get the rewrite, wrapped in
+  * `coalesce(count, -1)` — a null count arises exactly when `size` would
+  * have seen a null intersection array.
   */
 object IntersectCountRewrite extends Rule[LogicalPlan] {
 
@@ -36,8 +38,9 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case s @ Size(ArrayIntersect(a, b), legacy)
-          if !legacy && provablySorted(a) && provablySorted(b) =>
-        SortedIntersectCount(a, b)
+      case Size(ArrayIntersect(a, b), legacy)
+          if provablySorted(a) && provablySorted(b) =>
+        val cnt = SortedIntersectCount(a, b)
+        if (legacy) Coalesce(Seq(cnt, Literal(-1))) else cnt
     }
 }

@@ -157,6 +157,13 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"expected the window exchange to be reused by the aggregate in:\n$plan")
   }
 
+  test("q71: salted aggregation shuffles twice — (key, salt) then key") {
+    val plan = executedPlan(QueryPack.saltedEventSum(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected the salted + merge exchanges in:\n$plan")
+    assert(plan.contains("_salt"), s"expected the salt key in the first exchange:\n$plan")
+  }
+
   test("q42: as-of join plans a single shuffle pass, no range explosion") {
     val plan = executedPlan(QueryPack.asofLatestOrder(spark, dir))
     assert(!plan.contains("CartesianProduct"),

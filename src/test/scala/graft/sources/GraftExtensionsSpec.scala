@@ -65,21 +65,33 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // away before the plan assertion could observe the rewrite
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .createOrReplaceTempView("pairs_src")
-    val q = spark.sql(
-      """SELECT doc_id,
-        | size(array_intersect(shingle_hashes(text, 2),
-        |   shingle_hashes(CASE WHEN doc_id % 10 = 0 THEN CAST(NULL AS STRING)
-        |                       ELSE text END, 2))) AS c,
-        | size(shingle_hashes(text, 2)) AS expect
-        |FROM pairs_src""".stripMargin)
-    // the optimized plan must carry the native expression...
-    assert(q.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"),
-      s"expected the rewrite in:\n${q.queryExecution.optimizedPlan}")
-    // ...and agree with the generic path: self-intersection equals the
-    // set size, and a null input propagates to a null count
-    q.collect().foreach { r =>
-      if (r.getLong(0) % 10 == 0) assert(r.isNullAt(1))
-      else assert(r.getInt(1) == r.getInt(2))
+    // both size semantics: ANSI/non-legacy (size(null) = null) and the
+    // lenient legacy mode (size(null) = -1, rewrite wraps in coalesce)
+    for (legacy <- Seq(false, true)) {
+      spark.conf.set("spark.sql.legacy.sizeOfNull", legacy.toString)
+      spark.conf.set("spark.sql.ansi.enabled", (!legacy).toString)
+      try {
+        val q = spark.sql(
+          """SELECT doc_id,
+            | size(array_intersect(shingle_hashes(text, 2),
+            |   shingle_hashes(CASE WHEN doc_id % 10 = 0 THEN CAST(NULL AS STRING)
+            |                       ELSE text END, 2))) AS c,
+            | size(shingle_hashes(text, 2)) AS expect
+            |FROM pairs_src""".stripMargin)
+        // the optimized plan must carry the native expression...
+        assert(q.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"),
+          s"legacy=$legacy: expected the rewrite in:\n${q.queryExecution.optimizedPlan}")
+        // ...and agree with the generic path: self-intersection equals
+        // the set size; a null input propagates per the mode's semantics
+        q.collect().foreach { r =>
+          if (r.getLong(0) % 10 == 0) {
+            if (legacy) assert(r.getInt(1) == -1) else assert(r.isNullAt(1))
+          } else assert(r.getInt(1) == r.getInt(2))
+        }
+      } finally {
+        spark.conf.unset("spark.sql.legacy.sizeOfNull")
+        spark.conf.unset("spark.sql.ansi.enabled")
+      }
     }
   }
 
