@@ -83,4 +83,17 @@ object TextHashProperties extends Properties("TextHashOps") {
         UTF8String.fromString(s)).toString ==
         s.replaceAll("[\\p{Punct}\\s]+", " ").trim
     }
+
+  /** Ascending-distinct output on ARBITRARY text is the soundness
+    * precondition of IntersectCountRewrite (and of every sorted-merge
+    * verify in the dedup family) — pinned here beyond the fixed-case
+    * spec in TextFunctionsSpec.
+    */
+  property("shingleHashes output is ascending-distinct on arbitrary text") =
+    forAll(messyStr, Gen.choose(1, 4)) { (s, n) =>
+      val arr = org.apache.spark.sql.graft.ShingleOps.shingleHashes(
+        UTF8String.fromString(s), n)
+      val longs = (0 until arr.numElements()).map(arr.getLong)
+      longs == longs.distinct.sorted
+    }
 }
