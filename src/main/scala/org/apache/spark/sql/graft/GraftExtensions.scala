@@ -68,6 +68,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       })
 
+  /** `minhash_signature(shingle_hashes, k)` — k must be an integer
+    * literal (it sizes the signature array).
+    */
+  private val minhashBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "minhash_signature"),
+      { exprs =>
+        require(exprs.length == 2, "minhash_signature expects (hashes, k)")
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+            MinHashSignature(exprs.head, k)
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature: k must be an integer literal, got $other")
+        }
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(one("fnv64")(Fnv64))
     ext.injectFunction(one("simhash64")(SimHash64))
@@ -78,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(two("envelope_field")(EnvelopeField))
     ext.injectFunction(hyperplaneBuilder)
     ext.injectFunction(shingleBuilder)
+    ext.injectFunction(minhashBuilder)
     // size(array_intersect(shingle_hashes(..), shingle_hashes(..))) →
     // native sorted-merge count (see Rules.scala)
     ext.injectOptimizerRule(_ => IntersectCountRewrite)

@@ -106,6 +106,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { spark.sql("SELECT fnv64('a', 'b')").collect() }
   }
 
+  test("minhash_signature parses over shingle_hashes with a literal k") {
+    val sig = spark.sql(
+      "SELECT minhash_signature(shingle_hashes('a b c d e', 2), 8) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+    // a doc with no shingles has a NULL signature (LSH-bucket poison guard)
+    assert(spark.sql("SELECT minhash_signature(shingle_hashes('one', 2), 8) AS s")
+      .collect().head.isNullAt(0))
+  }
+
   test("hyperplane_buckets parses with literal plane/table counts") {
     val b = spark.sql(
       "SELECT hyperplane_buckets(array(0.5D, -1.5D, 2.0D), 5, 3) AS b")
