@@ -49,4 +49,10 @@ object VectorFunctions {
   def hyperplaneBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
     org.apache.spark.sql.graft.HyperplaneExpressions.hyperplaneBuckets(vec, nPlanes, nTables)
 
+  /** Element-wise vector mean as ONE native aggregate (double[dim+1]
+    * buffer, associative partial merge) — the centroid/k-means-update
+    * primitive; replaces `array(avg(element_at(v, i)))` × dim.
+    */
+  def vectorAvg(vec: Column, dim: Int): Column =
+    org.apache.spark.sql.graft.VectorAggregates.vectorAvg(vec, dim)
 }

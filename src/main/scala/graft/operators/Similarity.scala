@@ -154,11 +154,16 @@ object Similarity {
     corpus.groupBy(col("label")).agg(perDim.head, perDim.tail: _*)
   }
 
-  /** Centroid vectors per cell (label = the coarse-quantizer assignment). */
+  /** Centroid vectors per cell (label = the coarse-quantizer assignment).
+    * One native vector_avg aggregate — a double[dim+1] buffer with
+    * associative partial merge — instead of dim separate avg(element_at)
+    * aggregate expressions; at a billion vectors per build the shuffle
+    * carries 8·(dim+1) bytes per (cell × partition) either way, but the
+    * per-row update is one tight loop, not dim aggregate evaluations.
+    */
   def centroidVectors(corpus: DataFrame, dim: Int): DataFrame =
     corpus.groupBy(col("label")).agg(
-      array((0 until dim).map(i =>
-        avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("centroid"))
+      VectorFunctions.vectorAvg(col("embedding"), dim).as("centroid"))
 
   /** IVF-style ANN: rank cells by query-to-centroid similarity, search
     * only the top `nProbes` cells exactly. The centroid table is tiny
