@@ -165,6 +165,76 @@ object Similarity {
     corpus.groupBy(col("label")).agg(
       VectorFunctions.vectorAvg(col("embedding"), dim).as("centroid"))
 
+  /** Lloyd's k-means over unit-normalized embeddings (cosine ≡ dot on
+    * the unit sphere) — the real coarse-quantizer BUILD for [[ivfTopK]]
+    * (whose `label` column is the assignment this produces).
+    *
+    * Scale shape per iteration: centroids live on the driver (k × dim
+    * doubles — tiny by the cells ≈ √n rule) and enter the plan as
+    * literals, so assignment is a map-side argmax of k dot products (no
+    * join, no row blowup); the update step is ONE [[VectorFunctions
+    * .vectorAvg]] hash aggregate (k groups × dim-sized buffers). Nothing
+    * proportional to the corpus ever reaches the driver or shuffles —
+    * per iteration the wire carries k·dim·partitions partial sums.
+    *
+    * Deterministic: seeds are the k lowest-id vectors, ties in the
+    * argmax break to the lowest cell id, and empty cells keep their
+    * previous centroid. (Like any floating-point k-means, assignments of
+    * points equidistant to ulps may differ across partitionings — the
+    * callers' clusters should be separated, which is what a coarse
+    * quantizer assumes anyway.)
+    *
+    * Returns (assignments: (idCol, cell), centroids: cell → vector).
+    */
+  def kMeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      iterations: Int): (DataFrame, Array[Array[Double]]) = {
+    require(k > 0 && iterations > 0)
+    val normalized = corpus.select(col(idCol),
+      VectorFunctions.normalize(col(vecCol)).as("_v"))
+    var centroids: Array[Array[Double]] = normalized
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.length == k, s"corpus has fewer than $k vectors")
+
+    def assignExpr: org.apache.spark.sql.Column = {
+      // argmax over k dots via array_max on (dot, -cell) structs: max dot
+      // wins, ties take the HIGHEST -cell = lowest cell id
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          VectorFunctions.dot(col("_v"), typedlit(c.toSeq)).as("d"),
+          lit(-i).as("nc"))
+      }: _*)
+      (-array_max(scored).getField("nc")).as("cell")
+    }
+
+    var it = 0
+    while (it < iterations) {
+      val assigned = normalized.withColumn("cell", assignExpr)
+      val updated = assigned.groupBy(col("cell"))
+        .agg(VectorFunctions.vectorAvg(col("_v"), dim).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // re-normalize updated means back onto the unit sphere (spherical
+      // k-means update); empty cells keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        updated.get(i) match {
+          case Some(m) =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n == 0.0) old else m.map(_ / n)
+          case None => old
+        }
+      }
+      it += 1
+    }
+    (normalized.withColumn("cell", assignExpr).select(col(idCol), col("cell")),
+      centroids)
+  }
+
   /** IVF-style ANN: rank cells by query-to-centroid similarity, search
     * only the top `nProbes` cells exactly. The centroid table is tiny
     * (one row per cell) so probe selection is a broadcast cross join; the

@@ -293,6 +293,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(recall(ivf) >= 0.3, s"IVF recall@10 = ${recall(ivf)}")
   }
 
+  test("k-means recovers separable clusters deterministically and feeds IVF") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 3 well-separated clusters around axes e0/e1/e2 in 4-dim, with
+    // deterministic per-point jitter on a different axis
+    val rows = (0 until 60).map { i =>
+      val axis = i % 3
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v(3) = 0.05f * ((i % 7) - 3) // jitter, same for every run
+      Row(i.toLong, v.toSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 5), schema)
+    val (assign1, cents) = Similarity.kMeans(df, "vec_id", "embedding",
+      k = 3, dim = 4, iterations = 5)
+    val byId = assign1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // purity: every point of a true cluster lands in the same cell
+    for (axis <- 0 until 3) {
+      val cells = (0 until 60).filter(_ % 3 == axis).map(i => byId(i.toLong)).distinct
+      assert(cells.size == 1, s"cluster $axis split across cells $cells")
+    }
+    // the 3 true clusters occupy 3 distinct cells
+    assert((0 until 3).map(a => byId(a.toLong)).distinct.size == 3)
+    // each centroid points at its cluster's axis
+    cents.foreach { c =>
+      val main = c.zipWithIndex.maxBy(x => math.abs(x._1))._2
+      assert(main < 3 && math.abs(c(main)) > 0.9)
+    }
+    // determinism: a second run reproduces the assignment exactly
+    val (assign2, _) = Similarity.kMeans(df, "vec_id", "embedding",
+      k = 3, dim = 4, iterations = 5)
+    assert(assign2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == byId)
+  }
+
   test("IVF ANN: probed-cell search returns valid ranked neighbors") {
     val queries = embeddings.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding")
