@@ -85,6 +85,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       })
 
+  /** `vector_avg(vec, dim)` — dim must be an integer literal (it sizes
+    * the aggregation buffer). Registers as an aggregate function.
+    */
+  private val vectorAvgBuilder
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vector_avg"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "vector_avg"),
+      { exprs =>
+        require(exprs.length == 2, "vector_avg expects (vec, dim)")
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(d: Int, _) =>
+            VectorAvg(exprs.head, d).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"vector_avg: dim must be an integer literal, got $other")
+        }
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(one("fnv64")(Fnv64))
     ext.injectFunction(one("simhash64")(SimHash64))
@@ -96,6 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(hyperplaneBuilder)
     ext.injectFunction(shingleBuilder)
     ext.injectFunction(minhashBuilder)
+    ext.injectFunction(vectorAvgBuilder)
     // size(array_intersect(shingle_hashes(..), shingle_hashes(..))) →
     // native sorted-merge count (see Rules.scala)
     ext.injectOptimizerRule(_ => IntersectCountRewrite)

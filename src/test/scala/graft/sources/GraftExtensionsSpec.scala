@@ -116,6 +116,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.isNullAt(0))
   }
 
+  test("vector_avg aggregates from SQL with a literal dim") {
+    import spark.implicits._
+    Seq((1, Seq(1.0, 3.0)), (1, Seq(3.0, 5.0)), (2, Seq(2.0, 2.0)))
+      .toDF("g", "v").createOrReplaceTempView("vecs_src")
+    val got = spark.sql("SELECT g, vector_avg(v, 2) AS c FROM vecs_src GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1) == Seq(2.0, 4.0) && got(2) == Seq(2.0, 2.0))
+  }
+
   test("hyperplane_buckets parses with literal plane/table counts") {
     val b = spark.sql(
       "SELECT hyperplane_buckets(array(0.5D, -1.5D, 2.0D), 5, 3) AS b")
