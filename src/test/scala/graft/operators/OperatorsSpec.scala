@@ -293,6 +293,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(recall(ivf) >= 0.3, s"IVF recall@10 = ${recall(ivf)}")
   }
 
+  test("IVF over k-means cells: recall beats the label quantizer's chance line") {
+    // end-to-end index build: kMeans assigns cells, ivfTopK probes them —
+    // a data-driven quantizer should beat cells that only weakly track
+    // proximity (the label column), given the same probe budget
+    val (assign, _) = Similarity.kMeans(embeddings, "vec_id", "embedding",
+      k = 10, dim = 64, iterations = 4)
+    val relabeled = embeddings.drop("label")
+      .join(assign, "vec_id").withColumnRenamed("cell", "label")
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, embeddings, 10))
+    val ivfKmeans = pairs(Similarity.ivfTopK(queries, relabeled, 10, dim = 64, nProbes = 3))
+    val recall = ivfKmeans.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-over-kmeans recall@10 = $recall")
+    // 3/10 probed cells ⇒ ~0.3 recall if cells were proximity-blind;
+    // k-means cells must do materially better than that chance line
+    assert(recall >= 0.45, s"IVF-over-kmeans recall@10 = $recall")
+  }
+
   test("k-means recovers separable clusters deterministically and feeds IVF") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
