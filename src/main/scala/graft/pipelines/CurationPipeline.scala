@@ -1,0 +1,103 @@
+package graft.pipelines
+
+import graft.functions.TextFunctions
+import graft.monitoring.ObservedMetrics
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation job, composed from the
+  * engine's operators — what "a user of the reference could switch to
+  * this library" means for the beyond-reference surface. One lineage:
+  * the final partitioned write executes the chain with no intermediate
+  * materialization (the single exception is the near-dup labeling,
+  * whose bounded ids-only pair graph runs at construction), and
+  * per-stage `observe()` metrics ride the same pass (no second scan).
+  *
+  *   1. exact dedup on NORMALIZED text (punct/ws collapse + lower) —
+  *      the canonical copy is the minimum doc_id;
+  *   2. near-duplicate removal: exact n-gram Jaccard pairs → connected
+  *      components → keep each cluster's minimum id;
+  *   3. quality floor on the composite score;
+  *   4. benchmark decontamination: drop docs sharing ≥ `decontamShared`
+  *      distinct word 3-grams with the eval corpus;
+  *   5. deterministic content-hash train/valid/test split;
+  *   6. write parquet partitioned by (lang, split).
+  *
+  * Scale notes: stages 1/3/5 are map-side + one keyed shuffle each;
+  * stage 2's pair graph carries ids only (SCALING.md "Dedup family");
+  * stage 4 leaves join strategy to AQE (broadcast while the eval index
+  * fits, shuffle equi-join past that). Nothing corpus-sized reaches the
+  * driver; the one bounded collect is the near-dup component labeling.
+  */
+object CurationPipeline {
+
+  case class Config(
+      shingleSize: Int = 2,
+      jaccardThreshold: Double = 0.5,
+      minQuality: Double = 0.3,
+      decontamShingle: Int = 3,
+      decontamShared: Int = 3,
+      trainPct: Int = 80,
+      validPct: Int = 10)
+
+  /** Returns the curated, split-labeled corpus; callers typically
+    * follow with [[write]]. `evalDocs` needs a `text` column only.
+    */
+  def curate(docs: DataFrame, evalDocs: DataFrame, cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+
+    // 1. normalized exact dedup (min-id canonical copy)
+    val norm = lower(org.apache.spark.sql.graft.TextNormExpressions
+      .normalizeWsPunct(col("text")))
+    val exactDeduped = ObservedMetrics.attach(
+      Dedup.exactDedup(docs.withColumn("_norm", norm), "_norm", "doc_id").drop("_norm"),
+      "curation_exact_dedup", count(lit(1)).as("rows"))
+
+    // 2. near-dup clusters → keep cluster minima
+    val pairs = Dedup.exactJaccardPairs(
+      exactDeduped, "doc_id", "text", cfg.shingleSize, cfg.jaccardThreshold)
+    val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    val nearDeduped = ObservedMetrics.attach(
+      exactDeduped.join(dropped, Seq("doc_id"), "left_anti"),
+      "curation_near_dedup", count(lit(1)).as("rows"))
+
+    // 3. quality floor
+    val qualified = ObservedMetrics.attach(
+      nearDeduped.filter(TextFunctions.qualityScore(col("text")) >= cfg.minQuality),
+      "curation_quality", count(lit(1)).as("rows"))
+
+    // 4. decontamination against the eval corpus (AQE picks the join)
+    val evalShingles = evalDocs.select(
+      explode(array_distinct(
+        TextFunctions.shingles(col("text"), cfg.decontamShingle))).as("shingle"))
+      .distinct()
+    val contaminated = qualified.select(col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.shingles(col("text"), cfg.decontamShingle))).as("shingle"))
+      .join(evalShingles, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= cfg.decontamShared)
+      .select("doc_id")
+    val clean = ObservedMetrics.attach(
+      qualified.join(contaminated, Seq("doc_id"), "left_anti"),
+      "curation_decontam", count(lit(1)).as("rows"))
+
+    // 5. deterministic content-hash split
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    clean.withColumn("split",
+      when(bucket < cfg.trainPct, "train")
+        .when(bucket < cfg.trainPct + cfg.validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** 6. partitioned corpus layout: one directory per (lang, split). */
+  def write(curated: DataFrame, outDir: String, maxRecordsPerFile: Long = 10000000L): Unit =
+    curated.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang", "split")
+      .parquet(outDir)
+}
