@@ -1058,6 +1058,24 @@ object QueryPack {
       .select(col("event_type"),
         col("sum_value").cast("double").as("sum_value"), col("n"))
 
+  /** The END-TO-END curation funnel as one oracle-checked query:
+    * normalized exact dedup → near-dup cluster removal → quality floor →
+    * benchmark decontamination → content-hash split, reported as
+    * survivors per (lang, split). Every stage's SQL twin is proven
+    * individually (q49, q45/q54, q41, q55, q46); this composes them —
+    * the strongest correctness statement the gate can make about
+    * [[graft.pipelines.CurationPipeline]]. Bounded to the deterministic
+    * id slice the pair oracles use.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val eval = docs.filter(col("doc_id") % 100 === 0).select(col("text"))
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+    graft.pipelines.CurationPipeline.curate(train, eval)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1132,6 +1150,7 @@ object QueryPack {
     "q69_sequence_pack"     -> (sequencePack _),
     "q70_rank_metrics"      -> (rankMetrics _),
     "q71_salted_agg"        -> (saltedEventSum _),
+    "q72_curation"          -> (curationFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1753,6 +1772,67 @@ object QueryPack {
     "q71_salted_agg" ->
       s"""SELECT event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS n
          |FROM events GROUP BY event_type""".stripMargin,
+    // composed from the stage fragments proven by q49/q45/q41/q55/q46
+    "q72_curation" -> {
+      val stop = "('the','a','an','and','or','of','to','in','is','on','for','with')"
+      val punctRatio = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)" +
+        " / length(text) END"
+      s"""WITH RECURSIVE base AS (
+         | SELECT doc_id, text, lang FROM documents
+         | WHERE doc_id < 1000 AND doc_id % 100 <> 0),
+         |evald AS (SELECT text FROM documents
+         | WHERE doc_id < 1000 AND doc_id % 100 = 0),
+         |nh AS (SELECT doc_id, text, lang,
+         |  md5(lower(trim(regexp_replace(text, '[[:punct:][:space:]]+', ' ', 'g')))) AS h
+         | FROM base),
+         |ded AS (SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang,
+         |   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM nh) z
+         | WHERE rn = 1),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM ded),
+         |d AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s FROM t),
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM d a JOIN d b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+         |reach AS (
+         | SELECT u AS node, u AS r FROM e
+         | UNION
+         | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u),
+         |dropped AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(r) <> node),
+         |surv AS (SELECT doc_id, text, lang FROM ded
+         | WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |qt AS (SELECT doc_id, text, lang, ${toksSql("text")} AS w FROM surv),
+         |qual AS (SELECT doc_id, text, lang FROM qt
+         | WHERE ROUND((
+         |   LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |   + GREATEST(0.0, 1.0 - ($punctRatio) * 5.0)
+         |   + LEAST((CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(w, x -> x IN $stop)) AS DOUBLE) / len(w) END) * 4.0, 1.0)
+         |  ) / 3.0, 6) >= 0.3),
+         |dq AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         | FROM (SELECT doc_id, ${toksSql("text")} AS w FROM qual) zq),
+         |de AS (SELECT DISTINCT unnest(s) AS shingle FROM (
+         |  SELECT list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w)-1)]) AS s
+         |  FROM (SELECT ${toksSql("text")} AS w FROM evald) ze) zs),
+         |contaminated AS (SELECT doc_id FROM (
+         |  SELECT doc_id, unnest(s) AS shingle FROM dq) x
+         | JOIN de USING (shingle) GROUP BY doc_id HAVING COUNT(*) >= 3),
+         |clean AS (SELECT doc_id, text, lang FROM qual
+         | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |sp AS (SELECT lang,
+         |  CASE WHEN (${fnvSql("text")} & 2147483647) % 100 < 80 THEN 'train'
+         |       WHEN (${fnvSql("text")} & 2147483647) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM clean)
+         |SELECT lang, split, COUNT(*) AS n_docs FROM sp GROUP BY 1, 2""".stripMargin
+    },
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
