@@ -354,6 +354,50 @@ object Dedup {
       .dropDuplicates("id_inner", "id_outer")
   }
 
+  /** CROSS-corpus near-dup pairs: left documents whose n-gram Jaccard
+    * with some right document clears the threshold — "dedup the new
+    * crawl against the existing training set" without paying for
+    * either side's intra-corpus pairs. Same prefix-filter recall
+    * argument as [[exactJaccardPairs]] (both sides prefix-index under
+    * the shared hash order; overlap ≥ ⌈t·max(|A|,|B|)⌉ forces a prefix
+    * collision), same length filter, same sorted-merge verify — but the
+    * join is A-prefix ⋈ B-prefix only, so no same-corpus candidate is
+    * ever generated or filtered.
+    */
+  def crossCorpusPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    def side(docs: DataFrame, tag: String): DataFrame =
+      docs.select(col(idCol).as(s"id_$tag"),
+          TextFunctions.shingleHashes(col(textCol), shingleSize).as(s"sh_$tag"))
+        .withColumn(s"sz_$tag", size(col(s"sh_$tag")))
+        .filter(col(s"sz_$tag") > 0)
+    def prefix(sh: DataFrame, tag: String): DataFrame =
+      sh.select(col(s"id_$tag"), col(s"sz_$tag"),
+        explode(slice(col(s"sh_$tag"), lit(1),
+          (col(s"sz_$tag") - ceil(lit(threshold) * col(s"sz_$tag") - lit(1e-9)) + 1)
+            .cast("int"))).as("shingle"))
+    val (l, r) = (side(left, "l"), side(right, "r"))
+    val candidates = prefix(l, "l").join(prefix(r, "r"), Seq("shingle"))
+      .filter(col("sz_r") >= lit(threshold) * col("sz_l") - lit(1e-9) &&
+              col("sz_l") >= lit(threshold) * col("sz_r") - lit(1e-9))
+      .select("id_l", "id_r")
+      .dropDuplicates("id_l", "id_r")
+    candidates
+      .join(l.select(col("id_l"), col("sh_l"), col("sz_l")), "id_l")
+      .join(r.select(col("id_r"), col("sh_r"), col("sz_r")), "id_r")
+      .withColumn("inter", org.apache.spark.sql.graft.VectorExpressions
+        .sortedIntersectCount(col("sh_l"), col("sh_r")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_l") + col("sz_r") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Streaming near-duplicate pairs: MinHash-LSH banding applied to a
     * document STREAM. Each arriving document's banded signature joins
     * against other documents' bands within `intervalSeconds` of event

@@ -177,6 +177,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == expect)
   }
 
+  test("cross-corpus pairs equal the cross slice of the unified join, no intra pairs") {
+    // split the corpus by parity: 'left' is the new crawl, 'right' the
+    // existing training set
+    val l = docs.filter($"doc_id" % 2 === 0)
+    val r = docs.filter($"doc_id" % 2 === 1)
+    val got = Dedup.crossCorpusPairs(l, r, "doc_id", "text", 2, 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // reference: the unified all-pairs join, restricted to cross pairs
+    val all = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val expect = all.flatMap { case (a, b, j) =>
+      if (a % 2 == 0 && b % 2 == 1) Some((a, b, j))
+      else if (a % 2 == 1 && b % 2 == 0) Some((b, a, j))
+      else None
+    }.toSet
+    assert(expect.nonEmpty, "corpus must contain cross-parity near-dups")
+    assert(got == expect)
+    got.foreach { case (a, b, _) => assert(a % 2 == 0 && b % 2 == 1) }
+  }
+
   test("df-ordered containment: same pairs, strictly fewer candidates on skew") {
     // same stopword-skewed corpus shape as the jaccard df-order spec,
     // plus planted containments: short docs embedded in longer ones
