@@ -1076,6 +1076,20 @@ object QueryPack {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Array aggregation (collect_set) made deterministic: the collected
+    * set is SORTED before any use, so the nondeterministic accumulation
+    * order can't leak into results — emitted as a joined string (the
+    * cross-engine-stable array representation).
+    */
+  def collectAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        concat_ws(",", transform(
+          slice(sort_array(collect_set(when(col("value") > 99, col("user_id")))), 1, 3),
+          _.cast("string"))).as("first_users"),
+        count(when(col("value") > 99, 1)).as("n_high"))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1151,6 +1165,7 @@ object QueryPack {
     "q70_rank_metrics"      -> (rankMetrics _),
     "q71_salted_agg"        -> (saltedEventSum _),
     "q72_curation"          -> (curationFunnel _),
+    "q73_collect_agg"       -> (collectAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1833,6 +1848,13 @@ object QueryPack {
          | FROM clean)
          |SELECT lang, split, COUNT(*) AS n_docs FROM sp GROUP BY 1, 2""".stripMargin
     },
+    "q73_collect_agg" ->
+      """SELECT event_type,
+        | COALESCE(array_to_string(
+        |   (list_sort(list(DISTINCT user_id) FILTER (WHERE value > 99)))[1:3], ','),
+        |  '') AS first_users,
+        | COUNT(CASE WHEN value > 99 THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
