@@ -1090,6 +1090,21 @@ object QueryPack {
           _.cast("string"))).as("first_users"),
         count(when(col("value") > 99, 1)).as("n_high"))
 
+  /** Structured extraction from semi-structured strings: regexp_extract
+    * pulls the numeric id out of the name and cross-checks it against
+    * the key column — the scrub/validate scan run before trusting a
+    * denormalized text field. Patterns stay in the Java∩RE2 subset
+    * (digits/literals) so both engines match identically.
+    */
+  def regexExtractAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("name_id",
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           count(when(col("name_id") === col("c_custkey"), 1)).as("n_consistent"),
+           sum(col("name_id")).as("sum_ids"))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1166,6 +1181,7 @@ object QueryPack {
     "q71_salted_agg"        -> (saltedEventSum _),
     "q72_curation"          -> (curationFunnel _),
     "q73_collect_agg"       -> (collectAgg _),
+    "q74_regex_extract"     -> (regexExtractAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1855,6 +1871,15 @@ object QueryPack {
         |  '') AS first_users,
         | COUNT(CASE WHEN value > 99 THEN 1 END) AS n_high
         |FROM events GROUP BY event_type""".stripMargin,
+    "q74_regex_extract" ->
+      """WITH x AS (
+        | SELECT c_mktsegment, c_custkey,
+        |  CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS name_id
+        | FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        | COUNT(CASE WHEN name_id = c_custkey THEN 1 END) AS n_consistent,
+        | CAST(SUM(name_id) AS BIGINT) AS sum_ids
+        |FROM x GROUP BY c_mktsegment""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
