@@ -100,4 +100,34 @@ object CurationPipeline {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("lang", "split")
       .parquet(outDir)
+
+  /** The STREAMING ingest twin: the stages that are per-document (and
+    * therefore streamable) applied to a document stream — normalized
+    * exact dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark` on the content hash, so re-crawls
+    * and re-deliveries inside the lateness window collapse while state
+    * stays finite), the quality floor, and the deterministic split.
+    * Cross-document near-dup clustering and decontamination stay batch
+    * passes over the landed corpus ([[curate]]) — they need corpus-wide
+    * joins, not per-row decisions. Sink with
+    * `writeStream.partitionBy("lang", "split").format("parquet")`.
+    */
+  def curateStream(docs: DataFrame, tsCol: String, watermarkDelay: String,
+                   cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val norm = lower(org.apache.spark.sql.graft.TextNormExpressions
+      .normalizeWsPunct(col("text")))
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    docs
+      .withColumn("_norm_hash", md5(norm))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("_norm_hash"))
+      .drop("_norm_hash")
+      .filter(TextFunctions.qualityScore(col("text")) >= cfg.minQuality)
+      .withColumn("split",
+        when(bucket < cfg.trainPct, "train")
+          .when(bucket < cfg.trainPct + cfg.validPct, "valid")
+          .otherwise("test"))
+  }
 }

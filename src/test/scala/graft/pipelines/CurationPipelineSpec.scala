@@ -13,6 +13,38 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTest {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("streaming ingest twin: dedup within watermark, quality floor, split") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Long) = new Timestamp(m * 60000L)
+    val good = ("quality " * 60).trim // long, no punct, needs stopwords
+    val goodText = s"the and of is to on $good"
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val curated = CurationPipeline.curateStream(
+      input.toDF().toDF("doc_id", "text", "lang", "ts"), "ts", "10 minutes")
+    val q = curated.writeStream.format("memory")
+      .queryName("curate_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, goodText, "en", ts(0)),
+        (2L, goodText + "!!", "en", ts(1)), // same normalized text → dup collapses
+        (3L, "!!!???!!!", "en", ts(2)))     // all punctuation → fails the floor
+      q.processAllAvailable()
+      input.addData((99L, goodText + " fresh tail words", "en", ts(60)))
+      q.processAllAvailable()
+      val rows = spark.table("curate_stream")
+        .select($"doc_id", $"split").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val ids = rows.map(_._1).toSet
+      assert(!ids.contains(3L), s"low-quality doc survived: $ids")
+      assert(ids.intersect(Set(1L, 2L)).size == 1,
+        s"normalized duplicate must collapse to one survivor: $ids")
+      assert(ids.contains(99L), s"fresh doc must land: $ids")
+      assert(rows.forall(r => Set("train", "valid", "test").contains(r._2)))
+    } finally q.stop()
+  }
+
   test("curation pipeline composes the operators, reports stage metrics, writes the layout") {
     val docs = graft.Tables.documents(spark, sfDir)
     val eval = docs.filter($"doc_id" % 100 === 0).select($"text")
