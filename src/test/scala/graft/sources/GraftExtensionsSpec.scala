@@ -102,6 +102,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().head.getInt(0) == 1)
   }
 
+  test("SQL surface parity: simhash signatures via SQL equal the Column pipeline") {
+    // the same signature query, once through pure SQL (extensions
+    // functions + the optimizer rule's territory) and once through the
+    // Column API the query pack uses — identical results prove the two
+    // surfaces expose one engine
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(transform(
+        |  CASE WHEN length(trim(text)) = 0 THEN array()
+        |       ELSE split(trim(text), '\\s+') END,
+        |  t -> fnv64(t))) AS simhash
+        |FROM docs_sql""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumns = graft.operators.Dedup.simHash(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text")
+      .select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaColumns)
+  }
+
   test("SQL form rejects wrong arity") {
     intercept[Exception] { spark.sql("SELECT fnv64('a', 'b')").collect() }
   }
