@@ -71,6 +71,23 @@ class ErrorAggregatorSpec extends AnyFunSuite with SparkTest {
     assert(!df.columns.contains("client_id"))
   }
 
+  test("corrupt envelopes drop silently in lenient mode and raise in strict mode") {
+    // the reference's semantics-preservation contract (SURVEY §7.3):
+    // every parse error silently drops the ping unless raiseOnError
+    import spark.implicits._
+    val valid = TestMessages.crashMessages(2).map(_.toBytes)
+    val corrupt = Array[Byte](0x7f, 0x00, 0x42, 0x13)
+    val mixed = spark.createDataset(valid :+ corrupt).toDF("value")
+    val lenient = ErrorAggregator.aggregate(mixed, raiseOnError = false).collect()
+    // the 2 valid crashes aggregate (null-experiment row carries each
+    // ping exactly once); the corrupt envelope vanishes
+    assert(lenient.filter(_.isNullAt(lenient.head.fieldIndex("experiment_id")))
+      .map(_.getAs[Long]("main_crashes")).sum == 2L)
+    intercept[Exception] {
+      ErrorAggregator.aggregate(mixed, raiseOnError = true).count()
+    }
+  }
+
   test("normalizes os_version") {
     val messages = TestMessages.mainMessages(1, Map(
       "environment.system" -> Json.str("""{"os": {"name": "linux", "version": "10.2.42-hello"}}""")))
