@@ -164,6 +164,26 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
     assert(plan.contains("_salt"), s"expected the salt key in the first exchange:\n$plan")
   }
 
+  test("q39's scale path: approx_percentile tracks exact percentiles within sketch error") {
+    // SCALING.md names approx_percentile (mergeable sketch partials,
+    // bounded buffers) as the 100 TB route where q39's exact percentile
+    // buffers whole groups; this pins that the documented swap is a
+    // drop-in on real data
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, dir)
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.95)").as("exact"),
+           expr("approx_percentile(l_quantity, 0.95, 10000)").as("approx"),
+           max(col("l_quantity")).as("hi"), min(col("l_quantity")).as("lo"))
+      .collect()
+    both.foreach { r =>
+      val span = r.getAs[Double]("hi") - r.getAs[Double]("lo")
+      val err = math.abs(r.getAs[Double]("exact") - r.getAs[Double]("approx"))
+      assert(err <= span * 0.02,
+        s"${r.get(0)}: approx ${r.get(2)} vs exact ${r.get(1)} (span $span)")
+    }
+  }
+
   test("q42: as-of join plans a single shuffle pass, no range explosion") {
     val plan = executedPlan(QueryPack.asofLatestOrder(spark, dir))
     assert(!plan.contains("CartesianProduct"),
