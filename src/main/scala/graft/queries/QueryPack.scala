@@ -1105,6 +1105,24 @@ object QueryPack {
            count(when(col("name_id") === col("c_custkey"), 1)).as("n_consistent"),
            sum(col("name_id")).as("sum_ids"))
 
+  /** FIRST_VALUE / LAST_VALUE over a full-partition frame: each
+    * customer's first and last order (by date, keyed tie-break) —
+    * completes the analytic-window inventory (rank q05, frames q35/q68,
+    * lag q57, ntile q66, distribution q70). The unbounded-following
+    * frame is the part worth pinning: the default frame stops at
+    * CURRENT ROW, where last_value degenerates to the row itself.
+    */
+  def firstLastOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).filter(col("o_custkey") < 200)
+      .withColumn("first_order", first(col("o_orderkey")).over(w))
+      .withColumn("last_order", last(col("o_orderkey")).over(w))
+      .select(col("o_custkey"), col("first_order"), col("last_order"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1182,6 +1200,7 @@ object QueryPack {
     "q72_curation"          -> (curationFunnel _),
     "q73_collect_agg"       -> (collectAgg _),
     "q74_regex_extract"     -> (regexExtractAudit _),
+    "q75_first_last"        -> (firstLastOrders _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1880,6 +1899,13 @@ object QueryPack {
         | COUNT(CASE WHEN name_id = c_custkey THEN 1 END) AS n_consistent,
         | CAST(SUM(name_id) AS BIGINT) AS sum_ids
         |FROM x GROUP BY c_mktsegment""".stripMargin,
+    "q75_first_last" ->
+      """SELECT DISTINCT o_custkey,
+        | FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        | LAST_VALUE(o_orderkey) OVER w AS last_order
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
