@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the operator inventory (SURVEY.md §2 + training-data
-  * extensions); `oracleSql` carries the DuckDB twin of every query whose
-  * mechanism is expressible cross-engine (hash-signature operators get
-  * the weaker rows-only check by design).
+  * extensions); `oracleSql` carries a DuckDB twin for EVERY query —
+  * signature operators restate their FNV/simhash arithmetic in SQL, and
+  * the deterministic ANN family replays its splitmix64 hyperplane
+  * weights and centroid math as literals (see QueryPack's scaladoc).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
