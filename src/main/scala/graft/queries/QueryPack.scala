@@ -1123,6 +1123,17 @@ object QueryPack {
       .distinct()
   }
 
+  /** UNPIVOT (melt): q43's wide per-user event-count matrix back to
+    * long form, zero cells preserved — the wide↔long reshape pair
+    * (pivot q43 / unpivot here) a feature-engineering pipeline round-
+    * trips through. Uses the Spark 4 `unpivot` Dataset API.
+    */
+  def unpivotEventCounts(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    eventTypePivot(s, dir)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1201,6 +1212,7 @@ object QueryPack {
     "q73_collect_agg"       -> (collectAgg _),
     "q74_regex_extract"     -> (regexExtractAudit _),
     "q75_first_last"        -> (firstLastOrders _),
+    "q76_unpivot"           -> (unpivotEventCounts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1906,6 +1918,12 @@ object QueryPack {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q76_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |ty AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n
+        |FROM u CROSS JOIN ty LEFT JOIN c USING (user_id, event_type)""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
