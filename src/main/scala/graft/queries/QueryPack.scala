@@ -1134,6 +1134,21 @@ object QueryPack {
       .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
   }
 
+  /** INTERSECT ALL / EXCEPT ALL — the multiset (duplicate-preserving)
+    * set operations; q34 covers the DISTINCT forms. Counting the
+    * surviving multiplicities per nation makes duplicate preservation
+    * the thing the oracle actually checks.
+    */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(sup).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+      .unionByName(
+        c.exceptAll(sup).groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all")))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1213,6 +1228,7 @@ object QueryPack {
     "q74_regex_extract"     -> (regexExtractAudit _),
     "q75_first_last"        -> (firstLastOrders _),
     "q76_unpivot"           -> (unpivotEventCounts _),
+    "q77_setops_all"        -> (setOpsAll _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1924,6 +1940,17 @@ object QueryPack {
         |c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
         |SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n
         |FROM u CROSS JOIN ty LEFT JOIN c USING (user_id, event_type)""".stripMargin,
+    "q77_setops_all" ->
+      """WITH i AS (
+        | SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer)
+        | INTERSECT ALL SELECT s_nationkey FROM supplier),
+        |e AS (
+        | SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer)
+        | EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, n, tag FROM (
+        | SELECT nationkey, COUNT(*) AS n, 'intersect_all' AS tag FROM i GROUP BY 1
+        | UNION ALL
+        | SELECT nationkey, COUNT(*) AS n, 'except_all' AS tag FROM e GROUP BY 1) t""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
