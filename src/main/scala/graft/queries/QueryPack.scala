@@ -1149,6 +1149,36 @@ object QueryPack {
           .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all")))
   }
 
+  /** exists / forall higher-order predicates over the token array —
+    * per language, documents containing any long token and documents
+    * whose tokens are ALL short (the per-row any/all quantifiers the
+    * HOF family still lacked; transform/aggregate/filter/slice appear
+    * in q63/q64).
+    */
+  def tokenQuantifiers(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(exists(col("toks"), t => length(t) > 15), 1)).as("n_any_long"),
+           count(when(forall(col("toks"), t => length(t) < 12), 1)).as("n_all_short"))
+
+  /** Gap-filled daily event series: `sequence()` generates the full day
+    * range so zero-activity days appear explicitly — the densification
+    * step time-series reporting needs before window math. The generator
+    * explodes from ONE driver-free row (min/max come from an aggregate),
+    * so the series never routes through the driver.
+    */
+  def gapFilledDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select((col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+    val perDay = ev.groupBy(col("d")).agg(count(lit(1)).as("n_events"))
+    val days = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    days.join(perDay, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, Q] = Map(
@@ -1229,6 +1259,8 @@ object QueryPack {
     "q75_first_last"        -> (firstLastOrders _),
     "q76_unpivot"           -> (unpivotEventCounts _),
     "q77_setops_all"        -> (setOpsAll _),
+    "q78_quantifiers"       -> (tokenQuantifiers _),
+    "q79_gap_fill"          -> (gapFilledDaily _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1951,6 +1983,22 @@ object QueryPack {
         | SELECT nationkey, COUNT(*) AS n, 'intersect_all' AS tag FROM i GROUP BY 1
         | UNION ALL
         | SELECT nationkey, COUNT(*) AS n, 'except_all' AS tag FROM e GROUP BY 1) t""".stripMargin,
+    "q78_quantifiers" ->
+      s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN len(list_filter(w, x -> length(x) > 15)) > 0 THEN 1 END)
+         |   AS n_any_long,
+         | COUNT(CASE WHEN len(list_filter(w, x -> length(x) >= 12)) = 0 THEN 1 END)
+         |   AS n_all_short
+         |FROM t GROUP BY lang""".stripMargin,
+    "q79_gap_fill" ->
+      """WITH e AS (
+        | SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events),
+        |pd AS (SELECT d, COUNT(*) AS n_events FROM e GROUP BY d),
+        |r AS (SELECT unnest(generate_series((SELECT MIN(d) FROM e),
+        |                                    (SELECT MAX(d) FROM e))) AS d)
+        |SELECT r.d, COALESCE(pd.n_events, 0) AS n_events
+        |FROM r LEFT JOIN pd USING (d)""".stripMargin,
     "q37_session_windows" ->
       """WITH g AS (
         | SELECT user_id, ts,
