@@ -25,8 +25,8 @@ object ObservedMetrics {
     * `attach(df, "parse", count(lit(1)).as("rows"),
     *  count(when(col("err").isNotNull, 1)).as("errors"))`.
     */
-  def attach(df: DataFrame, name: String, metrics: Column*): DataFrame =
-    df.observe(name, metrics.head, metrics.tail: _*)
+  def attach(df: DataFrame, name: String, first: Column, rest: Column*): DataFrame =
+    df.observe(name, first, rest: _*)
 
   /** Collects observed metric rows for batch queries, keyed by
     * observation name; register the returned listener's handle with

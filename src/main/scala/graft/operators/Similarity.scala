@@ -160,10 +160,21 @@ object Similarity {
     * aggregate expressions; at a billion vectors per build the shuffle
     * carries 8·(dim+1) bytes per (cell × partition) either way, but the
     * per-row update is one tight loop, not dim aggregate evaluations.
+    *
+    * Malformed vectors (wrong length, or any null element) are dropped
+    * BEFORE aggregating: vector_avg's poison semantics would otherwise
+    * null the whole cell centroid, and a null centroid feeding
+    * [[ivfTopK]]'s broadcast centroid table breaks probe ranking. The
+    * old avg(element_at) construction silently skipped such rows
+    * per-dimension; filtering keeps that robustness with one pass.
     */
   def centroidVectors(corpus: DataFrame, dim: Int): DataFrame =
-    corpus.groupBy(col("label")).agg(
-      VectorFunctions.vectorAvg(col("embedding"), dim).as("centroid"))
+    corpus
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull))
+      .groupBy(col("label")).agg(
+        VectorFunctions.vectorAvg(col("embedding"), dim).as("centroid"))
 
   /** Lloyd's k-means over unit-normalized embeddings (cosine ≡ dot on
     * the unit sphere) — the real coarse-quantizer BUILD for [[ivfTopK]]

@@ -45,12 +45,19 @@ object StreamJoins {
     * static side, no join state at all; Spark re-plans the static side
     * each batch, so a dimension refresh on disk is picked up live).
     * `left` (default) keeps stream rows that miss the dimension.
+    *
+    * Joins on a USING column (the dim key renamed to the stream key):
+    * a raw `col(streamKey) === col(dimKey)` condition is ambiguous when
+    * both sides share the key name and leaks a duplicate key column
+    * when they don't — USING resolves both and emits the key once.
     */
   def enrich(
       stream: DataFrame,
       dim: DataFrame,
       streamKey: String,
       dimKey: String,
-      joinType: String = "left"): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
+      joinType: String = "left"): DataFrame = {
+    val d = if (dimKey == streamKey) dim else dim.withColumnRenamed(dimKey, streamKey)
+    stream.join(broadcast(d), Seq(streamKey), joinType)
+  }
 }

@@ -1170,8 +1170,12 @@ object QueryPack {
     * so the series never routes through the driver.
     */
   def gapFilledDaily(s: SparkSession, dir: String): DataFrame = {
+    // floor(), not a cast: the oracle floors epoch/86400, and for
+    // pre-1970 (negative) timestamps a double divide + cast-to-long
+    // truncates toward zero instead of flooring. (Spark's `div` also
+    // truncates — IntegralDivide uses integral quot semantics.)
     val ev = Tables.events(s, dir)
-      .select((col("ts").cast("long") / lit(86400L)).cast("long").as("d"))
+      .select(floor(col("ts").cast("long") / lit(86400L)).as("d"))
     val perDay = ev.groupBy(col("d")).agg(count(lit(1)).as("n_events"))
     val days = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))
