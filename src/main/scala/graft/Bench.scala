@@ -19,7 +19,8 @@ object Bench {
       // sums). Below the limit Spark falls back to the still-compiled
       // non-codegen path: slightly slower best case, no interpreter
       // cliff.
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader init should not be
@@ -53,7 +54,12 @@ object Bench {
     } catch { case _: Throwable => () }
     // optional subset filter for local profiling (comma-separated keys)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    // Sorted, not Map iteration order: hash order reshuffles whenever a
+    // query is added, so each round's sweep had different neighbor
+    // effects (JIT code-cache pressure, GC debt) per query — r5 showed
+    // q33 "regressing" 30% purely from sweep context. A fixed order
+    // makes per-query times comparable round over round.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name)) }
     // Two timed passes, per-query MINIMUM (JMH-style): one-time costs
     // (Janino compilation of each query's generated classes, C2 JIT of
@@ -73,15 +79,15 @@ object Bench {
     // The two passes run as full sweeps (A over all queries, then B)
     // rather than back-to-back per query: a multi-second host stall then
     // lands on DIFFERENT queries in each pass and the min discards it.
-    val passA = selected.map { case (name, fn) => name -> timeOnce(fn) }
-    val passB = selected.map { case (name, fn) => name -> timeOnce(fn) }
+    val passA = selected.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    val passB = selected.map { case (name, fn) => name -> timeOnce(fn) }.toMap
     val results = selected.map { case (name, _) =>
       val times = Seq(passA(name), passB(name)).filter(_ >= 0)
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout (~2 KB) and parses what
