@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video ride as opaque `binary`
   * columns with typed metadata extracted by a partition-mapped decoder.
   *
-  * The decode step itself is a STUB — this container ships no image/audio
-  * codecs — substituted by a deterministic fake derived from the payload
-  * size (clearly marked below). Everything around it is the real
-  * large-scale shape: binary column + schema, `mapPartitions` batch
-  * decode (one decoder instance per partition, not per row — exactly
-  * where a JNI/FFmpeg/JPEG library would be initialized), explode for
-  * frame sampling, and aggregation over the typed metadata.
+  * Blobs whose magic bytes identify a JDK-decodable image (PNG / JPEG /
+  * GIF / BMP) are decoded for REAL via `javax.imageio` — header-only
+  * (`ImageReader.getWidth/getHeight` read dimensions from the stream
+  * header without materializing pixels), which is the decode a 100 TB
+  * metadata pass should do. Non-image blobs (the oracle corpus uses
+  * document text as a stand-in payload) fall back to a deterministic
+  * fake clearly marked below; audio/video stay stubbed (no codecs in
+  * the JDK). Everything around the codec call is the real large-scale
+  * shape: binary column + schema, `mapPartitions` batch decode (one
+  * decoder context per partition, not per row — exactly where a
+  * JNI/FFmpeg library handle would be initialized), explode for frame
+  * sampling, and aggregation over the typed metadata.
   */
 object Media {
 
@@ -28,12 +33,52 @@ object Media {
   def attachBlob(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("blob", col(textCol).cast("binary"))
 
-  /** STUB DECODER — deterministic fake in place of a real image decode.
-    * A production build replaces the body of `decodeOne` with the codec
-    * call; the mapPartitions shape (per-partition init, batched iterator)
-    * stays the same.
+  /** Magic-byte sniff for the formats the JDK can decode. Cheap (first
+    * four bytes) and runs BEFORE any decoder is touched, so arbitrary
+    * non-image payloads never reach ImageIO.
     */
-  private def decodeOne(docId: Long, bytes: Array[Byte]): MediaMeta = {
+  private[operators] def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') Some("png")
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("jpeg")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') Some("gif")
+    else if (at(0) == 'B' && at(1) == 'M' && bytes.length >= 6 &&
+        // "BM" is only a 2-byte magic — text can start with it; require
+        // the header's little-endian file size to match the payload
+        (at(2) | at(3) << 8 | at(4) << 16 | at(5) << 24) == bytes.length)
+      Some("bmp")
+    else None
+  }
+
+  /** Real decode: header-only width/height via `javax.imageio`. The
+    * reader parses just the image header — pixels are never allocated,
+    * so a metadata pass over billions of images does O(header) work per
+    * blob, not O(pixels). Returns None on a corrupt/unsupported stream
+    * (caller falls back to the stub, mirroring lenient parse elsewhere).
+    */
+  private def decodeImage(docId: Long, bytes: Array[Byte], fmt: String): Option[MediaMeta] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some(MediaMeta(docId, fmt, r.getWidth(0), r.getHeight(0), bytes.length.toLong))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** STUB DECODER — deterministic fake for payloads that are not real
+    * images (the oracle corpus rides document text in the blob column).
+    * A production build with audio/video codecs replaces this fallback;
+    * the mapPartitions shape stays the same.
+    */
+  private def decodeFake(docId: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length.toLong
     val format = (n % 3) match {
       case 0 => "png"
@@ -44,12 +89,20 @@ object Media {
       height = (64 * (1 + n % 9)).toInt, n_bytes = n)
   }
 
+  private def decodeOne(docId: Long, bytes: Array[Byte]): MediaMeta =
+    sniffFormat(bytes)
+      .flatMap(fmt => decodeImage(docId, bytes, fmt))
+      .getOrElse(decodeFake(docId, bytes))
+
   /** Batched metadata decode over (doc_id, blob) rows. */
   def decodeMetadata(media: DataFrame): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder init would go here (native lib handle)
+        // per-partition decoder init: keep ImageIO off its disk-backed
+        // stream cache for these small in-memory blobs (a native codec
+        // handle would be opened here the same way)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (docId, bytes) => decodeOne(docId, bytes) }
       }
   }

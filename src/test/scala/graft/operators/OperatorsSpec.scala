@@ -406,6 +406,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(one.width == 64 * (1 + one.n_bytes % 16))
   }
 
+  test("media decode: real PNG/JPEG/GIF/BMP bytes through the same mapPartitions path") {
+    // real images generated in-JVM (BufferedImage + ImageIO.write): the
+    // decoder must recover true dimensions via the header-only
+    // javax.imageio path, through the identical Spark plan the stub uses
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, imageBytes("png", 640, 480), "png", 640, 480),
+      (2L, imageBytes("jpg", 320, 200), "jpeg", 320, 200),
+      (3L, imageBytes("gif", 64, 32), "gif", 64, 32),
+      (4L, imageBytes("bmp", 17, 23), "bmp", 17, 23))
+    val df = blobs.map { case (id, b, _, _, _) => (id, b) }
+      .toDF("doc_id", "blob")
+    val meta = Media.decodeMetadata(df).collect().map(m => m.doc_id -> m).toMap
+    blobs.foreach { case (id, b, fmt, w, h) =>
+      assert(meta(id).format == fmt)
+      assert(meta(id).width == w, s"width of $fmt")
+      assert(meta(id).height == h, s"height of $fmt")
+      assert(meta(id).n_bytes == b.length.toLong)
+    }
+    // corrupt stream (image magic, garbage body) falls back to the
+    // deterministic stub instead of failing the task — lenient parse
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val fallback = Media.decodeMetadata(
+      Seq((9L, corrupt)).toDF("doc_id", "blob")).collect().head
+    assert(fallback.width == 64 * (1 + corrupt.length % 16))
+    // non-image payloads never reach ImageIO (sniff returns None)
+    assert(Media.sniffFormat("just some text".getBytes).isEmpty)
+  }
+
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
     val media = Media.attachBlob(docs.limit(10))
     val frames = Media.sampleFrames(media, frameBytes = 100).collect()
