@@ -55,6 +55,125 @@ class AmplitudeSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](AmplitudeConfig.parse("""{"source": "nope", "eventGroups": []}"""))
   }
 
+  // ------------------------------------- config breadth (configs/*.json)
+  // Original configs exercising every meta-schema feature the reference's
+  // seven production configs use (reference:
+  // src/test/scala/com/mozilla/telemetry/streaming/EventsToAmplitudeTest.scala:397-405):
+  // cohorts source + experiment filters, pseudo-event matching,
+  // extra./literal./value/method/object selectors, sessionIdOffset,
+  // per-app user properties, multi-schema first-match.
+
+  private def loadConfig(name: String): AmplitudeConfig =
+    AmplitudeConfig.load(s"configs/$name.json")
+
+  test("all shipped configs validate against the meta-schema") {
+    val files = new java.io.File("configs").listFiles((_, n) => n.endsWith(".json"))
+    assert(files != null && files.length >= 4)
+    files.foreach { f =>
+      val cfg = AmplitudeConfig.load(f.getPath) // throws on meta-schema violation
+      assert(cfg.eventGroups.flatMap(_.events).nonEmpty, f.getName)
+    }
+  }
+
+  test("cohorts config: main-ping session_split pseudo-event with extra/literal/method/object selectors") {
+    val cfg = loadConfig("experiment_session_metrics")
+    assert(cfg.source == "telemetry-cohorts")
+    // experimentId/experimentBranch are partition-only: absent from the
+    // envelope, so they apply at scan time and are skipped at parse time
+    assert(cfg.topLevelFilters.keySet ==
+      Set("docType", "experimentId", "experimentBranch"))
+    val payloads = EventsToAmplitude.parsePing(
+      graft.pings.TestMessages.mainMessages(1).head, 1.0, cfg)
+    assert(payloads.length == 1)
+    val e = Json.parse(payloads.head.events.head)
+    assert((e \ "event_type").asString.contains("session_metrics - SessionSplit"))
+    val props = e \ "event_properties"
+    assert((props \ "subsession_length").asString.contains("3600"))
+    assert((props \ "active_ticks").asString.contains("275"))
+    assert((props \ "search_count").asString.contains("4"))
+    assert((props \ "pipeline_tag").asString.contains("cohorts-v1"))
+    assert((props \ "event_kind").asString.contains("session_split"))
+    assert((props \ "event_surface").asString.contains(""))
+    // main ping rides environment experiments into user_properties
+    assert((e \ "user_properties" \ "experiments").isDefined)
+  }
+
+  test("desktop event config: first-matching schema wins over the catch-all group") {
+    val cfg = loadConfig("desktop_event_funnel")
+    val payloads = EventsToAmplitude.parsePing(
+      graft.pings.TestMessages.eventMessages(1).head, 1.0, cfg)
+    assert(payloads.length == 1)
+    val types = payloads.head.events.map(s => (Json.parse(s) \ "event_type").asString.get)
+    // open/close/search match their specific groups even though the
+    // trailing catch-all also validates them; normandy enroll only
+    // matches the catch-all
+    assert(types == Seq(
+      "navigation - TabOpened",
+      "navigation - TabClosed",
+      "search - SearchExecuted",
+      "catch_all - AnyEvent"))
+    val parsed = payloads.head.events.map(Json.parse)
+    val closed = parsed.find(p => (p \ "event_type").asString.contains("navigation - TabClosed")).get
+    assert((closed \ "event_properties" \ "tabs_remaining").asString.contains("3"))
+    val search = parsed.find(p => (p \ "event_type").asString.contains("search - SearchExecuted")).get
+    assert((search \ "event_properties" \ "surface").asString.contains("urlbar"))
+    assert((search \ "user_properties" \ "search_engine").asString.contains("ddg"))
+  }
+
+  test("mobile config: one config, per-app user-property variants") {
+    val cfg = loadConfig("mobile_multi_app")
+    val fennec = EventsToAmplitude.parsePing(
+      graft.pings.TestMessages.mobileEventMessages(1, appName = "Fennec").head, 1.0, cfg)
+    val firetv = EventsToAmplitude.parsePing(
+      graft.pings.TestMessages.mobileEventMessages(1, appName = "FirefoxForFireTV").head, 1.0, cfg)
+    assert(fennec.length == 1 && firetv.length == 1)
+    assert(fennec.head.events.length == 2 && firetv.head.events.length == 2)
+
+    val fEvent = Json.parse(fennec.head.events.head)
+    val tvEvent = Json.parse(firetv.head.events.head)
+    // MobileEventPing projects device/arch + profile settings...
+    assert((fEvent \ "device_model").asString.contains("pixel"))
+    assert((fEvent \ "user_properties" \ "pref_default_search_engine").asString.contains("wiki"))
+    assert((fEvent \ "user_properties" \ "pref_block_popups").asBool.contains(true))
+    assert((fEvent \ "user_properties" \ "app_id").asString.isEmpty)
+    // ...FireTvEventPing projects the TV-specific settings instead
+    assert((tvEvent \ "user_properties" \ "app_id").asString.contains("tv-app"))
+    assert((tvEvent \ "user_properties" \ "total_home_tile_count").asString.contains("12"))
+    assert((tvEvent \ "user_properties" \ "pref_default_search_engine").asString.isEmpty)
+
+    val fPlay = Json.parse(fennec.head.events(1))
+    assert((fPlay \ "event_properties" \ "duration_seconds").asString.contains("33"))
+    assert((fPlay \ "event_properties" \ "media_kind").asString.contains("video"))
+  }
+
+  test("focus/rocket config: sessionIdOffset + pattern schema + app dispatch by appName") {
+    val cfg = loadConfig("focus_rocket_browsing")
+    val focusEnv = graft.pings.TestMessages.focusEventMessages(1).head
+    val zerdaEnv = focusEnv.copy(fields = focusEnv.fields.updated("appName", Json.str("Zerda")))
+
+    val focus = EventsToAmplitude.parsePing(focusEnv, 1.0, cfg)
+    val zerda = EventsToAmplitude.parsePing(zerdaEnv, 1.0, cfg)
+    assert(focus.length == 1 && zerda.length == 1)
+    // background + erase_home events match; foreground/type_query don't
+    assert(focus.head.events.length == 2)
+
+    val parsed = focus.head.events.map(Json.parse)
+    val end = parsed.find(p => (p \ "event_type").asString.contains("m_browse - SessionEnd")).get
+    assert((end \ "session_id").asLong.contains(1506024685632L + 1000L))
+    assert((end \ "event_properties" \ "session_length").asString.contains("1000"))
+    val erase = parsed.find(p => (p \ "event_type").asString.contains("m_browse - EraseAction")).get
+    assert((erase \ "event_properties" \ "erase_kind").asString.contains("erase_home"))
+    assert((erase \ "event_properties" \ "flow_tag").asString.contains("browse-v2"))
+    assert((erase \ "user_properties" \ "origin_host").asString.contains("side"))
+
+    // same config, different appName → RocketEventPing's user properties
+    val zEvent = Json.parse(zerda.head.events.head)
+    assert((zEvent \ "user_properties" \ "pref_search_engine").asString.contains("custom"))
+    assert((zEvent \ "user_properties").asObject.exists(!_.contains("pref_privacy_block_ads")))
+    val fEvent = Json.parse(focus.head.events.head)
+    assert((fEvent \ "user_properties" \ "pref_privacy_block_ads").asBool.contains(true))
+  }
+
   // ---------------------------------------------- focus ping event mapping
 
   test("focus ping: first-matching schema wins, properties extracted") {

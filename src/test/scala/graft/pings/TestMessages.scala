@@ -169,6 +169,48 @@ object TestMessages {
     (1 to size).map(_ => Envelope(fields, timestamp, None))
   }
 
+  /** Mobile event ping (docType `mobile-event`): same submission shape as
+    * focus-event but dispatched to MobileEventPing (appName=Fennec) or
+    * FireTvEventPing (appName=FirefoxForFireTV). Settings carry keys for
+    * BOTH variants so one fixture exercises each app's user-property
+    * projection.
+    */
+  def mobileEventMessages(
+      size: Int,
+      appName: String = "Fennec",
+      fieldsOverride: Map[String, JsonValue] = Map.empty,
+      timestamp: Long = TestTimestampNano): Seq[Envelope] = {
+    val submission =
+      """{"v": 1, "clientId": "client1", "seq": 7, "locale": "en-US",
+        | "os": "Android", "osversion": "25", "created": 1506024685632, "tz": -180,
+        | "arch": "arm64-v8a", "device": "pixel",
+        | "settings": {
+        |   "defaultSearchEngine": "wiki",
+        |   "prefKeyThemeName": "dark",
+        |   "profile.blockPopups": "true",
+        |   "tracking_protection_enabled": "true",
+        |   "total_home_tile_count": "12",
+        |   "app_id": "tv-app"},
+        | "events": [
+        |   [5000, "action", "click", "menu"],
+        |   [6000, "action", "play", "video", "", {"duration": "33"}]]}""".stripMargin
+    val fields = Map(
+      "clientId" -> Json.str("client1"),
+      "documentId" -> Json.str("doc-id"),
+      "docType" -> Json.str("mobile-event"),
+      "normalizedChannel" -> Json.str("release"),
+      "appName" -> Json.str(appName),
+      "appVersion" -> Json.num(2.0),
+      "appBuildId" -> Json.str("9"),
+      "geoCountry" -> Json.str("DE"),
+      "geoCity" -> Json.str("Berlin"),
+      "sampleId" -> Json.num(73L),
+      "submissionDate" -> Json.str("20170101"),
+      "submission" -> Json.str(submission)
+    ) ++ fieldsOverride
+    (1 to size).map(_ => Envelope(fields, timestamp, None))
+  }
+
   /** Frecency-update ping (shape per FIXTURES.md §6). */
   def frecencyMessages(
       size: Int,
