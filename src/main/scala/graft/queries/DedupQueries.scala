@@ -1,0 +1,349 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{ExactNum, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Sessionize, Similarity, WindowedAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family: exact/normalized dedup, MinHash-LSH,
+  * SimHash, exact Jaccard and containment, duplicate clustering,
+  * decontamination, and the composed curation funnel.
+  *
+  * Mixed into [[QueryPack]]; oracle SQL for each query lives beside its
+  * Spark form in [[dedupOracles]].
+  */
+private[queries] trait DedupQueries {
+  import ExactNum._
+  import SqlTwins._
+
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** MinHash+LSH near-dup pairs (2-gram shingles; 16 bands × 4 rows).
+    * Every emitted pair carries an EXACT verified Jaccard, so the oracle
+    * is the exact all-pairs Jaccard at the same threshold. The banding
+    * dial is set from the corpus's measured similarity structure —
+    * bimodal: background J < 0.1, planted near-dups J ≥ 0.9, nothing
+    * between. r=4 keeps background candidates ≈ N²·J⁴ negligible (r ≤ 2
+    * measured 25-90× slower here: J≈0.05 pairs × N² swamp the verify
+    * join), and 16 bands put the planted-pair miss probability at
+    * (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸ — the equality oracle holds across corpus
+    * regenerations, not just for this seed.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 2, jaccardThreshold = 0.7)
+
+  /** SimHash signatures — FNV token hashes, so the 64-bit majority vote
+    * is restated verbatim in the oracle SQL. */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("simhash"))
+
+  /** Exact n-gram Jaccard near-dups via the inverted-index join — the
+    * oracle-checkable twin of the LSH path, bounded to a deterministic
+    * id slice so the quadratic tail stays capped at bench scale.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id", "text", shingleSize = 2, threshold = 0.5)
+
+  /** Near-dup pairs → duplicate CLUSTERS: connected components assign
+    * every member the minimum reachable doc id as `cluster_id` — the
+    * keep-one-per-cluster step of a real dedup pipeline. Oracle is a
+    * recursive-CTE transitive closure over the identical pair set.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.exactJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id", "text", shingleSize = 2, threshold = 0.5)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Normalize-then-dedup: lowercase, punctuation→space, collapsed
+    * whitespace — the canonicalization pass that catches trivially-edited
+    * duplicates exact hashing misses.
+    */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    // one native pass collapses punct/ws runs; lower() stays the engine
+    // built-in so Unicode case folding matches the oracle's lower()
+    val norm = lower(
+      org.apache.spark.sql.graft.TextNormExpressions.normalizeWsPunct(col("text")))
+    Tables.documents(s, dir)
+      .withColumn("norm_hash", md5(norm))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("norm_hash")).as("n_unique_normalized"))
+  }
+
+  /** SimHash band-LSH near-dup pairs with exact hamming verification.
+    * 8×8-bit banding has FULL recall for hamming ≤ 7 (pigeonhole), so the
+    * brute-force self-join oracle is exactly equal — the LSH is a pure
+    * execution-strategy change, not an approximation, at this distance.
+    */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)
+
+  /** Benchmark decontamination: training documents that share ≥3 distinct
+    * word 3-grams with any held-out/eval document (here: doc_id % 100 == 0
+    * stands in for the benchmark set). The eval n-gram index is tiny
+    * relative to the corpus, so at this scale it BROADCASTS — the
+    * corpus-side scan stream-probes a hash set and never shuffles by
+    * shingle. No explicit broadcast hint: the eval set is ~1% of corpus
+    * distinct 3-grams and GROWS WITH THE CORPUS, so a forced hint would
+    * OOM once the index outgrows broadcast range — AQE sees the actual
+    * post-shuffle size and picks broadcast while it fits, then degrades
+    * to a shuffle equi-join on the shingle when it doesn't. This is the
+    * n-gram-overlap contamination check (à la GPT-3/PaLM appendix
+    * methodology) every pretraining pipeline runs before evaluation.
+    */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("shingle"))
+    val evalSh = sh.filter(col("doc_id") % 100 === 0).select("shingle").distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(evalSh, Seq("shingle"))
+      // (doc_id, shingle) is distinct after array_distinct+explode, so a
+      // plain count IS the distinct-shared-shingle count — no
+      // count(distinct) expansion in the aggregate
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** End-to-end near-dup REMOVAL: cluster near-duplicates (q45's
+    * connected components over exact-Jaccard pairs) and keep only the
+    * canonical (minimum-id) member of each cluster — the survivor count
+    * per language is what a curation pipeline reports after dedup.
+    */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    // reuses q45's cluster pipeline verbatim — q54 summarizes exactly
+    // the clusters q45 reports, and parameter tuning stays in one place
+    val dropped = dupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id")) // non-canonical members
+      .select(col("doc_id"))
+    Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_survivors"))
+  }
+
+  /** Asymmetric containment near-dup (doc-inside-doc): smaller shingle
+    * set ≥80% contained in a larger one — the quote/concatenation case
+    * Jaccard misses. Bounded to the same deterministic id slice as
+    * q22/q45.
+    */
+  def containmentDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id", "text", shingleSize = 2, threshold = 0.8)
+
+  /** The END-TO-END curation funnel as one oracle-checked query:
+    * normalized exact dedup → near-dup cluster removal → quality floor →
+    * benchmark decontamination → content-hash split, reported as
+    * survivors per (lang, split). Every stage's SQL twin is proven
+    * individually (q49, q45/q54, q41, q55, q46); this composes them —
+    * the strongest correctness statement the gate can make about
+    * [[graft.pipelines.CurationPipeline]]. Bounded to the deterministic
+    * id slice the pair oracles use.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val eval = docs.filter(col("doc_id") % 100 === 0).select(col("text"))
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+    graft.pipelines.CurationPipeline.curate(train, eval)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private[queries] def dedupOracles: Map[String, String] = Map(
+    "q15_dedup_exact" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
+    "q20_minhash_lsh" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id) x
+        |WHERE j >= 0.7""".stripMargin,
+    "q21_simhash" ->
+      s"""WITH $simhashVotesSql,
+         |su AS (SELECT doc_id, $simhashUnsignedPackSql AS us FROM sv)
+         |SELECT d.doc_id, COALESCE(${signedSql("us")}, 0) AS simhash
+         |FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id""".stripMargin,
+    "q22_jaccard_pairs" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id) x
+        |WHERE j >= 0.5""".stripMargin,
+    "q32_simhash_neardup" ->
+      s"""WITH $simhashVotesSql,
+         |su AS (SELECT doc_id, $simhashUnsignedPackSql AS us FROM sv),
+         |alld AS (SELECT d.doc_id, COALESCE(su.us, 0) AS us
+         |  FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.us, b.us)) AS INT) AS hamming
+         |FROM alld a JOIN alld b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.us, b.us)) <= 7""".stripMargin,
+    "q45_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t),
+        |p AS (
+        | SELECT a.doc_id AS u, b.doc_id AS v
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+        |reach AS (
+        | SELECT u AS node, u AS r FROM e
+        | UNION
+        | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u)
+        |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "q49_normalized_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT md5(lower(trim(regexp_replace(
+        |   text, '[[:punct:][:space:]]+', ' ', 'g'))))) AS n_unique_normalized
+        |FROM documents GROUP BY source""".stripMargin,
+    "q54_dedup_survivors" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t),
+        |p AS (
+        | SELECT a.doc_id AS u, b.doc_id AS v
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+        |reach AS (
+        | SELECT u AS node, u AS r FROM e
+        | UNION
+        | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u),
+        |dropped AS (
+        | SELECT node AS doc_id FROM reach GROUP BY node
+        | HAVING MIN(r) <> node)
+        |SELECT lang, COUNT(*) AS n_survivors
+        |FROM documents
+        |WHERE doc_id < 1000 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang""".stripMargin,
+    "q55_decontam" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+         |d AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         | FROM t),
+         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM d WHERE doc_id % 100 = 0),
+         |tr AS (SELECT doc_id, unnest(s) AS shingle FROM d WHERE doc_id % 100 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY doc_id HAVING COUNT(*) >= 3""".stripMargin,
+    "q65_containment" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 1000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t WHERE len(w) >= 2)
+        |SELECT id_inner, id_outer, ROUND(c, 6) AS containment FROM (
+        | SELECT a.doc_id AS id_inner, b.doc_id AS id_outer,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+        | FROM d a JOIN d b
+        |   ON (len(b.s) > len(a.s) OR (len(b.s) = len(a.s) AND a.doc_id < b.doc_id))) x
+        |WHERE c >= 0.8""".stripMargin,
+    "q72_curation" -> {
+      val stop = "('the','a','an','and','or','of','to','in','is','on','for','with')"
+      val punctRatio = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)" +
+        " / length(text) END"
+      s"""WITH RECURSIVE base AS (
+         | SELECT doc_id, text, lang FROM documents
+         | WHERE doc_id < 1000 AND doc_id % 100 <> 0),
+         |evald AS (SELECT text FROM documents
+         | WHERE doc_id < 1000 AND doc_id % 100 = 0),
+         |nh AS (SELECT doc_id, text, lang,
+         |  md5(lower(trim(regexp_replace(text, '[[:punct:][:space:]]+', ' ', 'g')))) AS h
+         | FROM base),
+         |ded AS (SELECT doc_id, text, lang FROM (
+         |  SELECT doc_id, text, lang,
+         |   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM nh) z
+         | WHERE rn = 1),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM ded),
+         |d AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s FROM t),
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM d a JOIN d b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+         |reach AS (
+         | SELECT u AS node, u AS r FROM e
+         | UNION
+         | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u),
+         |dropped AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(r) <> node),
+         |surv AS (SELECT doc_id, text, lang FROM ded
+         | WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |qt AS (SELECT doc_id, text, lang, ${toksSql("text")} AS w FROM surv),
+         |qual AS (SELECT doc_id, text, lang FROM qt
+         | WHERE ROUND((
+         |   LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |   + GREATEST(0.0, 1.0 - ($punctRatio) * 5.0)
+         |   + LEAST((CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(w, x -> x IN $stop)) AS DOUBLE) / len(w) END) * 4.0, 1.0)
+         |  ) / 3.0, 6) >= 0.3),
+         |dq AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         | FROM (SELECT doc_id, ${toksSql("text")} AS w FROM qual) zq),
+         |de AS (SELECT DISTINCT unnest(s) AS shingle FROM (
+         |  SELECT list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w)-1)]) AS s
+         |  FROM (SELECT ${toksSql("text")} AS w FROM evald) ze) zs),
+         |contaminated AS (SELECT doc_id FROM (
+         |  SELECT doc_id, unnest(s) AS shingle FROM dq) x
+         | JOIN de USING (shingle) GROUP BY doc_id HAVING COUNT(*) >= 3),
+         |clean AS (SELECT doc_id, text, lang FROM qual
+         | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |sp AS (SELECT lang,
+         |  CASE WHEN (${fnvSql("text")} & 2147483647) % 100 < 80 THEN 'train'
+         |       WHEN (${fnvSql("text")} & 2147483647) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM clean)
+         |SELECT lang, split, COUNT(*) AS n_docs FROM sp GROUP BY 1, 2""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+/** DuckDB twins of the native Catalyst expressions and shared literals,
+  * used by the per-family oracle maps. Splitting these from the queries
+  * keeps every oracle a pure string builder over public arithmetic.
+  */
+private[queries] object SqlTwins {
+  // ---------------------------------------------------------------- helpers
+  val ShipCutoff = "1998-09-02"
+
+  // ---- DuckDB twins of the native text-hash expressions --------------
+  // (org.apache.spark.sql.graft.TextHashOps — FNV-1a over codepoints with
+  // hugeint modular arithmetic, so signature queries get full hash
+  // oracles instead of rows-only checks.)
+
+  /** Whitespace tokens with the empty-string guard (mirrors
+    * TextFunctions.tokens: "" → [], not ['']). */
+  def toksSql(x: String): String =
+    s"""CASE WHEN length(trim($x)) = 0 THEN CAST([] AS VARCHAR[])
+       | ELSE regexp_split_to_array(trim($x), '\\s+') END""".stripMargin.replace("\n", " ")
+
+  /** FNV-1a 64-bit over codepoints of `t`, as UBIGINT. */
+  def fnvSql(t: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |  list_transform(range(1, length($t)+1), i -> CAST(unicode(substr($t, i, 1)) AS HUGEINT))),
+       |  (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+       |               * 1099511628211) % 18446744073709551616) AS UBIGINT)""".stripMargin
+      .replace("\n", " ")
+
+  /** Rolling rotate-xor combine of a UBIGINT hash list (mirrors
+    * TextFunctions.fingerprint: acc' = rotl5(acc) xor h, init 0). */
+  def rollSql(hashes: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS UBIGINT), $hashes),
+       |  (acc, h) -> xor(CAST(((CAST(acc AS HUGEINT) * 32) % 18446744073709551616) AS UBIGINT)
+       |                  | (acc >> 59), h)) AS UBIGINT)""".stripMargin.replace("\n", " ")
+
+  /** UBIGINT → two's-complement BIGINT (Spark longs are signed). */
+  def signedSql(x: String): String =
+    s"""CAST(CAST($x AS HUGEINT) -
+       | CASE WHEN $x >= 9223372036854775808 THEN CAST(18446744073709551616 AS HUGEINT)
+       |      ELSE 0 END AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Per-doc SimHash vote CTEs over `documents` (shared by q21/q32):
+    * yields relation `sv(doc_id, c0..c63)` of per-bit vote sums; docs
+    * with zero tokens are absent (callers COALESCE the signature to 0,
+    * matching simhash64([]) = 0).
+    */
+  val simhashVotesSql: String = {
+    val votes = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(", ")
+    s"""th AS (SELECT doc_id, list_transform(${toksSql("text")}, t -> ${fnvSql("t")}) AS hs
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(hs) AS h FROM th),
+       |sv AS (SELECT doc_id, $votes FROM u GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Packs sv's 64 vote sums into an UBIGINT signature. */
+  val simhashUnsignedPackSql: String =
+    "CAST((CAST(0 AS HUGEINT)" +
+      (0 until 64).map(b =>
+        s" + (CASE WHEN c$b > 0 THEN CAST('${java.lang.Long.toUnsignedString(1L << b)}' AS HUGEINT) ELSE 0 END)")
+        .mkString + ") AS UBIGINT)"
+
+  // ---- DuckDB twins of the hyperplane-LSH bucketing ------------------
+  // (org.apache.spark.sql.graft.VectorHashOps — weights regenerate from
+  // splitmix64(dim, plane), so the EXACT weight matrix embeds here as
+  // double literals; Double.toString round-trips through DuckDB's
+  // decimal parser bit-for-bit. Only projection SIGNS feed the bucket
+  // bits, and the smallest |projection| on the test corpora is ~1e-5 —
+  // ten orders of magnitude above cross-engine summation noise — so the
+  // replay is exact (AnnOracleMarginSpec pins that margin).)
+
+  /** 64-dim weight row of hyperplane `plane` as a DuckDB double-list literal. */
+  def planeWeightsSql(plane: Int): String =
+    "[" + (0 until 64).map(d =>
+      org.apache.spark.sql.graft.VectorHashOps.weight(d, plane)).mkString(",") + "]"
+
+  /** Packed bucket id of table `table` (MSB-first over its planes) for a
+    * DOUBLE[] column `emb` — mirrors VectorHashOps.buckets. */
+  def bucketSql(emb: String, table: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { i =>
+      val bit = 1L << (nPlanes - 1 - i)
+      s"(CASE WHEN list_dot_product($emb, ${planeWeightsSql(table * nPlanes + i)}) >= 0 THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Multi-probe collision predicate between bucket columns `a`/`b`:
+    * single-bit probes ⇒ candidate iff hamming ≤ 1 in SOME table. */
+  def anyTableCollidesSql(a: String, b: String, nTables: Int): String =
+    (0 until nTables).map(t =>
+      s"bit_count(xor($a$t, $b$t)) <= 1").mkString("(", " OR ", ")")
+
+}

@@ -1,0 +1,443 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{ExactNum, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Sessionize, Similarity, WindowedAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family: token/quality/language statistics,
+  * TF-IDF, fingerprinting, deterministic splits/sampling/mixing, and
+  * sequence-packing accounting over `documents`.
+  *
+  * Mixed into [[QueryPack]]; oracle SQL for each query lives beside its
+  * Spark form in [[textOracles]].
+  */
+private[queries] trait TextQueries {
+  import ExactNum._
+  import SqlTwins._
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"))
+
+  def qualityStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("punct_ratio", TextFunctions.punctRatio(col("text")))
+      .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))
+      .groupBy(col("lang"))
+      .agg(davg(col("punct_ratio")).as("avg_punct_ratio"),
+           davg(col("stop_ratio")).as("avg_stop_ratio"),
+           count(lit(1)).as("n_docs"))
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("predicted", TextFunctions.langIdMarkers(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Rolling FNV fingerprint — oracle restates the hash arithmetic. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+
+  /** BPE-ish subword counting over the raw text, per language. */
+  def subwordStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_subwords", TextFunctions.subwordCount(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_subwords")).as("total_subwords"))
+
+  /** Composite quality scoring (length sweet-spot ⊕ punctuation ⊕
+    * stopword balance) + mean word length, aggregated per language — the
+    * end-to-end quality-filter feature column a curation pipeline
+    * thresholds on.
+    */
+  def qualityScoreStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+      .withColumn("mwl", TextFunctions.meanWordLength(col("text")))
+      .groupBy(col("lang"))
+      .agg(davg(col("q")).as("avg_quality"),
+           davg(col("mwl")).as("avg_word_len"),
+           count(lit(1)).as("n_docs"))
+
+  /** Deterministic train/valid/test split: the FNV hash of the content
+    * (not a random()) buckets each document, so the split is reproducible
+    * across runs, engines, and repartitioning — the property a training
+    * pipeline needs for consistent held-out sets. 80/10/10 over
+    * hash mod 100.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Per-language salient terms: tf × smoothed reciprocal document
+    * frequency, top-5 per language. The idf is the LOG-FREE rational form
+    * (n+1)/(df+1) — identical IEEE arithmetic in both engines, so the
+    * oracle hashes exactly (ln() is libm-dependent). Ranking orders by the
+    * ROUNDED score with the term as tie-break, keeping rank assignment
+    * engine-independent.
+    */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("score",
+        round(col("tf") * (col("n_total") + lit(1.0)) / (col("df") + lit(1.0)), 6))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("term"), col("score"), col("rank"))
+  }
+
+  /** Deterministic weighted dataset mixing: each source keeps a
+    * tier-dependent fraction of its documents, selected by content hash
+    * (not random()) so the mix is reproducible across runs, engines, and
+    * partitionings — source reweighting, the knob a training pipeline
+    * turns to rebalance web/wiki/code proportions.
+    */
+  def weightedMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val tier = substring(col("source"), 4, 10).cast("int") % 4
+    val threshold = when(tier === 0, 1000L).when(tier === 1, 500L)
+      .when(tier === 2, 250L).otherwise(100L)
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 1000
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+           count(when(bucket < threshold, 1)).as("n_kept"))
+  }
+
+  /** PII / pattern scanning: per source, how many documents contain
+    * email-shaped or URL-shaped strings — the redaction-triage scan a
+    * curation pipeline runs before release. Patterns stay in the
+    * Java∩RE2 regex subset so both engines match identically.
+    */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[A-Za-z0-9./_-]+"
+    // the synthetic corpus contains no emails/URLs (those columns gate
+    // the pattern plumbing at zero); the long-word column matches most
+    // documents, so the oracle check is NOT vacuous for the regex path
+    val longWord = "[A-Za-z]{8,}"
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("text").rlike(email), 1)).as("n_with_email"),
+           count(when(col("text").rlike(url), 1)).as("n_with_url"),
+           count(when(col("text").rlike(longWord), 1)).as("n_with_longword"))
+  }
+
+  /** Gopher-style repetition quality signals, per language: duplicate-token
+    * ratio (1 − distinct/total) and top-token fraction (most frequent
+    * token's share), plus how many documents cross the repetitive-doc
+    * threshold. Two-phase aggregation — explode → (doc,token) partial
+    * counts → per-doc stats — keeps every stage a hash aggregate; no
+    * per-doc collection ever materializes.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perTok = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+           max(col("c")).as("top_c"))
+    // left join so zero-token docs still count with ratio 0
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_ratio", when(col("n_tok").isNull, lit(0.0))
+        .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_tok")))
+      .withColumn("top_frac", when(col("n_tok").isNull, lit(0.0))
+        .otherwise(col("top_c").cast("double") / col("n_tok")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           davg(col("dup_ratio")).as("avg_dup_ratio"),
+           davg(col("top_frac")).as("avg_top_frac"),
+           count(when(col("top_frac") >= 0.05, 1)).as("n_repetitive"))
+  }
+
+  /** Corpus-level top-25 bigrams (raw frequency, within-doc repeats
+    * counted). Explode → hash aggregate → TakeOrderedAndProject: the
+    * top-k never sorts the full bigram vocabulary.
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(25)
+
+  /** Deterministic stratified sample: first 20 documents per language in
+    * content-hash order — reproducible across runs, engines, and
+    * partitionings (the property random() sampling loses), evenly spread
+    * over the corpus because the hash order is content-uniform.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(TextHashExpressions.fnv64(col("text")).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
+  /** Token-budget truncation: the "clip every document to its first N
+    * tokens" pass a pretraining pipeline runs when packing sequences.
+    * Per language: docs over budget, tokens kept, characters kept —
+    * slice + aggregate higher-order functions, all codegen-friendly,
+    * zero shuffles before the final aggregate.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 32
+    Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("kept_chars",
+        aggregate(slice(col("toks"), 1, budget), lit(0L),
+          (acc, t) => acc + length(t).cast("long")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("n_tok") > budget, 1)).as("n_truncated"),
+           sum(least(col("n_tok"), lit(budget.toLong))).as("kept_tokens"),
+           sum(col("kept_chars")).as("kept_chars"))
+  }
+
+  /** Sequence-packing accounting (concat-then-chunk, the GPT-style
+    * packing strategy): per language, documents concatenate in
+    * content-hash order and split into fixed 2048-token context windows.
+    * Emits bins needed and how many documents straddle a bin boundary —
+    * the packing-efficiency numbers a pretraining pipeline reports.
+    * Deterministic: the hash order is total and the cumulative sums are
+    * integer arithmetic. At scale the same window runs per (lang, shard)
+    * — packing is embarrassingly parallel across shards by construction.
+    */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val binTokens = 2048L
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(TextHashExpressions.fnv64(col("text")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // integer `div` keeps bin ids exact at any corpus size (a double
+      // floor would drift past 2^53 cumulative tokens)
+      .withColumn("splits", when(col("n_tok") > 0,
+        expr(s"(cum_before + n_tok - 1) div $binTokens - cum_before div $binTokens"))
+        .otherwise(lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           expr(s"(sum(n_tok) + ${binTokens - 1}) div $binTokens").as("n_bins"),
+           count(when(col("splits") > 0, 1)).as("n_boundary_docs"))
+  }
+
+  /** exists / forall higher-order predicates over the token array —
+    * per language, documents containing any long token and documents
+    * whose tokens are ALL short (the per-row any/all quantifiers the
+    * HOF family still lacked; transform/aggregate/filter/slice appear
+    * in q63/q64).
+    */
+  def tokenQuantifiers(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(exists(col("toks"), t => length(t) > 15), 1)).as("n_any_long"),
+           count(when(forall(col("toks"), t => length(t) < 12), 1)).as("n_all_short"))
+
+  private[queries] def textOracles: Map[String, String] = Map(
+    "q16_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q17_quality_stats" ->
+      s"""WITH f AS (
+         | SELECT lang,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |            / length(text) END AS punct_ratio,
+         |  CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |              t -> t IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |            / len(regexp_split_to_array(trim(text), '\\s+')) END AS stop_ratio
+         | FROM documents)
+         |SELECT lang, ${davgSql("punct_ratio")} AS avg_punct_ratio,
+         | ${davgSql("stop_ratio")} AS avg_stop_ratio, COUNT(*) AS n_docs
+         |FROM f GROUP BY lang""".stripMargin,
+    "q18_langid" ->
+      s"""SELECT lang, ${TextFunctions.langIdMarkersSql} AS predicted, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q19_fingerprint" ->
+      s"""WITH fp AS (
+         | SELECT doc_id,
+         |  ${rollSql(s"list_transform(${toksSql("text")}, t -> ${fnvSql("t")})")} AS ufp,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_subwords
+         | FROM documents)
+         |SELECT doc_id, ${signedSql("ufp")} AS fingerprint, n_subwords FROM fp""".stripMargin,
+    "q31_subword_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q41_quality_score" ->
+      s"""WITH toks AS (
+         | SELECT lang, text, ${toksSql("text")} AS w FROM documents),
+         |f AS (
+         | SELECT lang,
+         |  LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |  GREATEST(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |         / length(text) END) * 5.0) AS punct_score,
+         |  LEAST((CASE WHEN len(w) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(w,
+         |           t -> t IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |         / len(w) END) * 4.0, 1.0) AS stop_score,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) END AS mwl
+         | FROM toks),
+         |g AS (SELECT lang, ROUND((len_score + punct_score + stop_score) / 3.0, 6) AS q, mwl FROM f)
+         |SELECT lang, ${davgSql("q")} AS avg_quality, ${davgSql("mwl")} AS avg_word_len,
+         | COUNT(*) AS n_docs
+         |FROM g GROUP BY lang""".stripMargin,
+    "q46_hash_split" ->
+      s"""WITH b AS (
+         | SELECT lang, n_chars,
+         |  (${fnvSql("text")} & 2147483647) % 100 AS bucket
+         | FROM documents)
+         |SELECT lang,
+         | CASE WHEN bucket < 80 THEN 'train'
+         |      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q47_tfidf_terms" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, lang, unnest(${toksSql("text")}) AS term FROM documents),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+         |n AS (SELECT COUNT(*) AS n_total FROM documents),
+         |scored AS (
+         | SELECT lang, tf.term AS term,
+         |  ROUND(tf * (n_total + 1.0) / (df + 1.0), 6) AS score
+         | FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         |SELECT lang, term, score, rank FROM (
+         | SELECT lang, term, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY score DESC, term) AS INT) AS rank
+         | FROM scored) r
+         |WHERE rank <= 5""".stripMargin,
+    "q51_weighted_mix" ->
+      s"""WITH b AS (
+         | SELECT source,
+         |  (${fnvSql("text")} & 2147483647) % 1000 AS bucket,
+         |  CASE (CAST(substr(source, 4) AS INT) % 4)
+         |   WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100
+         |  END AS thr
+         | FROM documents)
+         |SELECT source, COUNT(*) AS n_total,
+         | COUNT(CASE WHEN bucket < thr THEN 1 END) AS n_kept
+         |FROM b GROUP BY source""".stripMargin,
+    "q53_pii_scan" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(CASE WHEN regexp_matches(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 END) AS n_with_email,
+        | COUNT(CASE WHEN regexp_matches(text,
+        |   'https?://[A-Za-z0-9./_-]+') THEN 1 END) AS n_with_url,
+        | COUNT(CASE WHEN regexp_matches(text,
+        |   '[A-Za-z]{8,}') THEN 1 END) AS n_with_longword
+        |FROM documents GROUP BY source""".stripMargin,
+    "q56_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+         |pt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+         |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |        COUNT(*) AS n_distinct, MAX(c) AS top_c
+         |       FROM pt GROUP BY doc_id),
+         |f AS (SELECT d.lang,
+         |  CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |       ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_tok END AS dup_ratio,
+         |  CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |       ELSE CAST(top_c AS DOUBLE) / n_tok END AS top_frac
+         | FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | ${davgSql("dup_ratio")} AS avg_dup_ratio,
+         | ${davgSql("top_frac")} AS avg_top_frac,
+         | COUNT(CASE WHEN top_frac >= 0.05 THEN 1 END) AS n_repetitive
+         |FROM f GROUP BY lang""".stripMargin,
+    "q60_bigram_topk" ->
+      s"""WITH t AS (SELECT ${toksSql("text")} AS w FROM documents),
+         |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+         |      FROM t)
+         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+    "q61_stratified_sample" ->
+      s"""WITH h0 AS (SELECT lang, doc_id, ${fnvSql("text")} AS ufh FROM documents),
+         |h AS (SELECT lang, doc_id, ${signedSql("ufh")} AS fh FROM h0)
+         |SELECT lang, doc_id, rn FROM (
+         | SELECT lang, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fh, doc_id) AS INT) AS rn
+         | FROM h) t WHERE rn <= 20""".stripMargin,
+    "q63_token_budget" ->
+      s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents),
+         |f AS (SELECT lang, len(w) AS n_tok,
+         |  COALESCE(list_sum(list_transform(w[1:32], x -> length(x))), 0) AS kept_chars
+         | FROM t)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN n_tok > 32 THEN 1 END) AS n_truncated,
+         | CAST(SUM(LEAST(n_tok, 32)) AS BIGINT) AS kept_tokens,
+         | CAST(SUM(kept_chars) AS BIGINT) AS kept_chars
+         |FROM f GROUP BY lang""".stripMargin,
+    "q69_sequence_pack" -> {
+      val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"""WITH h0 AS (SELECT lang, doc_id, CAST($nTok AS BIGINT) AS n_tok,
+         |  ${fnvSql("text")} AS ufh FROM documents),
+         |h AS (SELECT lang, doc_id, n_tok, ${signedSql("ufh")} AS fh FROM h0),
+         |c AS (SELECT lang, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY fh, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         | FROM h),
+         |f AS (SELECT lang, n_tok,
+         |  CASE WHEN n_tok > 0
+         |       THEN (cum_before + n_tok - 1) // 2048 - cum_before // 2048
+         |       ELSE 0 END AS splits
+         | FROM c)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         | CAST((SUM(n_tok) + 2047) // 2048 AS BIGINT) AS n_bins,
+         | COUNT(CASE WHEN splits > 0 THEN 1 END) AS n_boundary_docs
+         |FROM f GROUP BY lang""".stripMargin
+    },
+    "q78_quantifiers" ->
+      s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN len(list_filter(w, x -> length(x) > 15)) > 0 THEN 1 END)
+         |   AS n_any_long,
+         | COUNT(CASE WHEN len(list_filter(w, x -> length(x) >= 12)) = 0 THEN 1 END)
+         |   AS n_all_short
+         |FROM t GROUP BY lang""".stripMargin,
+  )
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{ExactNum, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Sessionize, Similarity, WindowedAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector/multimodal family: ANN (brute-force, hyperplane LSH,
+  * IVF), embedding near-dup and quantization, and the binary-blob media
+  * pipeline over `embeddings`/`documents`.
+  *
+  * Mixed into [[QueryPack]]; oracle SQL for each query lives beside its
+  * Spark form in [[vectorOracles]].
+  */
+private[queries] trait VectorQueries {
+  import ExactNum._
+  import SqlTwins._
+
+
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(queries, emb, 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** IVF ANN: label cells as the coarse quantizer. The probe selection
+    * is deterministic (centroids are plain per-dim means, ranked with a
+    * label tie-break), so the DuckDB oracle replays the exact same
+    * cell-probe + in-cell exact search. Output carries ids and ranks
+    * only — the ORDERING is the contract; the raw cosine doubles differ
+    * across engines by ulps and are checked via the q23 margin analysis.
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopK(queries, emb, 10, dim = 64, nProbes = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN. Approximate relative to brute force, but fully
+    * DETERMINISTIC: hyperplane weights regenerate from splitmix64(dim,
+    * plane), so the candidate set ("collides within hamming ≤ 1 in any
+    * table") is replayable — the oracle embeds the same weight matrix as
+    * double literals and reproduces candidates + exact re-ranking in
+    * SQL. Sign margins are ≥1e-5 vs ~1e-15 FP noise (see
+    * AnnOracleMarginSpec), so cross-engine bucket bits are stable.
+    */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.lshTopK(queries, emb, 10, nPlanes = 6, nTables = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  def centroidStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           favg(element_at(col("embedding"), 1)).as("avg_d0"),
+           favg(element_at(col("embedding"), 2)).as("avg_d1"),
+           favg(VectorFunctions.norm(col("embedding"))).as("avg_norm"))
+
+
+  /** Multimodal plumbing: binary payload column + typed metadata. The
+    * "decode" here is the deterministic stub (byte length + fake dims);
+    * real image/audio decoding plugs into [[graft.operators.Media]].
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("n_bytes", length(col("blob")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+
+  /** Exact embedding-cosine near-dup on a bounded slice (oracle twin). */
+  def embNearDupExact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosinePairsExact(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 300), threshold = 0.4)
+
+  /** LSH-bucketed embedding near-dup. Deterministic approximation: the
+    * oracle replays the bucket predicate (hamming ≤ 1 in either table,
+    * from the embedded weight matrix) plus the exact cosine threshold.
+    */
+  def embNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupLsh(
+      Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 4)
+      .select(col("id_a"), col("id_b"))
+
+  /** Multimodal decode: binary blob → typed metadata via mapPartitions
+    * (stubbed codec, real plumbing), aggregated per format.
+    */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Media.attachBlob(Tables.documents(s, dir))
+    graft.operators.Media.decodeMetadata(media)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("width").cast("long")).as("total_width"),
+           sum(col("height").cast("long")).as("total_height"),
+           sum(col("n_bytes")).as("total_bytes"))
+  }
+
+  /** Frame-sampling stub: explode-shaped row amplification per source.
+    * Left join from documents so a zero-frame (empty-blob) doc still
+    * counts, matching the oracle's ceil(0/256)=0 row.
+    */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Media.attachBlob(Tables.documents(s, dir))
+    val frames = graft.operators.Media.sampleFrames(media, frameBytes = 256)
+    val perDoc = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_frames")).as("total_frames"))
+  }
+
+  /** Int8 scalar quantization of embeddings: q = clamp(⌊x·512⌋, ±127),
+    * the storage-compression step of a vector index build. All arithmetic
+    * is exact across engines (×512 is a power-of-two double multiply —
+    * no rounding — and floor/clamp are integral), so the per-label sums
+    * hash-match. Saturation counts surface how much of the corpus the
+    * chosen scale clips.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("qv", transform(col("embedding"), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") * 512.0).cast("long")))))
+      .withColumn("sum_q", aggregate(col("qv"), lit(0L), (a, b) => a + b))
+      .withColumn("n_sat", size(filter(col("qv"), v => abs(v) === 127L)).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("sum_q")).as("sum_q"),
+           sum(col("n_sat")).as("n_saturated"))
+
+  private[queries] def vectorOracles: Map[String, String] = Map(
+    "q23_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+        |SELECT query_id, neighbor_id, rank FROM (
+        | SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id) AS INT) AS rank
+        | FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id) t
+        |WHERE rank <= 10""".stripMargin,
+    // replay of the deterministic LSH: same splitmix64 weight matrix
+    // (embedded as literals), same multi-probe candidate rule (hamming
+    // ≤ 1 in any of 4 six-plane tables), exact re-rank over candidates,
+    "q24_knn_lsh" -> {
+      val buckets = (0 until 4).map(t => s"${bucketSql("emb", t, 6)} AS b$t").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb, $buckets FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+         |  FROM b WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
+         | FROM q JOIN b c ON c.vec_id <> q.query_id
+         |  AND ${anyTableCollidesSql("q.qb", "c.b", 4)}) t
+         |WHERE rank <= 10""".stripMargin
+    },
+    "q25_centroid_stats" ->
+      s"""SELECT label, COUNT(*) AS n,
+         | ${favgSql("embedding[1]")} AS avg_d0,
+         | ${favgSql("embedding[2]")} AS avg_d1,
+         | ${favgSql("sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")} AS avg_norm
+         |FROM embeddings GROUP BY label""".stripMargin,
+    "q26_media_meta" ->
+      """SELECT source, COUNT(*) AS n_media,
+        |CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY source""".stripMargin,
+    "q27_emb_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        | FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
+    // LSH near-dup replay: bucket predicate (hamming ≤ 1 in either
+    // 4-plane table) + the exact cosine threshold over candidates,
+    "q28_emb_neardup_lsh" -> {
+      val buckets = (0 until 2).map(t => s"${bucketSql("emb", t, 4)} AS b$t").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb, $buckets FROM e)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id
+         | AND ${anyTableCollidesSql("a.b", "c.b", 2)}
+         |WHERE list_cosine_similarity(a.emb, c.emb) >= 0.35""".stripMargin
+    },
+    "q29_media_decode" ->
+      """WITH m AS (
+        | SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+        |  CASE octet_length(CAST(text AS BLOB)) % 3
+        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        | FROM documents)
+        |SELECT format, COUNT(*) AS n_media,
+        | CAST(SUM(64 * (1 + n % 16)) AS BIGINT) AS total_width,
+        | CAST(SUM(64 * (1 + n % 9)) AS BIGINT) AS total_height,
+        | CAST(SUM(n) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY format""".stripMargin,
+    "q30_media_frames" ->
+      """WITH f AS (
+        | SELECT doc_id, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_frames
+        | FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_frames) AS BIGINT) AS total_frames
+        |FROM f JOIN documents USING (doc_id) GROUP BY source""".stripMargin,
+    "q38_knn_ivf" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cent AS (SELECT label, $centroid AS centroid FROM e GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+         |probed AS (SELECT query_id, label FROM (
+         | SELECT q.query_id, cent.label,
+         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, cent.centroid) DESC, cent.label) AS pr
+         | FROM q CROSS JOIN cent) p WHERE pr <= 3)
+         |SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
+         | FROM q JOIN probed ON probed.query_id = q.query_id
+         |  JOIN e c ON c.label = probed.label AND c.vec_id <> q.query_id) t
+         |WHERE rank <= 10""".stripMargin
+    },
+    "q64_emb_quantize" ->
+      """WITH e AS (
+        | SELECT label, list_transform(embedding, x ->
+        |   GREATEST(-127, LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 512.0) AS BIGINT)))) AS qv
+        | FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs,
+        | CAST(SUM(list_sum(qv)) AS BIGINT) AS sum_q,
+        | CAST(SUM(len(list_filter(qv, v -> abs(v) = 127))) AS BIGINT) AS n_saturated
+        |FROM e GROUP BY label""".stripMargin,
+  )
+}
