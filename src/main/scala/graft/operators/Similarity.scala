@@ -145,6 +145,29 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Plane count that keeps expected bucket occupancy near
+    * `targetBucketSize`: buckets must GROW with the corpus or the
+    * per-bucket self-join turns quadratic. Measured on the 10× scale
+    * smoke: 20k vectors in 4-plane (16-bucket) tables cost 40× the 2k
+    * run; 8-plane tables restore ~linear cost (SCALING.md).
+    */
+  def planesForCorpus(corpusSize: Long, targetBucketSize: Long = 128): Int =
+    math.max(2, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2)).toInt)
+
+  /** [[cosineNearDupLsh]] with the plane count derived from the corpus
+    * size (one count() action — a real pipeline already knows its corpus
+    * cardinality and can pass [[planesForCorpus]] directly). Longer
+    * hashes lower per-table recall, so OR-amplification must rise with
+    * them: pass nTables ≈ 4–8 for 8+ planes (recall per table for a pair
+    * at cosine c is (1 − acos(c)/π)^nPlanes before multi-probe; tables
+    * OR together).
+    */
+  def cosineNearDupLshAuto(corpus: DataFrame, threshold: Double,
+                           nTables: Int = 4, targetBucketSize: Long = 128): DataFrame =
+    cosineNearDupLsh(corpus, threshold,
+      nPlanes = planesForCorpus(corpus.count(), targetBucketSize), nTables = nTables)
+
   /** Per-label centroid statistics — the IVF coarse-quantizer building
     * block (k-means assignment step = argmin distance to these centroids).
     */

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus scale-up: replicate an sf directory N× with key shifting, for
+  * scale-smoke runs beyond the largest driver-provided sf (the graded
+  * corpora under /root/testdata are read-only).
+  *
+  * Replica i shifts every key column by i·(max key + 1), so join
+  * relationships (orders→customer, lineitem→orders/part/supplier,
+  * events→users) hold within each replica and key spaces never collide.
+  * Content columns are perturbed per replica — a replica tag appended to
+  * document text, embeddings rotated by i positions — so near-dup and
+  * ANN structure grows LINEARLY with the corpus instead of quadratically
+  * (exact copies across replicas would make every dedup cluster N× larger
+  * and pair counts N²×). Dimension tables (region/nation) stay as-is.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  // key strides from the sf0.1 corpus shape (next power of 10 above the
+  // max key, so shifted ids stay human-readable)
+  private val Strides = Map(
+    "c_custkey" -> 100000L, "o_orderkey" -> 1000000L, "o_custkey" -> 100000L,
+    "l_orderkey" -> 1000000L, "l_partkey" -> 100000L, "l_suppkey" -> 10000L,
+    "p_partkey" -> 100000L, "s_suppkey" -> 10000L,
+    "event_id" -> 1000000L, "user_id" -> 10000L,
+    "doc_id" -> 100000L, "vec_id" -> 100000L)
+
+  private def replicate(df: DataFrame, factor: Int)(
+      perReplica: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(i => perReplica(df, i)).reduce(_ unionByName _)
+
+  private def shiftKeys(df: DataFrame, i: Int): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      Strides.get(c) match {
+        case Some(stride) => d.withColumn(c, col(c) + lit(i * stride))
+        case None         => d
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // dimensions: fixed
+    Seq("region", "nation").foreach(t => write(t, read(t)))
+    // fact tables: pure key shift
+    Seq("customer", "supplier", "part", "orders", "lineitem", "events")
+      .foreach(t => write(t, replicate(read(t), factor)(shiftKeys)))
+    // documents: shift + per-replica text tag (replica 0 byte-identical)
+    write("documents", replicate(read("documents"), factor) { (df, i) =>
+      val shifted = shiftKeys(df, i)
+      if (i == 0) shifted
+      else shifted
+        .withColumn("text", concat(col("text"), lit(s" r$i")))
+        .withColumn("n_chars", col("n_chars") + lit(s" r$i".length.toLong))
+    })
+    // embeddings: shift + rotate the vector by i positions (norm- and
+    // distribution-preserving, decorrelates replicas)
+    write("embeddings", replicate(read("embeddings"), factor) { (df, i) =>
+      val shifted = shiftKeys(df, i)
+      if (i == 0) shifted
+      else {
+        val d = 64
+        val rot = (0 until d).map(j => element_at(col("embedding"), (j + i) % d + 1))
+        shifted.withColumn("embedding", array(rot: _*))
+      }
+    })
+    println(s"""{"scaled":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+}

@@ -396,6 +396,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(lsh.subsetOf(exact))
   }
 
+  test("embedding near-dup: auto plane count scales buckets with the corpus") {
+    // the formula reproduces the hand-tuned configs at both measured
+    // scales: 2k vectors → 4 planes (q28's pinned dial), 20k → 8 planes
+    // (the 10×-scale-smoke fix — SCALING.md "ANN/LSH at scale")
+    assert(Similarity.planesForCorpus(2000) == 4)
+    assert(Similarity.planesForCorpus(20000) == 8)
+    assert(Similarity.planesForCorpus(1000000) == 13)
+    assert(Similarity.planesForCorpus(10) == 2) // floor
+    // recall: plant true near-dup pairs (cosine ≥ 0.95) and require the
+    // auto config to find them all — OR-amplified tables + multi-probe
+    // must repair what the longer per-table hash costs
+    val base = embeddings.limit(200)
+      .select($"vec_id", $"embedding")
+    val planted = base.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.0) + lit(0.001)).as("embedding"))
+    val corpus = base.union(planted)
+    val found = Similarity.cosineNearDupLshAuto(corpus, 0.95, nTables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.select($"vec_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(found))
+    // and everything reported really clears the threshold (exact verify)
+    val exact = Similarity.cosinePairsExact(corpus, 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(exact))
+  }
+
   test("media decode: mapPartitions metadata with deterministic stub") {
     val media = Media.attachBlob(docs)
     val meta = Media.decodeMetadata(media).collect()
