@@ -478,10 +478,11 @@ object Dedup {
     * Each round is one key-shuffle join + one aggregate, labels are
     * localCheckpoint'd so lineage doesn't grow linearly with rounds, and
     * nothing wider than (node, label) pairs ever shuffles — the shape
-    * that survives a billion-edge graph. (For adversarial long-chain
-    * graphs, the same loop slots in alternating large-star/small-star
-    * steps [Kiveris et al., SoCC'14] to force O(log n) convergence;
-    * near-dup graphs don't need it.)
+    * that survives a billion-edge graph. For adversarial long-chain
+    * graphs (rounds = diameter), use [[connectedComponentsStar]] —
+    * alternating large-star/small-star contraction with O(log n)
+    * convergence on any shape; near-dup graphs are near-cliques and
+    * don't need it.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIterations: Int = 25,
@@ -550,6 +551,94 @@ object Dedup {
       edges.unpersist(false)
       labels.select(col("node"), col("label").as("cluster_id"))
     }
+  }
+
+  /** Star-contraction connected components — the adversarial-graph
+    * variant of [[connectedComponents]]. Min-label propagation needs
+    * diameter rounds, so a 10⁶-node chain needs 10⁶ shuffles; alternating
+    * large-star/small-star contraction [Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14] converges in O(log n)
+    * rounds on ANY graph shape:
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its closed neighborhood;
+    *  - small-star: with edges directed large→small, every node links its
+    *    smaller neighbors (and itself) to that minimum.
+    *
+    * Both steps preserve connectivity and strictly shrink tall trees into
+    * stars; at the fixpoint every edge is (node → component minimum).
+    * Per round: two hash aggregates + one join, nothing wider than an id
+    * pair shuffles, and the edge set is localCheckpoint'd so lineage
+    * stays flat — the same scale shape as the min-label loop.
+    *
+    * Output matches [[connectedComponents]]: (node, cluster_id = component
+    * minimum).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIterations: Int = 50): DataFrame =
+    starContraction(pairs, aCol, bCol, maxIterations)._1
+
+  /** [[connectedComponentsStar]] plus the number of alternation rounds
+    * used — exposed so specs can pin the O(log n) convergence bound.
+    */
+  private[operators] def starContraction(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edges (big, small), self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+              least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges arrive canonical (u > v): Γ(u) here are the smaller nbrs
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = e.join(m, "u")
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint = identical canonical edge sets (cheap: id pairs only)
+      converged =
+        next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // fixpoint edges are (node → component minimum); roots label
+    // themselves. The min-agg is a no-op at fixpoint (one edge per node)
+    // and a safe partial answer if maxIterations cut the loop short.
+    val labels = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
+      .groupBy(col("node"))
+      .agg(min(coalesce(col("root"), col("node"))).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Exact shingle-set Jaccard between two text columns. */

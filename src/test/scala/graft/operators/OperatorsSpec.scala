@@ -81,6 +81,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("star-contraction components: 1000-node chain converges in O(log n) rounds") {
+    // the adversarial case for min-label propagation: a path graph of
+    // diameter 1000 would need ~1000 label rounds; alternating
+    // large-star/small-star must collapse it logarithmically
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.starContraction(chain, "id_a", "id_b",
+      maxIterations = 50)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1001)
+    assert(got.values.forall(_ == 0L), "every chain node labels to the minimum")
+    assert(rounds <= 16, s"expected O(log 1000) ≈ ≤16 alternation rounds, used $rounds")
+  }
+
+  test("star-contraction components agree with union-find on a mixed graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L), (4L, 2L))
+      .toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == expected)
+  }
+
   test("connected components over planted near-dups cover all pair members") {
     val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.7)
     val members = pairs.select($"id_a".as("id")).union(pairs.select($"id_b"))
