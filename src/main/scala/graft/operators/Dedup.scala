@@ -448,21 +448,34 @@ object Dedup {
     }
     val a = bandedSide("a")
     val b = bandedSide("b")
+    // The join condition carries ONLY equi-keys + the event-time range.
+    // Anything else (id ordering, the verify predicate) breaks
+    // StreamingJoinHelper's state-watermark extraction — it aborts on
+    // non-time inequalities and installs NO eviction predicates, so join
+    // state grows forever (caught by the state-shrink spec). Ordering
+    // and verification therefore happen ABOVE the join, behind the
+    // stateful pair-dedup, which predicate pushdown can't cross.
     a.join(b,
         col("a_band") === col("b_band") && col("a_bucket") === col("b_bucket") &&
-          col("a_id") < col("b_id") &&
           col("b_ts") >= col("a_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+      // canonical orientation via projection (not a filter — nothing for
+      // PushPredicateThroughJoin to push); self-pairs become (x, x)
+      .select(
+        least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"),
+        col("a_ts"), col("a_sh"), col("b_sh"))
+      // same pair collides in several bands AND arrives in both
+      // orientations; pair state GC'd with the same watermark bound
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .withColumn("inter", org.apache.spark.sql.graft.VectorExpressions
         .sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+      .select(col("id_a"), col("id_b"),
         col("a_ts").as("ts_a"), round(col("jaccard"), 6).as("jaccard"))
-      // same pair may collide in several bands; pair state GC'd with the
-      // same watermark that bounds the join
-      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
   }
 
   /** Connected components over a near-duplicate pair set: every document

@@ -168,6 +168,79 @@ object Similarity {
     cosineNearDupLsh(corpus, threshold,
       nPlanes = planesForCorpus(corpus.count(), targetBucketSize), nTables = nTables)
 
+  /** Streaming embedding near-duplicate pairs — the hyperplane-LSH twin
+    * of [[graft.operators.Dedup.streamingNearDupPairs]] (MinHash). Each
+    * arriving vector's (table, bucket) keys join against other vectors'
+    * buckets within `intervalSeconds` of event time: a watermarked
+    * stream-stream self-join, so each side buffers only rows younger
+    * than watermark + interval and state is bounded by recent traffic,
+    * not stream history. One side multi-probes (hamming ≤ 1), matching
+    * the batch candidate rule exactly; survivors verify with the exact
+    * cosine (stateless) and pairs dedup across tables inside the same
+    * watermark bound.
+    *
+    * Bytes discipline: state carries the unit-normalized vector
+    * (8·dim B) per table row — the ×nTables (+probes on one side)
+    * amplification multiplies a fixed-width array, the same tradeoff the
+    * MinHash twin documents for shingle-hash sets. An ids-only variant
+    * would re-join candidates to the vector stream twice (two more
+    * stateful joins); worth it only for very high dim × table counts.
+    */
+  def streamingNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      intervalSeconds: Long,
+      threshold: Double,
+      nPlanes: Int = 4,
+      nTables: Int = 2): DataFrame = {
+    // buckets from the RAW vector (projection signs are scale-invariant,
+    // identical to the batch path); verification on the normalized form
+    def side(p: String, probe: Boolean): DataFrame = {
+      val bucketed = vectors.select(
+          col(idCol).as(s"${p}_id"), col(tsCol).as(s"${p}_ts"),
+          VectorFunctions.normalize(col(vecCol)).as(s"${p}_emb"),
+          posexplode(VectorFunctions.hyperplaneBuckets(col(vecCol), nPlanes, nTables)))
+        .withColumnsRenamed(Map("pos" -> s"${p}_table", "col" -> s"${p}_bucket"))
+      val probed =
+        if (!probe) bucketed
+        else {
+          val probes = (0 until nPlanes).foldLeft(array(col(s"${p}_bucket"))) {
+            (acc, bit) => array_append(acc, col(s"${p}_bucket").bitwiseXOR(lit(1L << bit)))
+          }
+          bucketed.select(col(s"${p}_id"), col(s"${p}_ts"), col(s"${p}_emb"),
+            col(s"${p}_table"), explode(probes).as(s"${p}_bucket"))
+        }
+      probed.withWatermark(s"${p}_ts", watermarkDelay)
+    }
+    val a = side("a", probe = true)
+    val b = side("b", probe = false)
+    // ONLY equi-keys + the event-time range in the join condition: any
+    // other inequality (id ordering, the cosine threshold) aborts
+    // StreamingJoinHelper's state-watermark extraction and the join
+    // buffers forever (the state-shrink spec pins this). Orientation and
+    // verification run above the join, behind the stateful pair-dedup,
+    // which blocks predicate pushdown back into the join.
+    a.join(b,
+        col("a_table") === col("b_table") && col("a_bucket") === col("b_bucket") &&
+          col("b_ts") >= col("a_ts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .select(
+        least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"),
+        col("a_ts"), col("a_emb"), col("b_emb"))
+      // same pair collides in several tables/probes and arrives in both
+      // orientations; pair state GC'd with the same watermark bound
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine", VectorFunctions.dot(col("a_emb"), col("b_emb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("a_ts").as("ts_a"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Per-label centroid statistics — the IVF coarse-quantizer building
     * block (k-means assignment step = argmin distance to these centroids).
     */

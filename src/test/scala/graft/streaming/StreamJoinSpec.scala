@@ -36,6 +36,16 @@ class StreamJoinSpec extends AnyFunSuite with SparkTest {
       val rows = spark.table("stream_join")
         .select("click_ad", "imp_ad").as[(Long, Long)].collect().toSet
       assert(rows == Set((1L, 1L)))
+      // watermark eviction: push event time far forward; the 5 old
+      // buffered rows must leave state, only the 4 recent rows remain
+      impressions.addData((9L, ts(5000)))
+      clicks.addData((9L, ts(5000)))
+      query.processAllAvailable()
+      impressions.addData((8L, ts(5001)))
+      clicks.addData((8L, ts(5001)))
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.head.numRowsTotal == 4,
+        "join state must hold only the recent rows after eviction")
     } finally query.stop()
   }
 
@@ -94,6 +104,75 @@ class StreamJoinSpec extends AnyFunSuite with SparkTest {
       val got = spark.table("stream_neardup")
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got == Set((1L, 2L)), s"got $got")
+
+      // state boundedness: after the ts(300) flush the join buffers only
+      // the single live doc's banded rows (everything older aged out).
+      // Pushing event time far forward must evict it too, leaving exactly
+      // the two new docs' rows — broken eviction would read 3× that.
+      val perDoc = query.lastProgress.stateOperators
+        .find(_.operatorName.contains("symmetricHashJoin")).get.numRowsTotal
+      docs.addData((100L, "aaa bbb ccc ddd eee fff", ts(5000)))
+      query.processAllAvailable()
+      docs.addData((101L, "ggg hhh iii jjj kkk lll", ts(5001)))
+      query.processAllAvailable()
+      val stateAfter = query.lastProgress.stateOperators
+        .find(_.operatorName.contains("symmetricHashJoin")).get.numRowsTotal
+      assert(stateAfter == 2 * perDoc,
+        s"join state must hold only live docs: perDoc=$perDoc after=$stateAfter")
+    } finally query.stop()
+  }
+
+  test("streaming embedding near-dup pairs: hyperplane-LSH twin on a vector stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      // deterministic unit-ish vector; seeds far apart are uncorrelated
+      val raw = (0 until dim).map(j => math.sin(seed * 37.0 + j * 11.0))
+      raw
+    }
+    def close(v: Seq[Double]): Seq[Double] = v.map(_ * 1.0 + 0.01)
+
+    val vectors = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val pairs = graft.operators.Similarity.streamingNearDupPairs(
+      vectors.toDF().toDF("vec_id", "embedding", "ts"),
+      "vec_id", "embedding", "ts",
+      watermarkDelay = "1 minute", intervalSeconds = 600L,
+      threshold = 0.95, nPlanes = 4, nTables = 4)
+    val query = pairs.writeStream.format("memory")
+      .queryName("stream_embdup").outputMode("append").start()
+    try {
+      // 1 & 2: near-identical vectors 5 min apart → pair.
+      // 3: identical to 1 but 2 hours later → outside interval, dropped.
+      // 4: unrelated vector at the same time → below threshold, no pair.
+      vectors.addData(
+        (1L, vec(3), ts(10)),
+        (2L, close(vec(3)), ts(15)),
+        (3L, vec(3), ts(130)),
+        (4L, vec(8), ts(12)))
+      query.processAllAvailable()
+      // advance the watermark so pending state flushes
+      vectors.addData((99L, vec(20), ts(300)))
+      query.processAllAvailable()
+      val got = spark.table("stream_embdup")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), s"got $got")
+
+      // state boundedness: after the ts(300) flush only that one vector's
+      // (table × probe + table) rows remain buffered; a far watermark
+      // advance must evict it, leaving exactly the two new vectors' rows
+      // — broken eviction would read 3× that
+      val perVec = query.lastProgress.stateOperators
+        .find(_.operatorName.contains("symmetricHashJoin")).get.numRowsTotal
+      vectors.addData((100L, vec(21), ts(5000)))
+      query.processAllAvailable()
+      vectors.addData((101L, vec(22), ts(5001)))
+      query.processAllAvailable()
+      val joinStateAfter = query.lastProgress.stateOperators
+        .find(_.operatorName.contains("symmetricHashJoin")).get.numRowsTotal
+      assert(joinStateAfter == 2 * perVec,
+        s"join state must hold only live vectors: perVec=$perVec after=$joinStateAfter")
     } finally query.stop()
   }
 }
