@@ -464,9 +464,14 @@ object Dedup {
       .select(
         least(col("a_id"), col("b_id")).as("id_a"),
         greatest(col("a_id"), col("b_id")).as("id_b"),
+        // orientation-invariant pair timestamp, computed BEFORE the
+        // stateful dedup: which orientation/band-collision survives is
+        // run-order dependent, so a_ts alone would be nondeterministic
+        least(col("a_ts"), col("b_ts")).as("pair_ts"),
         col("a_ts"), col("a_sh"), col("b_sh"))
       // same pair collides in several bands AND arrives in both
       // orientations; pair state GC'd with the same watermark bound
+      // (a_ts stays in scope as the watermarked event-time column)
       .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("inter", org.apache.spark.sql.graft.VectorExpressions
@@ -475,7 +480,7 @@ object Dedup {
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"),
-        col("a_ts").as("ts_a"), round(col("jaccard"), 6).as("jaccard"))
+        col("pair_ts").as("ts_a"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Connected components over a near-duplicate pair set: every document

@@ -230,15 +230,20 @@ object Similarity {
       .select(
         least(col("a_id"), col("b_id")).as("id_a"),
         greatest(col("a_id"), col("b_id")).as("id_b"),
+        // orientation-invariant pair timestamp, computed BEFORE the
+        // stateful dedup: which orientation/collision survives the dedup
+        // is run-order dependent, so a_ts alone would be nondeterministic
+        least(col("a_ts"), col("b_ts")).as("pair_ts"),
         col("a_ts"), col("a_emb"), col("b_emb"))
       // same pair collides in several tables/probes and arrives in both
       // orientations; pair state GC'd with the same watermark bound
+      // (a_ts stays in scope as the watermarked event-time column)
       .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cosine", VectorFunctions.dot(col("a_emb"), col("b_emb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"),
-        col("a_ts").as("ts_a"), round(col("cosine"), 6).as("cosine"))
+        col("pair_ts").as("ts_a"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** Per-label centroid statistics — the IVF coarse-quantizer building

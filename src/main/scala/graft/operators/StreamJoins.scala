@@ -50,6 +50,13 @@ object StreamJoins {
     * a raw `col(streamKey) === col(dimKey)` condition is ambiguous when
     * both sides share the key name and leaks a duplicate key column
     * when they don't — USING resolves both and emits the key once.
+    *
+    * Schema change: in the output, the dimension's `dimKey` column
+    * appears under the name `streamKey` (merged into the single USING
+    * key column). A dimension that ALREADY has a distinct column named
+    * `streamKey` alongside `dimKey` is rejected — the rename would
+    * produce two same-named columns and the join would fail with an
+    * opaque ambiguity error downstream.
     */
   def enrich(
       stream: DataFrame,
@@ -57,6 +64,9 @@ object StreamJoins {
       streamKey: String,
       dimKey: String,
       joinType: String = "left"): DataFrame = {
+    require(dimKey == streamKey || !dim.columns.contains(streamKey),
+      s"dim already has a column named '$streamKey' distinct from its key '$dimKey'; " +
+        "rename it before enriching (the dim key is exposed as the stream key)")
     val d = if (dimKey == streamKey) dim else dim.withColumnRenamed(dimKey, streamKey)
     stream.join(broadcast(d), Seq(streamKey), joinType)
   }

@@ -80,7 +80,9 @@ private[queries] trait EventQueries {
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).filter(col("user_id") < 20)
       .select(col("user_id").as("key"),
-        (col("ts").cast("long") / lit(86400L)).cast("long").as("d"),
+        // floor(), not a cast: cast-to-long truncates toward zero, which
+        // diverges from the oracle's floor(epoch/86400) for pre-1970 ts
+        floor(col("ts").cast("long") / lit(86400L)).as("d"),
         col("ts").cast("long").as("ts_s"),
         lit(0).as("is_order"), lit(null).cast("long").as("okey"))
     // the order side prunes to the event-side key range BEFORE the

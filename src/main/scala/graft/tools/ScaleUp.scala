@@ -72,12 +72,23 @@ object ScaleUp {
         .withColumn("n_chars", col("n_chars") + lit(s" r$i".length.toLong))
     })
     // embeddings: shift + rotate the vector by i positions (norm- and
-    // distribution-preserving, decorrelates replicas)
-    write("embeddings", replicate(read("embeddings"), factor) { (df, i) =>
+    // distribution-preserving, decorrelates replicas). The dimension is
+    // read from the corpus, not assumed: element_at past the array end
+    // returns null with ANSI off and would silently corrupt the scaled
+    // vectors. Rotation repeats after d steps (replicas i and i+d would
+    // be identical, reintroducing quadratic pair growth), so factor > d
+    // is refused rather than quietly degraded.
+    val emb = read("embeddings")
+    val d = emb.select(size(col("embedding"))).first().getInt(0)
+    require(factor <= d,
+      s"factor $factor > embedding dim $d: rotation would repeat and replicas would collide")
+    val mixedDims = emb.filter(size(col("embedding")) =!= d).count()
+    require(mixedDims == 0,
+      s"$mixedDims embedding rows have dim != $d; rotation would null-pad them")
+    write("embeddings", replicate(emb, factor) { (df, i) =>
       val shifted = shiftKeys(df, i)
       if (i == 0) shifted
       else {
-        val d = 64
         val rot = (0 until d).map(j => element_at(col("embedding"), (j + i) % d + 1))
         shifted.withColumn("embedding", array(rot: _*))
       }
