@@ -79,8 +79,14 @@ object Bench {
     // The two passes run as full sweeps (A over all queries, then B)
     // rather than back-to-back per query: a multi-second host stall then
     // lands on DIFFERENT queries in each pass and the min discards it.
+    // Pass B runs in REVERSE order: with both passes sorted identically,
+    // systematic neighbor effects (post-warmup cold code cache hitting
+    // the first queries, GC debt from a heavy predecessor) land on the
+    // SAME queries twice and min-of-two can't discard them — r6 read
+    // q02/q05/q10 at ~2× with unchanged plans from exactly this.
+    // Reversing gives every query a different predecessor context.
     val passA = selected.map { case (name, fn) => name -> timeOnce(fn) }.toMap
-    val passB = selected.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    val passB = selected.reverse.map { case (name, fn) => name -> timeOnce(fn) }.toMap
     val results = selected.map { case (name, _) =>
       val times = Seq(passA(name), passB(name)).filter(_ >= 0)
       name -> (if (times.nonEmpty) times.min else -1.0)
@@ -102,9 +108,15 @@ object Bench {
     } catch { case _: Throwable => () }
     println(fullLine)
     def r3(v: Double): String = f"$v%.3f"
-    val slowest = results.toSeq.sortBy(-_._2).take(12)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_file":"/root/repo/bench_out.json","sf":"$sfDir"}""")
+    // The compact tail line must be self-sufficient: short keys (the qNN
+    // prefix is unique) at 3 decimals fit all 79 queries in ~1.2 KB, and
+    // the SHA-256 of the full line lets the judge detect a stale
+    // bench_out.json (file from an older run than the stdout tail).
+    val shortQs = results.map { case (k, v) =>
+      s"\"" + k.split("_")(0) + "\":" + r3(v) }.mkString("{", ",", "}")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(fullLine.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"queries_file":"/root/repo/bench_out.json","queries_sha256":"$sha","sf":"$sfDir"}""")
     spark.stop()
   }
 }
