@@ -104,6 +104,7 @@ object QueryPack
     "q77_setops_all"        -> (setOpsAll _),
     "q78_quantifiers"       -> (tokenQuantifiers _),
     "q79_gap_fill"          -> (gapFilledDaily _),
+    "q80_emb_neardup_lsh_auto" -> (embNearDupLshAuto _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -89,4 +89,21 @@ private[queries] object SqlTwins {
     (0 until nTables).map(t =>
       s"bit_count(xor($a$t, $b$t)) <= 1").mkString("(", " OR ", ")")
 
+  /** The first `nPlanes` hyperplane weight rows as ONE DuckDB
+    * list-of-lists literal — for oracles whose plane count is derived
+    * inside the SQL itself (a dynamic `wm[t*np+i+1]` lookup replaces the
+    * per-plane literals [[bucketSql]] embeds for a fixed dial). */
+  def weightMatrixSql(nPlanes: Int): String =
+    (0 until nPlanes).map(planeWeightsSql).mkString("[", ",", "]")
+
+  /** Packed bucket of table `t` with the plane count taken from an
+    * in-scope SQL column `np` (MSB-first, mirroring VectorHashOps.buckets
+    * — plane i of table t is global plane t·np+i). `wm` must bind a
+    * [[weightMatrixSql]] literal covering nTables·np planes. */
+  def dynamicBucketSql(t: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, np), i ->
+       | CASE WHEN list_dot_product(emb, wm[$t*np+i+1]) >= 0
+       |  THEN CAST(power(2, np-1-i) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+      .replace("\n", " ")
+
 }

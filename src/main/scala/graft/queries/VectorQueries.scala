@@ -92,6 +92,18 @@ private[queries] trait VectorQueries {
       Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 4)
       .select(col("id_a"), col("id_b"))
 
+  /** LSH embedding near-dup on the AUTO-configured production path:
+    * [[graft.operators.Similarity.cosineNearDupLshAuto]] derives the
+    * plane count from the corpus cardinality (planesForCorpus — the r6
+    * scale fix), so the gate exercises the code a user would actually
+    * run instead of replaying a hand dial. The oracle re-derives the
+    * same plane count from COUNT(*) inside the SQL.
+    */
+  def embNearDupLshAuto(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupLshAuto(
+      Tables.embeddings(s, dir), threshold = 0.35)
+      .select(col("id_a"), col("id_b"))
+
   /** Multimodal decode: binary blob → typed metadata via mapPartitions
     * (stubbed codec, real plumbing), aggregated per format.
     */
@@ -230,6 +242,25 @@ private[queries] trait VectorQueries {
          | FROM q JOIN probed ON probed.query_id = q.query_id
          |  JOIN e c ON c.label = probed.label AND c.vec_id <> q.query_id) t
          |WHERE rank <= 10""".stripMargin
+    },
+    // auto-config LSH replay: np is DERIVED IN SQL from COUNT(*) with the
+    // same formula as planesForCorpus (ln ratio + ceil, floor 2), buckets
+    // come from a dynamic lookup into the 48-plane weight matrix (supports
+    // np ≤ 12 with 4 tables — corpora to ~500k vectors; beyond that the
+    // WHERE np <= 12 guard empties the oracle and the gate fails loudly
+    // rather than comparing against a silently-wrong replay).
+    "q80_emb_neardup_lsh_auto" -> {
+      val buckets = (0 until 4).map(t => s"${dynamicBucketSql(t)} AS b$t").mkString(", ")
+      s"""WITH p AS (SELECT GREATEST(2, CAST(CEIL(LN(GREATEST(1.0, COUNT(*)/128.0))/LN(2)) AS INT)) AS np
+         |  FROM embeddings),
+         |w AS (SELECT ${weightMatrixSql(48)} AS wm),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb, $buckets FROM e, p, w WHERE np <= 12)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id
+         | AND ${anyTableCollidesSql("a.b", "c.b", 4)}
+         |WHERE list_cosine_similarity(a.emb, c.emb) >= 0.35""".stripMargin
     },
     "q64_emb_quantize" ->
       """WITH e AS (
