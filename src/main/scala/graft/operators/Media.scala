@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video ride as opaque `binary`
   * columns with typed metadata extracted by a partition-mapped decoder.
   *
-  * Blobs whose magic bytes identify a JDK-decodable image (PNG / JPEG /
-  * GIF / BMP) are decoded for REAL via `javax.imageio` — header-only
+  * Blobs whose magic bytes identify a JDK-decodable format are decoded
+  * for REAL, header-only — the decode a 100 TB metadata pass should do:
+  * images (PNG / JPEG / GIF / BMP) via `javax.imageio`
   * (`ImageReader.getWidth/getHeight` read dimensions from the stream
-  * header without materializing pixels), which is the decode a 100 TB
-  * metadata pass should do. Non-image blobs (the oracle corpus uses
-  * document text as a stand-in payload) fall back to a deterministic
-  * fake clearly marked below; audio/video stay stubbed (no codecs in
-  * the JDK). Everything around the codec call is the real large-scale
+  * header without materializing pixels), audio (WAV / AIFF) via
+  * `javax.sound.sampled.AudioSystem.getAudioFileFormat` (sample rate,
+  * channels, frame count — samples never decoded). Other blobs (the
+  * oracle corpus uses document text as a stand-in payload) fall back to
+  * a deterministic fake clearly marked below; video stays stubbed (no
+  * JDK codec). Everything around the codec call is the real large-scale
   * shape: binary column + schema, `mapPartitions` batch decode (one
   * decoder context per partition, not per row — exactly where a
   * JNI/FFmpeg library handle would be initialized), explode for frame
@@ -22,7 +24,11 @@ import org.apache.spark.sql.functions._
 object Media {
 
   final case class MediaMeta(
-      doc_id: Long, format: String, width: Int, height: Int, n_bytes: Long)
+      doc_id: Long, format: String, width: Int, height: Int, n_bytes: Long,
+      // audio-only fields (None for images and the stub): real WAV/AIFF
+      // header decode fills these via javax.sound.sampled
+      sample_rate: Option[Int] = None, channels: Option[Int] = None,
+      duration_ms: Option[Long] = None)
 
   final case class Frame(doc_id: Long, frame_index: Int, frame_bytes: Array[Byte])
 
@@ -47,8 +53,41 @@ object Media {
         // the header's little-endian file size to match the payload
         (at(2) | at(3) << 8 | at(4) << 16 | at(5) << 24) == bytes.length)
       Some("bmp")
+    // audio containers carry an 8-byte two-part magic (chunk id + form
+    // type), so plain text can't collide the way 2-byte "BM" does
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+        at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E')
+      Some("wav")
+    else if (at(0) == 'F' && at(1) == 'O' && at(2) == 'R' && at(3) == 'M' &&
+        at(8) == 'A' && at(9) == 'I' && at(10) == 'F' &&
+        (at(11) == 'F' || at(11) == 'C'))
+      Some("aiff")
     else None
   }
+
+  /** Real audio decode: header-only sample rate / channels / duration
+    * via `javax.sound.sampled.AudioSystem.getAudioFileFormat` — like the
+    * image path it parses the container header without decoding samples,
+    * the right cost shape for a metadata pass over a large audio corpus.
+    * Video stays stubbed: the JDK ships no video codec, and a real build
+    * would initialize its FFmpeg-style handle in the same mapPartitions
+    * slot the image/audio decoders use.
+    */
+  private def decodeAudio(docId: Long, bytes: Array[Byte], fmt: String): Option[MediaMeta] =
+    try {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val af = ff.getFormat
+      val durationMs =
+        if (ff.getFrameLength >= 0 && af.getFrameRate > 0)
+          Some(math.round(ff.getFrameLength * 1000.0 / af.getFrameRate))
+        else None
+      Some(MediaMeta(docId, fmt, width = 0, height = 0,
+        n_bytes = bytes.length.toLong,
+        sample_rate = Some(math.round(af.getSampleRate)),
+        channels = Some(af.getChannels),
+        duration_ms = durationMs))
+    } catch { case _: Exception => None }
 
   /** Real decode: header-only width/height via `javax.imageio`. The
     * reader parses just the image header — pixels are never allocated,
@@ -91,7 +130,10 @@ object Media {
 
   private def decodeOne(docId: Long, bytes: Array[Byte]): MediaMeta =
     sniffFormat(bytes)
-      .flatMap(fmt => decodeImage(docId, bytes, fmt))
+      .flatMap {
+        case fmt @ ("wav" | "aiff") => decodeAudio(docId, bytes, fmt)
+        case fmt                    => decodeImage(docId, bytes, fmt)
+      }
       .getOrElse(decodeFake(docId, bytes))
 
   /** Batched metadata decode over (doc_id, blob) rows. */

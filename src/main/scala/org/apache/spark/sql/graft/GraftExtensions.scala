@@ -108,6 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(one("token_count")(TokenCount))
     ext.injectFunction(one("normalize_ws_punct")(NormalizeWsPunct))
     ext.injectFunction(two("array_dot")(ArrayDotProduct))
+    ext.injectFunction(two("cell_argmax")(CellArgmax))
     ext.injectFunction(two("sorted_intersect_count")(SortedIntersectCount))
     ext.injectFunction(two("envelope_field")(EnvelopeField))
     ext.injectFunction(hyperplaneBuilder)

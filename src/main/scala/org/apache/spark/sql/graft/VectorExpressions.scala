@@ -174,6 +174,109 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd argmax of dot(vec, row) over a centroid MATRIX
+  * (`array<array<double>>`, normally a literal) — the k-means / IVF
+  * assignment step as ONE expression.
+  *
+  * The composed form (`array_max` over k `struct(dot, -cell)` entries)
+  * materializes k struct expressions in the plan: plan size, Janino
+  * compile time, and codegen method length all grow with k, and k itself
+  * grows as √n under the cells-≈-√n rule — at 20k vectors (141 cells ×
+  * 64 dims ≈ 9k literal doubles per pass) plan compilation dominated the
+  * whole index build. Here the matrix rides as a single literal and the
+  * argmax is a tight k×dim loop.
+  *
+  * Ties take the LOWEST cell id (strict `>` on a left-to-right scan —
+  * same contract as the composed form). Null vector elements, a row of
+  * the wrong length, or an empty matrix poison the result to null
+  * (matching [[ArrayDotProduct]]'s lenient-corpus contract).
+  */
+case class CellArgmax(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_argmax"
+
+  private def vecElementType: Option[DataType] = left.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  private def matrixOk: Boolean = right.dataType match {
+    case ArrayType(ArrayType(DoubleType, _), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecElementType.isDefined && matrixOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cell_argmax expects (array<float|double>, array<array<double>>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val m = r.asInstanceOf[ArrayData]
+    val isFloat = vecElementType.get == FloatType
+    val n = v.numElements()
+    val k = m.numElements()
+    if (k == 0) return null
+    var best = Double.NegativeInfinity
+    var bestCell = -1
+    var c = 0
+    while (c < k) {
+      if (m.isNullAt(c)) return null
+      val row = m.getArray(c)
+      if (row.numElements() != n) return null
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i) || row.isNullAt(i)) return null
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        sum += x * row.getDouble(i)
+        i += 1
+      }
+      if (sum > best) { best = sum; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = vecElementType.get match {
+      case FloatType => (v: String, i: String) => s"(double) $v.getFloat($i)"
+      case _         => (v: String, i: String) => s"$v.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val row = ctx.freshName("row"); val sum = ctx.freshName("sum")
+      val best = ctx.freshName("best"); val bestCell = ctx.freshName("bestCell")
+      s"""
+         |int $n = $v.numElements();
+         |int $k = $m.numElements();
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestCell = -1;
+         |if ($k == 0) { ${ev.isNull} = true; }
+         |for (int $c = 0; !${ev.isNull} && $c < $k; $c++) {
+         |  if ($m.isNullAt($c)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $m.getArray($c);
+         |  if ($row.numElements() != $n) { ${ev.isNull} = true; break; }
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i) || $row.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += (${getX(v, i)}) * $row.getDouble($i);
+         |  }
+         |  if (!${ev.isNull} && $sum > $best) { $best = $sum; $bestCell = $c; }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $bestCell; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -182,4 +285,8 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cellArgmax(v: Column, centroids: Column): Column =
+    ExpressionUtils.column(
+      CellArgmax(ExpressionUtils.expression(v), ExpressionUtils.expression(centroids)))
 }

@@ -359,6 +359,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.45, s"IVF-over-kmeans recall@10 = $recall")
   }
 
+  test("IVF auto build: cellsForCorpus dial + kmeans index meets a recall floor") {
+    assert(Similarity.cellsForCorpus(0) == 2)
+    assert(Similarity.cellsForCorpus(10000) == 100) // √n
+    assert(Similarity.probesForCells(100) == 10)    // ⁴√n
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, embeddings, 10))
+    val auto = pairs(Similarity.ivfTopKAuto(queries, embeddings, 10, dim = 64))
+    val recall = auto.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-auto recall@10 = $recall")
+    // the auto dials scan ~nProbes/nCells ≈ ¼ of this corpus; k-means
+    // cells must lift recall well above that proximity-blind chance line
+    assert(recall >= 0.5, s"IVF-auto recall@10 = $recall")
+  }
+
   test("k-means recovers separable clusters deterministically and feeds IVF") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -492,6 +510,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(fallback.width == 64 * (1 + corrupt.length % 16))
     // non-image payloads never reach ImageIO (sniff returns None)
     assert(Media.sniffFormat("just some text".getBytes).isEmpty)
+  }
+
+  test("media decode: real WAV/AIFF bytes yield true sample rate, channels, duration") {
+    // genuine audio containers generated in-JVM (AudioSystem.write over
+    // synthesized PCM): the decoder must recover the real header fields
+    // via javax.sound.sampled, through the same mapPartitions path
+    def audioBytes(fileType: javax.sound.sampled.AudioFileFormat.Type,
+                   rateHz: Float, channels: Int, frames: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(rateHz, 16, channels, true, false)
+      val pcm = Array.tabulate(frames * channels * 2)(i => (i * 37 % 251).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, fileType, out)
+      out.toByteArray
+    }
+    import javax.sound.sampled.AudioFileFormat.Type
+    val blobs = Seq(
+      // 8000 Hz mono, 1600 frames → 200 ms; 44100 Hz stereo, 4410 → 100 ms
+      (1L, audioBytes(Type.WAVE, 8000f, 1, 1600), "wav", 8000, 1, 200L),
+      (2L, audioBytes(Type.WAVE, 44100f, 2, 4410), "wav", 44100, 2, 100L),
+      (3L, audioBytes(Type.AIFF, 16000f, 1, 8000), "aiff", 16000, 1, 500L))
+    val df = blobs.map { case (id, b, _, _, _, _) => (id, b) }
+      .toDF("doc_id", "blob")
+    val meta = Media.decodeMetadata(df).collect().map(m => m.doc_id -> m).toMap
+    blobs.foreach { case (id, b, fmt, rate, ch, durMs) =>
+      assert(meta(id).format == fmt)
+      assert(meta(id).sample_rate.contains(rate), s"rate of $fmt")
+      assert(meta(id).channels.contains(ch), s"channels of $fmt")
+      assert(meta(id).duration_ms.contains(durMs), s"duration of $fmt")
+      assert(meta(id).n_bytes == b.length.toLong)
+      assert(meta(id).width == 0 && meta(id).height == 0)
+    }
+    // truncated container (RIFF/WAVE magic, body cut) falls back to the
+    // deterministic stub instead of failing the task — lenient parse
+    val corrupt = blobs.head._2.take(16)
+    val fallback = Media.decodeMetadata(
+      Seq((9L, corrupt)).toDF("doc_id", "blob")).collect().head
+    assert(fallback.sample_rate.isEmpty)
+    assert(fallback.width == 64 * (1 + corrupt.length % 16))
+    // image decodes leave the audio fields empty
+    assert(Media.sniffFormat("RIFFxxxxWAVE".getBytes).contains("wav"))
+    assert(Media.sniffFormat("FORMxxxxAIFF".getBytes).contains("aiff"))
+    assert(Media.sniffFormat("RIFFxxxxAVI ".getBytes).isEmpty)
   }
 
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {

@@ -52,6 +52,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("s") == (ha & hb))
   }
 
+  test("cell_argmax picks the max-dot centroid row, ties to the lowest cell") {
+    val row = spark.sql(
+      """SELECT cell_argmax(array(1.0D, 0.0D),
+        |         array(array(0.0D, 1.0D), array(1.0D, 0.0D))) AS c,
+        |       cell_argmax(array(1.0D, 0.0D),
+        |         array(array(1.0D, 0.0D), array(1.0D, 0.0D))) AS tie,
+        |       cell_argmax(array(1.0D, 0.0D),
+        |         array(array(1.0D), array(1.0D, 0.0D))) AS badrow""".stripMargin)
+      .collect().head
+    assert(row.getAs[Int]("c") == 1)
+    assert(row.getAs[Int]("tie") == 0)
+    assert(row.isNullAt(row.fieldIndex("badrow"))) // length mismatch poisons
+  }
+
   test("sorted_intersect_count evaluates as a SQL function") {
     val row = spark.sql(
       """SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 5L)) AS c,
