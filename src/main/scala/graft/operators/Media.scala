@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * (`ImageReader.getWidth/getHeight` read dimensions from the stream
   * header without materializing pixels), audio (WAV / AIFF) via
   * `javax.sound.sampled.AudioSystem.getAudioFileFormat` (sample rate,
-  * channels, frame count — samples never decoded). Other blobs (the
-  * oracle corpus uses document text as a stand-in payload) fall back to
-  * a deterministic fake clearly marked below; video stays stubbed (no
-  * JDK codec). Everything around the codec call is the real large-scale
+  * channels, frame count — samples never decoded), and video (MP4 /
+  * AVI) via a hand-rolled CONTAINER header parse (ISO-BMFF box walk to
+  * `moov/mvhd` + `trak/tkhd`, RIFF walk to `hdrl/avih`) — container
+  * metadata needs no codec, only frame decode does, so
+  * width/height/duration come out real while pixel decode remains the
+  * FFmpeg-shaped gap documented below. Other blobs (the oracle corpus
+  * uses document text as a stand-in payload) fall back to a
+  * deterministic fake clearly marked below.
+  * Everything around the codec call is the real large-scale
   * shape: binary column + schema, `mapPartitions` batch decode (one
   * decoder context per partition, not per row — exactly where a
   * JNI/FFmpeg library handle would be initialized), explode for frame
@@ -62,16 +67,127 @@ object Media {
         at(8) == 'A' && at(9) == 'I' && at(10) == 'F' &&
         (at(11) == 'F' || at(11) == 'C'))
       Some("aiff")
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+        at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ')
+      Some("avi")
+    // ISO-BMFF: first box is 'ftyp' — the 4-byte type at offset 4
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p')
+      Some("mp4")
     else None
   }
+
+  // --- video container parsing (no codec required for METADATA) -------
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "ISO-8859-1")
+
+  /** All ISO-BMFF boxes of `typ` directly inside [start, end): returns
+    * (payloadStart, payloadEnd) per box. Handles 64-bit `largesize`
+    * (size==1) and to-end (size==0) encodings; stops at malformation.
+    */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int, typ: String): List[(Int, Int)] = {
+    val out = List.newBuilder[(Int, Int)]
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val size0 = be32(b, off)
+      val (hdr, size) =
+        if (size0 == 1 && off + 16 <= end) (16, be64(b, off + 8))
+        else if (size0 == 0) (8, (end - off).toLong)
+        else (8, size0)
+      if (size < hdr || off + size > end) ok = false
+      else {
+        if (fourcc(b, off + 4) == typ) out += ((off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** MP4 metadata: duration from `moov/mvhd` (duration/timescale),
+    * width/height from the first `trak/tkhd` with a nonzero width (audio
+    * tracks carry 0×0). Pure byte parsing of the ISO-BMFF box tree —
+    * the right cost shape for a metadata pass over a billion videos:
+    * O(header bytes), no codec, no frame data touched.
+    */
+  private def parseMp4(docId: Long, b: Array[Byte]): Option[MediaMeta] =
+    try {
+      mp4Boxes(b, 0, b.length, "moov").headOption.flatMap { case (ms, me) =>
+        val durationMs = mp4Boxes(b, ms, me, "mvhd").headOption.flatMap { case (s, _) =>
+          val v = b(s) & 0xff
+          val (timescale, duration) =
+            if (v == 1) (be32(b, s + 20), be64(b, s + 28))
+            else (be32(b, s + 12), be32(b, s + 16))
+          if (timescale > 0) Some(duration * 1000L / timescale) else None
+        }
+        val dims = mp4Boxes(b, ms, me, "trak").iterator
+          .flatMap { case (ts, te) => mp4Boxes(b, ts, te, "tkhd") }
+          .map { case (s, _) =>
+            val v = b(s) & 0xff
+            val base = if (v == 1) s + 88 else s + 76 // past times+matrix
+            // 16.16 fixed point
+            ((be32(b, base) >> 16).toInt, (be32(b, base + 4) >> 16).toInt)
+          }
+          .find(_._1 > 0)
+        if (durationMs.isEmpty && dims.isEmpty) None
+        else {
+          val (w, h) = dims.getOrElse((0, 0))
+          Some(MediaMeta(docId, "mp4", w, h, b.length.toLong, duration_ms = durationMs))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** AVI metadata from the `hdrl` LIST's `avih` chunk: width/height and
+    * duration = totalFrames × microSecPerFrame. RIFF chunks are
+    * little-endian and pad to even offsets.
+    */
+  private def parseAvi(docId: Long, b: Array[Byte]): Option[MediaMeta] =
+    try {
+      val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+      // walk RIFF chunks to LIST('hdrl')/avih; chunks pad to even sizes
+      def findAvih(start: Int, end: Int): Option[Int] = {
+        var off = start
+        while (off + 8 <= end) {
+          val ck = fourcc(b, off)
+          val size = le32(b, off + 4).toInt
+          val payload = off + 8
+          if (size < 0 || payload + size > end) return None
+          if (ck == "avih") return Some(payload)
+          if (ck == "LIST" && size >= 4 && fourcc(b, payload) == "hdrl") {
+            val sub = findAvih(payload + 4, payload + size)
+            if (sub.isDefined) return sub
+          }
+          off = payload + size + (size & 1)
+        }
+        None
+      }
+      findAvih(12, riffEnd).filter(_ + 40 <= b.length).map { p =>
+        val usPerFrame = le32(b, p) // dwMicroSecPerFrame
+        val totalFrames = le32(b, p + 16) // dwTotalFrames
+        MediaMeta(docId, "avi",
+          width = le32(b, p + 32).toInt, height = le32(b, p + 36).toInt,
+          n_bytes = b.length.toLong,
+          duration_ms =
+            if (usPerFrame > 0) Some(totalFrames * usPerFrame / 1000L) else None)
+      }
+    } catch { case _: Exception => None }
 
   /** Real audio decode: header-only sample rate / channels / duration
     * via `javax.sound.sampled.AudioSystem.getAudioFileFormat` — like the
     * image path it parses the container header without decoding samples,
     * the right cost shape for a metadata pass over a large audio corpus.
-    * Video stays stubbed: the JDK ships no video codec, and a real build
-    * would initialize its FFmpeg-style handle in the same mapPartitions
-    * slot the image/audio decoders use.
+    * Video FRAME decode stays out of scope (the JDK ships no video
+    * codec; a real build would initialize its FFmpeg-style handle in the
+    * same mapPartitions slot) — but video container METADATA needs no
+    * codec and is parsed for real by [[parseMp4]]/[[parseAvi]].
     */
   private def decodeAudio(docId: Long, bytes: Array[Byte], fmt: String): Option[MediaMeta] =
     try {
@@ -132,6 +248,8 @@ object Media {
     sniffFormat(bytes)
       .flatMap {
         case fmt @ ("wav" | "aiff") => decodeAudio(docId, bytes, fmt)
+        case "mp4"                  => parseMp4(docId, bytes)
+        case "avi"                  => parseAvi(docId, bytes)
         case fmt                    => decodeImage(docId, bytes, fmt)
       }
       .getOrElse(decodeFake(docId, bytes))

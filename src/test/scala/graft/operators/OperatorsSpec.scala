@@ -554,7 +554,59 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     // image decodes leave the audio fields empty
     assert(Media.sniffFormat("RIFFxxxxWAVE".getBytes).contains("wav"))
     assert(Media.sniffFormat("FORMxxxxAIFF".getBytes).contains("aiff"))
-    assert(Media.sniffFormat("RIFFxxxxAVI ".getBytes).isEmpty)
+    assert(Media.sniffFormat("RIFFxxxxAVI ".getBytes).contains("avi"))
+  }
+
+  test("media decode: MP4 box tree and AVI header yield real video metadata") {
+    // minimal-but-valid containers built byte-by-byte: the parser must
+    // recover duration from moov/mvhd, dimensions from the first VIDEO
+    // trak (skipping the 0x0 audio trak), and the avih fields — all
+    // without any codec
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(payload.length + 8)
+        .putInt(payload.length + 8).put(typ.getBytes("ISO-8859-1"))
+        .put(payload).array()
+    val mvhd = { // v0: timescale 600 @12, duration 3000 ticks @16 → 5 s
+      val b = ByteBuffer.allocate(100)
+      b.position(12); b.putInt(600); b.putInt(3000); b.array()
+    }
+    def tkhd(w: Int, h: Int) = { // v0: 16.16 width @76, height @80
+      val b = ByteBuffer.allocate(84)
+      b.position(76); b.putInt(w << 16); b.putInt(h << 16); b.array()
+    }
+    val mp4 = box("ftyp", "isomisom".getBytes) ++
+      box("moov", box("mvhd", mvhd) ++
+        box("trak", box("tkhd", tkhd(0, 0))) ++ // audio trak: 0×0
+        box("trak", box("tkhd", tkhd(640, 360)))) ++
+      box("mdat", Array.fill[Byte](32)(7))
+    def le(i: Int) = ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    val avih = { // 33333 µs/frame, 300 frames @16, 320×240 @32/@36
+      val b = ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(33333); b.position(16); b.putInt(300)
+      b.position(32); b.putInt(320); b.putInt(240); b.array()
+    }
+    val hdrl = "LIST".getBytes ++ le(4 + 8 + avih.length) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le(avih.length) ++ avih
+    val avi = "RIFF".getBytes ++ le(4 + hdrl.length) ++ "AVI ".getBytes ++ hdrl
+    assert(Media.sniffFormat(mp4).contains("mp4"))
+    assert(Media.sniffFormat(avi).contains("avi"))
+    val meta = Media.decodeMetadata(
+        Seq((1L, mp4), (2L, avi)).toDF("doc_id", "blob"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "mp4")
+    assert(meta(1L).width == 640 && meta(1L).height == 360)
+    assert(meta(1L).duration_ms.contains(5000L))
+    assert(meta(2L).format == "avi")
+    assert(meta(2L).width == 320 && meta(2L).height == 240)
+    assert(meta(2L).duration_ms.contains(9999L)) // 300 × 33333 µs
+    assert(meta.values.forall(m => m.sample_rate.isEmpty && m.channels.isEmpty))
+    // truncated moov (magic intact, tree cut) falls back to the stub
+    val corrupt = mp4.take(20)
+    val fb = Media.decodeMetadata(Seq((9L, corrupt)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(fb.duration_ms.isEmpty && fb.width == 64 * (1 + corrupt.length % 16))
   }
 
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {

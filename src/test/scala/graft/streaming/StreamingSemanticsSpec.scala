@@ -73,6 +73,111 @@ class StreamingSemanticsSpec extends AnyFunSuite with SparkTest {
     assert(byWindow((10L, "click")) == 2L)
   }
 
+  test("stream-stream interval join recovers buffered state across restart") {
+    // a click arriving only AFTER a restart can join an impression seen
+    // only BEFORE it iff the join's buffered state was recovered from
+    // the checkpoint; inner interval joins emit on match, so no timeout
+    // choreography is needed
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val impDir = Files.createTempDirectory("graft-ssj-imp").toString
+    val clkDir = Files.createTempDirectory("graft-ssj-clk").toString
+    val outDir = Files.createTempDirectory("graft-ssj-out").toString
+    val ckptDir = Files.createTempDirectory("graft-ssj-ckpt").toString
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    def appendImp(rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("imp_key", "imp_ts").coalesce(1).write.mode("append").parquet(impDir)
+    def appendClk(rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("clk_key", "clk_ts").coalesce(1).write.mode("append").parquet(clkDir)
+    def startQuery() = {
+      val clicks = spark.readStream.schema("clk_key long, clk_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(clkDir)
+      val imps = spark.readStream.schema("imp_key long, imp_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(impDir)
+      graft.operators.StreamJoins.joinWithinInterval(clicks, imps,
+          "clk_key", "imp_key", "clk_ts", "imp_ts", "2 minutes",
+          intervalSeconds = 60L)
+        .select(col("clk_key"), col("clk_ts").cast("long").as("clk_s"),
+          col("imp_ts").cast("long").as("imp_s"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+    // run 1: impressions 1 and 2 enter join state; a click joins imp 1
+    appendImp(Seq((1L, ts(10)), (2L, ts(20))))
+    appendClk(Seq((1L, ts(15))))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // run 2: the key-2 click exists only post-restart — joining it to
+    // the key-2 impression requires the recovered buffer; key 3 is a
+    // fully-post-restart pair as a control
+    appendClk(Seq((2L, ts(25))))
+    appendImp(Seq((3L, ts(100))))
+    appendClk(Seq((3L, ts(110))))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir)
+      .select($"clk_key", $"clk_s", $"imp_s").as[(Long, Long, Long)]
+      .collect().toList
+    assert(out.size == out.distinct.size, s"duplicate join emissions: $out")
+    assert(out.toSet == Set((1L, 15L, 10L), (2L, 25L, 20L), (3L, 110L, 100L)))
+  }
+
+  test("sessionization state survives restart: open sessions close exactly once") {
+    // flatMapGroupsWithState recovery: user 1's session opened in run 1
+    // can only be closed (with the right start/count) by run 2's
+    // gap-exceeding event if the OpenSession state came back from the
+    // checkpoint; user 2's session must close by event-time timeout
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-sess-src").toString
+    val outDir = Files.createTempDirectory("graft-sess-out").toString
+    val ckptDir = Files.createTempDirectory("graft-sess-ckpt").toString
+    // base offset keeps test event times strictly ABOVE the initial
+    // watermark (0): a row exactly AT the watermark is dropped as late,
+    // so an epoch-0 event would silently vanish from the first session
+    val base = 1000L
+    def ts(s: Long) = new Timestamp((base + s) * 1000L)
+    def append(rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+    def startQuery() = {
+      val events = spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[graft.operators.Sessionize.UserEvent]
+      graft.operators.Sessionize
+        .streamingSessions(events, gapSeconds = 60L, watermarkDelay = "10 seconds")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+    // run 1: both users leave OPEN sessions in state, nothing emitted
+    append(Seq((1L, ts(0)), (1L, ts(30)), (2L, ts(5))))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // run 2: user 1's event at 200s exceeds the 60s gap — closing [0,30]
+    // with n=2 requires the recovered state; the watermark advance to
+    // 190s also makes user 2's timeout (65s) due
+    append(Seq((1L, ts(200))))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // run 3: two files (= two micro-batches) so the second batch starts
+    // with watermark ≥ 1040s and deterministically fires user 1's
+    // reopened-session timeout (260s) without relying on no-data batches;
+    // user 3's two events are 50s apart — same session, stays open
+    append(Seq((3L, ts(1000))))
+    append(Seq((3L, ts(1050))))
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val out = spark.read.parquet(outDir)
+      .select($"user_id", $"session_start".cast("long"),
+        $"session_end".cast("long"), $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out.size == out.distinct.size, s"duplicate session emissions: $out")
+    assert(out.toSet == Set(
+      (1L, base + 0L, base + 30L, 2L),
+      (2L, base + 5L, base + 5L, 1L),
+      (1L, base + 200L, base + 200L, 1L)))
+  }
+
   test("enrollments stream: window emits only after watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
