@@ -105,6 +105,7 @@ object QueryPack
     "q78_quantifiers"       -> (tokenQuantifiers _),
     "q79_gap_fill"          -> (gapFilledDaily _),
     "q80_emb_neardup_lsh_auto" -> (embNearDupLshAuto _),
+    "q81_chunking"          -> (chunkDocs _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

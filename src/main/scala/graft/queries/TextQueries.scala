@@ -269,7 +269,29 @@ private[queries] trait TextQueries {
            count(when(exists(col("toks"), t => length(t) > 15), 1)).as("n_any_long"),
            count(when(forall(col("toks"), t => length(t) < 12), 1)).as("n_all_short"))
 
+  /** Context-window chunking ([[graft.operators.Chunking]]): 500-char
+    * chunks with 100-char overlap; emits offsets + an md5 content hash
+    * per chunk so the oracle pins the exact slicing, not just counts.
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunk(Tables.documents(s, dir), "text", 500, 100)
+      .select(col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("chunk_start"),
+        length(col("chunk_text")).cast("long").as("n_chunk_chars"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+
   private[queries] def textOracles: Map[String, String] = Map(
+    "q81_chunking" ->
+      """WITH n AS (
+        | SELECT doc_id, text,
+        |  CAST(ceil(GREATEST(length(text) - 100, 1) / 400.0) AS BIGINT) AS n_chunks
+        | FROM documents),
+        |e AS (SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM n)
+        |SELECT doc_id, i AS chunk_index, i * 400 AS chunk_start,
+        | length(substring(text, CAST(i*400 + 1 AS INT), 500)) AS n_chunk_chars,
+        | md5(substring(text, CAST(i*400 + 1 AS INT), 500)) AS chunk_md5
+        |FROM e""".stripMargin,
     "q16_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0

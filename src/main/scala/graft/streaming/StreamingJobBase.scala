@@ -41,9 +41,22 @@ abstract class StreamingJobBase extends Serializable {
   /** Job session with the reference's operational confs
     * (graceful shutdown, dynamic partition overwrite —
     * ErrorAggregatorBase.scala:202-208).
+    *
+    * `rocksDbState` (default: the `GRAFT_ROCKSDB_STATE` env var, so a
+    * fleet can flip without code changes) swaps the streaming state
+    * store to RocksDB. The default HDFS-backed provider keeps every
+    * key in executor heap — fine for the reference's small windowed
+    * aggregates, a hard wall for 100 TB-scale state (dedup sets,
+    * session maps, join buffers). RocksDB spills to local disk, bounds
+    * heap by block cache, and with changelog checkpointing uploads
+    * per-batch deltas instead of full snapshots.
     */
-  def buildSession(appName: String, master: String = "local[*]"): SparkSession =
-    SparkSession.builder()
+  def buildSession(
+      appName: String,
+      master: String = "local[*]",
+      rocksDbState: Boolean =
+        sys.env.get("GRAFT_ROCKSDB_STATE").exists(_ != "false")): SparkSession = {
+    val b = SparkSession.builder()
       .appName(appName)
       .master(master)
       .config("spark.streaming.stopGracefullyOnShutdown", "true")
@@ -54,13 +67,29 @@ abstract class StreamingJobBase extends Serializable {
       // (HotSpot DontCompileHugeMethods) and run interpreted — fall back
       // to the non-codegen path instead of hitting that cliff
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+    StreamingJobBase.rocksDbStateConfs(rocksDbState)
+      .foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
+  }
 }
 
 object StreamingJobBase {
   val DateFormat = "yyyyMMdd"
   val DateFormatter: DateTimeFormatter = DateTimeFormatter.ofPattern(DateFormat)
   val TelemetryKafkaTopic = "telemetry"
+
+  /** State-store confs for [[StreamingJobBase.buildSession]]: RocksDB
+    * provider + changelog checkpointing (per-batch delta upload instead
+    * of full snapshots — the difference between O(state) and O(churn)
+    * checkpoint cost when session/dedup state reaches terabytes).
+    */
+  def rocksDbStateConfs(enabled: Boolean): Map[String, String] =
+    if (!enabled) Map.empty
+    else Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
 
   /** `--key value` / `--flag` parser with the reference's base options
     * (kafkaBroker, startingOffsets, checkpointPath, from, to, fileLimit).

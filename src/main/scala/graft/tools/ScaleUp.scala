@@ -61,8 +61,20 @@ object ScaleUp {
     // dimensions: fixed
     Seq("region", "nation").foreach(t => write(t, read(t)))
     // fact tables: pure key shift
-    Seq("customer", "supplier", "part", "orders", "lineitem", "events")
+    Seq("customer", "supplier", "part", "orders", "lineitem")
       .foreach(t => write(t, replicate(read(t), factor)(shiftKeys)))
+    // events: the source stores ts as TIMESTAMP(NANOS), which this
+    // session reads as raw LONG nanos (nanosAsLong). Writing that long
+    // back verbatim would hand DuckDB a BIGINT where the original corpus
+    // has a timestamp — epoch(ts) oracles would stop binding. Convert to
+    // µs timestamps on write (same truncation Tables.events applies) so
+    // the replica is type-identical to the source for BOTH engines.
+    val ev = read("events")
+    val evTyped =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        ev.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else ev
+    write("events", replicate(evTyped, factor)(shiftKeys))
     // documents: shift + per-replica text tag (replica 0 byte-identical)
     write("documents", replicate(read("documents"), factor) { (df, i) =>
       val shifted = shiftKeys(df, i)

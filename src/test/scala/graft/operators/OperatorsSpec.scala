@@ -557,6 +557,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(Media.sniffFormat("RIFFxxxxAVI ".getBytes).contains("avi"))
   }
 
+  test("chunking: overlapping windows cover every char and reconstruct the text") {
+    val samples = Seq(
+      (1L, "a" * 73 + "b" * 1161), // 1234 chars: 3 chunks, ragged tail
+      (2L, "short"), // shorter than one chunk
+      (3L, "x" * 500), // exactly one chunk
+      (4L, "y" * 900)) // exactly len = chunk + step boundary
+      .toDF("doc_id", "text")
+    val out = Chunking.chunk(samples, "text", chunkChars = 500, overlapChars = 100)
+      .select($"doc_id", $"chunk_index", $"chunk_start", $"chunk_text")
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).toList).toMap
+    val texts = samples.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val chunks = out(id)
+      // offsets follow i*step; every non-final chunk is full-size
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getInt(1) == i && c.getLong(2) == i * 400L)
+      }
+      chunks.init.foreach(c => assert(c.getString(3).length == 500))
+      // consecutive chunks share exactly the overlap
+      chunks.sliding(2).foreach {
+        case List(a, b) =>
+          assert(a.getString(3).takeRight(100) == b.getString(3).take(100))
+        case _ => ()
+      }
+      // reconstruction: head + tails-without-overlap == original text
+      val rebuilt = chunks.head.getString(3) +
+        chunks.tail.map(_.getString(3).drop(100)).mkString
+      assert(rebuilt == text, s"doc $id reconstruction")
+    }
+    assert(out(2L).size == 1 && out(3L).size == 1)
+    assert(out(4L).size == 2) // 900 = 500 + 400: second chunk ends flush
+  }
+
   test("media decode: MP4 box tree and AVI header yield real video metadata") {
     // minimal-but-valid containers built byte-by-byte: the parser must
     // recover duration from moov/mvhd, dimensions from the first VIDEO
