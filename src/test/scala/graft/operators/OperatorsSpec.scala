@@ -592,6 +592,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(4L).size == 2) // 900 = 500 + 400: second chunk ends flush
   }
 
+  test("chunking runs unchanged on a stream (stateless, no watermark needed)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val chunked = Chunking.chunk(
+        input.toDF().toDF("doc_id", "text"), "text", 500, 100)
+      .select($"doc_id", $"chunk_index", length($"chunk_text").as("n"))
+    val q = chunked.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      input.addData((1L, "x" * 1234), (2L, "short"))
+      q.processAllAvailable()
+      val rows = spark.table("chunk_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(rows == Set((1L, 0, 500), (1L, 1, 500), (1L, 2, 434), (2L, 0, 5)))
+    } finally q.stop()
+  }
+
   test("media decode: MP4 box tree and AVI header yield real video metadata") {
     // minimal-but-valid containers built byte-by-byte: the parser must
     // recover duration from moov/mvhd, dimensions from the first VIDEO

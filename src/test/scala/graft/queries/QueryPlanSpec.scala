@@ -190,4 +190,11 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"as-of composition must not cross-join:\n$plan")
     assert(plan.contains("Window"), s"expected the per-key window pass in:\n$plan")
   }
+
+  test("q81: chunking explode is pure map-side — zero exchanges, generator inline") {
+    val plan = executedPlan(QueryPack.chunkDocs(spark, dir))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle (scan → explode → project only):\n$plan")
+    assert(plan.contains("Generate"), s"expected the posexplode generator in:\n$plan")
+  }
 }
