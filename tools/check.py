@@ -1,24 +1,77 @@
 #!/usr/bin/env python3
 """Local simulation of the driver's correctness gate: compare each
 Verify-dumped query result against its DuckDB oracle (sorted columns,
-sorted rows, exact values). Usage: check.py <verify_outdir> <sf_dir>"""
-import json, sys, glob, os
+sorted rows, exact values).
+
+Usage: check.py <verify_outdir> <sf_dir> [--timeout SECS]
+                [--only q1,q2] [--skip q3,q4]
+
+--timeout bounds each ORACLE's DuckDB wall (the Spark side already ran
+in Verify); a timed-out oracle reports ORACLE-TIMEOUT and does not fail
+the gate — it flags that DuckDB could not replay the query at this
+scale within bounds, to be re-verified at a smaller sf. Timeouts run
+each oracle in a separate process (DuckDB can't be interrupted from a
+signal handler mid-query)."""
+import json, sys, glob, os, time
 import duckdb
 
-outdir, sfdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    # driver corpora are single files; Spark-written ones (ScaleUp) are
-    # directories of part files — glob those
-    p = f"{sfdir}/{t}.parquet"
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+opts = {}
+for i, a in enumerate(sys.argv[1:]):
+    if a.startswith("--"):
+        opts[a.lstrip("-")] = sys.argv[1:][i + 1]
+outdir, sfdir = args[0], args[1]
+timeout = float(opts["timeout"]) if "timeout" in opts else None
+only = set(opts["only"].split(",")) if "only" in opts else None
+skip = set(opts["skip"].split(",")) if "skip" in opts else set()
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def connect():
+    con = duckdb.connect()
+    for t in TABLES:
+        # driver corpora are single files; Spark-written ones (ScaleUp)
+        # are directories of part files — glob those
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def run_oracle_subprocess(sql, q):
+    """Run one oracle in a child process; returns a DataFrame via
+    parquet handoff, or None on timeout."""
+    import multiprocessing as mp
+    out = f"{outdir}/.oracle_{q}.parquet"
+
+    def worker():
+        c = connect()
+        c.sql(sql).df().to_parquet(out)
+
+    p = mp.Process(target=worker)
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return None
+    if p.exitcode != 0 or not os.path.exists(out):
+        raise RuntimeError(f"oracle subprocess exit {p.exitcode}")
+    import pandas as pd
+    df = pd.read_parquet(out)
+    os.remove(out)
+    return df
+
+
+con = connect()
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted(os.path.basename(p) for p in glob.glob(f"{outdir}/*")
                if os.path.isdir(p))
+names = [n for n in names if (only is None or n in only) and n not in skip]
 fails = 0
+timeouts = []
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
@@ -31,10 +84,20 @@ for name in names:
         if nrows == 0: fails += 1
         print(f"{status:9} {name}: rows={nrows}")
         continue
+    t0 = time.time()
     try:
-        exp = con.sql(oracle[name]).df()
+        if timeout is not None:
+            exp = run_oracle_subprocess(oracle[name], name)
+            if exp is None:
+                timeouts.append(name)
+                print(f"ORACLE-TIMEOUT {name}: DuckDB exceeded {timeout:.0f}s "
+                      f"(engine side ran; re-verify at smaller sf)")
+                continue
+        else:
+            exp = con.sql(oracle[name]).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    dt = time.time() - t0
     exp = exp[sorted(exp.columns)]
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: cols got={list(got.columns)} exp={list(exp.columns)}")
@@ -45,7 +108,7 @@ for name in names:
     e = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     gs = g.astype(str); es = e.astype(str)
     if gs.equals(es):
-        print(f"OK        {name}: rows={len(got)}")
+        print(f"OK        {name}: rows={len(got)} ({dt:.1f}s oracle)")
     else:
         diff = (gs != es).any(axis=1)
         print(f"FAIL {name}: value mismatch in {int(diff.sum())}/{len(g)} rows")
@@ -54,5 +117,6 @@ for name in names:
             print(f"  got: {g.loc[i].to_dict()}")
             print(f"  exp: {e.loc[i].to_dict()}")
         fails += 1
-print(f"\n{len(names) - fails}/{len(names)} pass")
+print(f"\n{len(names) - fails - len(timeouts)}/{len(names)} pass"
+      + (f", {len(timeouts)} oracle-timeout: {','.join(timeouts)}" if timeouts else ""))
 sys.exit(1 if fails else 0)
