@@ -104,8 +104,10 @@ object Bench {
     // total + the slowest queries + a pointer to the full file.
     // SPARK_GRAFT_BENCH_OUT redirects the artifact for off-default sweeps
     // (the sf1 scale gate writes bench_out_sf1.json) without clobbering
-    // the driver-graded sf0.1 file.
+    // the driver-graded sf0.1 file. Escaped before interpolation into
+    // the JSON lines below (a quoted path would corrupt the metric line).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    val outPathJson = outPath.replace("\\", "\\\\").replace("\"", "\\\"")
     try {
       val out = java.nio.file.Paths.get(outPath)
       java.nio.file.Files.write(out, fullLine.getBytes("UTF-8"))
@@ -120,7 +122,7 @@ object Bench {
       s"\"" + k.split("_")(0) + "\":" + r3(v) }.mkString("{", ",", "}")
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(fullLine.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"queries_file":"$outPath","queries_sha256":"$sha","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"queries_file":"$outPathJson","queries_sha256":"$sha","sf":"$sfDir"}""")
     spark.stop()
   }
 }

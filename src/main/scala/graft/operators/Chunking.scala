@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** Adds `chunk_index` / `chunk_start` (0-based char offset) /
-    * `chunk_text` rows per input row; other columns ride along.
+    * `chunk_text` rows per input row; other columns ride along. Those
+    * three output names must not pre-exist on the input (rejected with
+    * a clear error rather than silently overwritten); internal temps
+    * are `__`-prefixed so generic inputs can't collide with them.
     */
   def chunk(
       docs: DataFrame,
@@ -37,16 +40,20 @@ object Chunking {
       overlapChars: Int): DataFrame = {
     require(overlapChars >= 0 && chunkChars > overlapChars,
       s"need chunkChars > overlapChars >= 0, got $chunkChars/$overlapChars")
+    val reserved = Seq("chunk_index", "chunk_start", "chunk_text")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input already has ${clash.mkString(", ")}; rename before chunking")
     val step = chunkChars - overlapChars
     docs
-      .withColumn("n_chunks",
+      .withColumn("__n_chunks",
         ceil(greatest(length(col(textCol)) - overlapChars, lit(1))
           .cast("double") / step).cast("long"))
-      .select(col("*"), posexplode(sequence(lit(0L), col("n_chunks") - 1)))
-      .withColumn("chunk_start", col("col") * step)
+      .select(col("*"),
+        posexplode(sequence(lit(0L), col("__n_chunks") - 1)).as(Seq("chunk_index", "__i")))
+      .withColumn("chunk_start", col("__i") * step)
       .withColumn("chunk_text",
         col(textCol).substr(col("chunk_start").cast("int") + 1, lit(chunkChars)))
-      .withColumnRenamed("pos", "chunk_index")
-      .drop("col", "n_chunks")
+      .drop("__i", "__n_chunks")
   }
 }

@@ -172,11 +172,16 @@ object Media {
       findAvih(12, riffEnd).filter(_ + 40 <= b.length).map { p =>
         val usPerFrame = le32(b, p) // dwMicroSecPerFrame
         val totalFrames = le32(b, p + 16) // dwTotalFrames
+        // both fields are unsigned 32-bit: an adversarial 0xFFFFFFFF
+        // pair overflows Long in the product — emit None, not a
+        // wrapped-negative duration
+        val durationMs =
+          if (usPerFrame > 0 && totalFrames <= Long.MaxValue / usPerFrame)
+            Some(totalFrames * usPerFrame / 1000L)
+          else None
         MediaMeta(docId, "avi",
           width = le32(b, p + 32).toInt, height = le32(b, p + 36).toInt,
-          n_bytes = b.length.toLong,
-          duration_ms =
-            if (usPerFrame > 0) Some(totalFrames * usPerFrame / 1000L) else None)
+          n_bytes = b.length.toLong, duration_ms = durationMs)
       }
     } catch { case _: Exception => None }
 

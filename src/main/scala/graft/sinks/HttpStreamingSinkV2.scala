@@ -81,7 +81,8 @@ object HttpStreamingSinkV2 {
   }
 
   private[sinks] final case class EpochCommit(
-      partitionId: Int, rows: Long, posts: Long) extends WriterCommitMessage
+      partitionId: Int, rows: Long, posts: Long, nullsSkipped: Long = 0L)
+      extends WriterCommitMessage
 
   private[sinks] class HttpWrite(url: String, batchRows: Int, transportKey: String)
       extends StreamingWrite with org.apache.spark.internal.Logging {
@@ -90,8 +91,10 @@ object HttpStreamingSinkV2 {
       WriterFactory(url, batchRows, transportKey)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val cs = messages.collect { case c: EpochCommit => c }
+      val skipped = cs.map(_.nullsSkipped).sum
       logInfo(s"graft-http epoch $epochId: ${cs.map(_.rows).sum} rows in " +
-        s"${cs.map(_.posts).sum} posts across ${cs.length} partitions")
+        s"${cs.map(_.posts).sum} posts across ${cs.length} partitions" +
+        (if (skipped > 0) s"; $skipped null payloads skipped" else ""))
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
@@ -115,11 +118,18 @@ object HttpStreamingSinkV2 {
     private val buf = new scala.collection.mutable.ArrayBuffer[String]
     private var rows = 0L
     private var posts = 0L
+    private var nullsSkipped = 0L
 
     override def write(row: InternalRow): Unit = {
-      buf += row.getUTF8String(0).toString
-      rows += 1
-      if (buf.size >= batchRows) flush()
+      // null payloads (tombstones, to_json misses) are skipped and
+      // counted rather than NPE-ing the task into retry loops
+      val s = if (row.isNullAt(0)) null else row.getUTF8String(0)
+      if (s == null) nullsSkipped += 1
+      else {
+        buf += s.toString
+        rows += 1
+        if (buf.size >= batchRows) flush()
+      }
     }
     private def flush(): Unit = if (buf.nonEmpty) {
       sink.process(buf.mkString("\n"))
@@ -128,7 +138,7 @@ object HttpStreamingSinkV2 {
     }
     override def commit(): WriterCommitMessage = {
       flush()
-      EpochCommit(partitionId, rows, posts)
+      EpochCommit(partitionId, rows, posts, nullsSkipped)
     }
     override def abort(): Unit = buf.clear()
     override def close(): Unit = ()

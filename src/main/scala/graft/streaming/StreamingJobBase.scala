@@ -54,8 +54,7 @@ abstract class StreamingJobBase extends Serializable {
   def buildSession(
       appName: String,
       master: String = "local[*]",
-      rocksDbState: Boolean =
-        sys.env.get("GRAFT_ROCKSDB_STATE").exists(_ != "false")): SparkSession = {
+      rocksDbState: Boolean = StreamingJobBase.envFlag("GRAFT_ROCKSDB_STATE")): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
       .master(master)
@@ -77,6 +76,14 @@ object StreamingJobBase {
   val DateFormat = "yyyyMMdd"
   val DateFormatter: DateTimeFormatter = DateTimeFormatter.ofPattern(DateFormat)
   val TelemetryKafkaTopic = "telemetry"
+
+  /** Strict truthy parse for env toggles: only 1/true/yes/on enable.
+    * (`_ != "false"` would read `GRAFT_ROCKSDB_STATE=0` as ENABLED and
+    * silently flip every job's state-store provider.)
+    */
+  private[streaming] def envFlag(name: String): Boolean =
+    sys.env.get(name).map(_.trim.toLowerCase)
+      .exists(Set("1", "true", "yes", "on").contains)
 
   /** State-store confs for [[StreamingJobBase.buildSession]]: RocksDB
     * provider + changelog checkpointing (per-batch delta upload instead

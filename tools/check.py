@@ -15,11 +15,24 @@ signal handler mid-query)."""
 import json, sys, glob, os, time
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-opts = {}
-for i, a in enumerate(sys.argv[1:]):
+args, opts = [], {}
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--"):
-        opts[a.lstrip("-")] = sys.argv[1:][i + 1]
+        if i + 1 >= len(argv):
+            sys.exit(f"usage: check.py <verify_outdir> <sf_dir> "
+                     f"[--timeout SECS] [--only q1,q2] [--skip q3,q4] "
+                     f"(missing value for {a})")
+        opts[a.lstrip("-")] = argv[i + 1]
+        i += 2
+    else:
+        args.append(a)
+        i += 1
+if len(args) != 2:
+    sys.exit("usage: check.py <verify_outdir> <sf_dir> [--timeout SECS] "
+             "[--only q1,q2] [--skip q3,q4]")
 outdir, sfdir = args[0], args[1]
 timeout = float(opts["timeout"]) if "timeout" in opts else None
 only = set(opts["only"].split(",")) if "only" in opts else None
@@ -40,29 +53,40 @@ def connect():
     return con
 
 
+def _oracle_worker(sql, sfdir_, out):
+    """Module-level so it pickles under spawn/forkserver start methods
+    (a nested closure breaks --timeout mode entirely on macOS /
+    forkserver-default Pythons)."""
+    c = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir_}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    c.sql(sql).df().to_parquet(out)
+
+
 def run_oracle_subprocess(sql, q):
     """Run one oracle in a child process; returns a DataFrame via
     parquet handoff, or None on timeout."""
     import multiprocessing as mp
     out = f"{outdir}/.oracle_{q}.parquet"
-
-    def worker():
-        c = connect()
-        c.sql(sql).df().to_parquet(out)
-
-    p = mp.Process(target=worker)
+    p = mp.Process(target=_oracle_worker, args=(sql, sfdir, out))
     p.start()
     p.join(timeout)
-    if p.is_alive():
-        p.terminate()
-        p.join()
-        return None
-    if p.exitcode != 0 or not os.path.exists(out):
-        raise RuntimeError(f"oracle subprocess exit {p.exitcode}")
-    import pandas as pd
-    df = pd.read_parquet(out)
-    os.remove(out)
-    return df
+    try:
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            return None
+        if p.exitcode != 0 or not os.path.exists(out):
+            raise RuntimeError(f"oracle subprocess exit {p.exitcode}")
+        import pandas as pd
+        return pd.read_parquet(out)
+    finally:
+        # the timeout/error paths otherwise leave partial handoff files
+        # accumulating in the verify outdir
+        if os.path.exists(out):
+            os.remove(out)
 
 
 con = connect()
