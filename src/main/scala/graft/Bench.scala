@@ -94,8 +94,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Both raw passes ride along so the per-query noise band (max/min
+    // across passes) is computable from the artifact instead of inferred:
+    // single-pass readings at this data scale can sit ±30% on unchanged
+    // plans, and round-over-round comparisons need the band to tell a
+    // regression from sweep noise.
+    def passJson(p: Map[String, Double]): String =
+      selected.map { case (k, _) => s"\"" + k + "\":" + p(k) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_pass_a":${passJson(passA)},"queries_pass_b":${passJson(passB)},"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout (~2 KB) and parses what
     // it kept: the full 79-query line (~2.4 KB) loses its head — hence
     // r5's parsed:null. So (a) persist the full result to a file the
@@ -122,7 +129,20 @@ object Bench {
       s"\"" + k.split("_")(0) + "\":" + r3(v) }.mkString("{", ",", "}")
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(fullLine.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"queries_file":"$outPathJson","queries_sha256":"$sha","sf":"$sfDir"}""")
+    // Aggregate noise-band summary for the tail line (per-query pass
+    // ratios max/min; full per-pass maps live in the artifact file): how
+    // wide this sweep's run-to-run spread was, and where it was worst.
+    val ratios = results.collect { case (k, _)
+        if passA(k) > 0 && passB(k) > 0 =>
+      k -> (math.max(passA(k), passB(k)) / math.min(passA(k), passB(k))) }
+    val bandJson = if (ratios.isEmpty) "null" else {
+      val sortedR = ratios.map(_._2).sorted
+      val (worstQ, worstR) = ratios.maxBy(_._2)
+      s"""{"median_ratio":${r3(sortedR(sortedR.size / 2))},"p90_ratio":${r3(
+        sortedR((sortedR.size * 9) / 10 min (sortedR.size - 1)))},"max_ratio":${r3(
+        worstR)},"max_query":"$worstQ"}"""
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"noise_band":$bandJson,"queries_file":"$outPathJson","queries_sha256":"$sha","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,9 +151,17 @@ object Similarity {
     * smoke: 20k vectors in 4-plane (16-bucket) tables cost 40× the 2k
     * run; 8-plane tables restore ~linear cost (SCALING.md).
     */
-  def planesForCorpus(corpusSize: Long, targetBucketSize: Long = 128): Int =
-    math.max(2, math.ceil(
-      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2)).toInt)
+  def planesForCorpus(corpusSize: Long, targetBucketSize: Long = 128): Int = {
+    // Integer-safe ceil(log2(ceil(n/target))): identical values to the
+    // floating form (no power of 2 lies strictly between x and ceil(x)),
+    // but immune to libm ulp differences when n/target lands exactly on a
+    // power of two — the cross-engine q80 replay derives the same np from
+    // pure integer comparisons.
+    val m = math.max(1L, (corpusSize + targetBucketSize - 1) / targetBucketSize)
+    var np = 0
+    while ((1L << np) < m) np += 1
+    math.max(2, np)
+  }
 
   /** [[cosineNearDupLsh]] with the plane count derived from the corpus
     * size (one count() action — a real pipeline already knows its corpus

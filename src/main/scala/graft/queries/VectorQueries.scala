@@ -244,14 +244,19 @@ private[queries] trait VectorQueries {
          |WHERE rank <= 10""".stripMargin
     },
     // auto-config LSH replay: np is DERIVED IN SQL from COUNT(*) with the
-    // same formula as planesForCorpus (ln ratio + ceil, floor 2), buckets
-    // come from a dynamic lookup into the 48-plane weight matrix (supports
-    // np ≤ 12 with 4 tables — corpora to ~500k vectors; beyond that the
-    // WHERE np <= 12 guard empties the oracle and the gate fails loudly
-    // rather than comparing against a silently-wrong replay).
+    // same formula as planesForCorpus — a pure integer comparison chain
+    // (np = k for n in (128·2^(k-1), 128·2^k]), so no libm CEIL/LN ulp
+    // divergence between the JVM and DuckDB can flip np when n/128 lands
+    // exactly on a power of two. Buckets come from a dynamic lookup into
+    // the 48-plane weight matrix (supports np ≤ 12 with 4 tables —
+    // corpora to ~500k vectors; beyond that the WHERE np <= 12 guard
+    // empties the oracle and the gate fails loudly rather than comparing
+    // against a silently-wrong replay).
     "q80_emb_neardup_lsh_auto" -> {
       val buckets = (0 until 4).map(t => s"${dynamicBucketSql(t)} AS b$t").mkString(", ")
-      s"""WITH p AS (SELECT GREATEST(2, CAST(CEIL(LN(GREATEST(1.0, COUNT(*)/128.0))/LN(2)) AS INT)) AS np
+      val npCase = (3 to 12).map(k => s"WHEN COUNT(*) <= ${128L << k} THEN $k")
+        .mkString(s"CASE WHEN COUNT(*) <= ${128L << 2} THEN 2 ", " ", " ELSE 13 END")
+      s"""WITH p AS (SELECT CAST($npCase AS INT) AS np
          |  FROM embeddings),
          |w AS (SELECT ${weightMatrixSql(48)} AS wm),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

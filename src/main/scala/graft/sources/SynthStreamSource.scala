@@ -123,8 +123,22 @@ object SynthStreamSource {
     override def latestOffset(): Offset =
       throw new UnsupportedOperationException(
         "graft-synth uses latestOffset(start, limit) (SupportsAdmissionControl)")
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-      SynthOffset(math.min(maxRows, pos(start) + rowsPerBatch))
+    // A source advertising SupportsAdmissionControl must also honor the
+    // hint Spark passes in: Trigger.AvailableNow wraps the default limit
+    // and maxRowsPerTrigger-style callers pass ReadLimit.maxRows — take
+    // the MIN of any maxRows limits found with this source's own
+    // rowsPerBatch rather than silently overriding them. (allAvailable /
+    // minRows hints leave rowsPerBatch in charge.)
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows}
+      def maxRowsOf(l: ReadLimit): Long = l match {
+        case m: ReadMaxRows => m.maxRows()
+        case c: CompositeReadLimit => c.getReadLimits.map(maxRowsOf).min
+        case _ => Long.MaxValue
+      }
+      val admit = math.min(rowsPerBatch, maxRowsOf(limit))
+      SynthOffset(math.min(maxRows, pos(start) + admit))
+    }
     override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
     override def deserializeOffset(json: String): Offset = SynthOffset(parsePos(json))
     override def commit(end: Offset): Unit = ()

@@ -238,7 +238,9 @@ case class CellArgmax(left: Expression, right: Expression) extends BinaryExpress
       if (sum > best) { best = sum; bestCell = c }
       c += 1
     }
-    bestCell
+    // All-NaN dot products leave bestCell at -1 (NaN > -Inf is false);
+    // -1 is not a valid cell id, so poison to null rather than emit it.
+    if (bestCell == -1) null else bestCell
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -268,7 +270,9 @@ case class CellArgmax(left: Expression, right: Expression) extends BinaryExpress
          |  }
          |  if (!${ev.isNull} && $sum > $best) { $best = $sum; $bestCell = $c; }
          |}
-         |if (!${ev.isNull}) { ${ev.value} = $bestCell; }
+         |if (!${ev.isNull}) {
+         |  if ($bestCell == -1) { ${ev.isNull} = true; } else { ${ev.value} = $bestCell; }
+         |}
        """.stripMargin
     })
   }

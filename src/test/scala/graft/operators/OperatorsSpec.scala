@@ -446,6 +446,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(Similarity.planesForCorpus(20000) == 8)
     assert(Similarity.planesForCorpus(1000000) == 13)
     assert(Similarity.planesForCorpus(10) == 2) // floor
+    // exact power-of-two corpus sizes — the cases where the old libm
+    // CEIL(LN/LN) form sat within 1 ulp of an integer and could diverge
+    // between engines; the integer formula pins the boundary
+    assert(Similarity.planesForCorpus(128L << 10) == 10) // n/128 == 2^10 exactly
+    assert(Similarity.planesForCorpus((128L << 10) + 1) == 11)
+    assert(Similarity.planesForCorpus(512) == 2)
+    assert(Similarity.planesForCorpus(513) == 3)
     // recall: plant true near-dup pairs (cosine ≥ 0.95) and require the
     // auto config to find them all — OR-amplified tables + multi-probe
     // must repair what the longer per-table hash costs

@@ -66,6 +66,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(row.fieldIndex("badrow"))) // length mismatch poisons
   }
 
+  test("cell_argmax poisons to null when every dot product is NaN") {
+    // a NaN vector element makes all dots NaN; no cell ever beats -Inf,
+    // so the result must be null, never the phantom cell id -1
+    val row = spark.sql(
+      """SELECT cell_argmax(array(CAST('NaN' AS DOUBLE), 0.0D),
+        |         array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS allnan""".stripMargin)
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("allnan")))
+  }
+
   test("sorted_intersect_count evaluates as a SQL function") {
     val row = spark.sql(
       """SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 5L)) AS c,

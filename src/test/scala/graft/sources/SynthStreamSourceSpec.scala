@@ -87,6 +87,22 @@ class SynthStreamSourceSpec extends AnyFunSuite with SparkTest {
       s"loss or duplication across restart: ${delivered.sorted}")
   }
 
+  test("graft-synth honors ReadLimit.maxRows admission hints (min with rowsPerBatch)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new SynthStreamSource.SynthMicroBatchStream(
+      rowsPerBatch = 10L, numPartitions = 2, maxRows = 1000L, seed = 42L,
+      startEpochSeconds = SynthStreamSource.DefaultStartEpochSeconds)
+    val start = stream.initialOffset()
+    def endPos(limit: ReadLimit): Long =
+      stream.latestOffset(start, limit).asInstanceOf[SynthStreamSource.SynthOffset].pos
+    // a tighter hint than rowsPerBatch wins; a looser one doesn't
+    assert(endPos(ReadLimit.maxRows(3L)) == 3L)
+    assert(endPos(ReadLimit.maxRows(50L)) == 10L)
+    assert(endPos(ReadLimit.allAvailable()) == 10L)
+    assert(endPos(ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxRows(4L)))) == 4L)
+  }
+
   test("graft-synth drives an event-time windowed aggregate to closure") {
     // 1 row/sec monotone event time: 150 rows + 10s watermark closes the
     // first two 60s windows with exactly 60 rows each

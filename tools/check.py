@@ -4,13 +4,16 @@ Verify-dumped query result against its DuckDB oracle (sorted columns,
 sorted rows, exact values).
 
 Usage: check.py <verify_outdir> <sf_dir> [--timeout SECS]
-                [--only q1,q2] [--skip q3,q4]
+                [--only q1,q2] [--skip q3,q4] [--allow-timeouts yes]
 
 --timeout bounds each ORACLE's DuckDB wall (the Spark side already ran
-in Verify); a timed-out oracle reports ORACLE-TIMEOUT and does not fail
-the gate — it flags that DuckDB could not replay the query at this
-scale within bounds, to be re-verified at a smaller sf. Timeouts run
-each oracle in a separate process (DuckDB can't be interrupted from a
+in Verify); a timed-out oracle reports ORACLE-TIMEOUT — it flags that
+DuckDB could not replay the query at this scale within bounds, to be
+re-verified at a smaller sf. Timed-out queries are not value failures,
+but they ARE reduced coverage: the run exits 2 unless the caller
+acknowledges with --allow-timeouts yes, so a CI caller keying on the
+exit code can't treat an unverified sweep as green. Timeouts run each
+oracle in a separate process (DuckDB can't be interrupted from a
 signal handler mid-query)."""
 import json, sys, glob, os, time
 import duckdb
@@ -143,4 +146,10 @@ for name in names:
         fails += 1
 print(f"\n{len(names) - fails - len(timeouts)}/{len(names)} pass"
       + (f", {len(timeouts)} oracle-timeout: {','.join(timeouts)}" if timeouts else ""))
-sys.exit(1 if fails else 0)
+if fails:
+    sys.exit(1)
+if timeouts and opts.get("allow-timeouts") != "yes":
+    print("exit 2: oracle timeouts reduced coverage "
+          "(pass --allow-timeouts yes to acknowledge)")
+    sys.exit(2)
+sys.exit(0)
