@@ -42,16 +42,35 @@ object IvfTune {
       df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    // Build and query timed SEPARATELY: an index build is one-time and
+    // amortizes over every query served, so the number that must beat
+    // brute force at scale is the QUERY wall — the build buys that rate.
+    // The materialized index (cell-labeled corpus) is persisted the way
+    // a real deployment writes it out once.
     val t0 = System.nanoTime()
-    val ivf = topSet(Similarity.ivfTopKAuto(
-      queries, corpus, 10, dim, nProbesOverride = nProbes))
-    val ivfSec = (System.nanoTime() - t0) / 1e9
+    val (_, centroids) = Similarity.kMeans(corpus, "vec_id", "embedding",
+      nCells, dim, iterations = 5)
+    val relabeled = corpus.select(col("vec_id"), col("embedding"),
+        Similarity.assignCells(
+          graft.functions.VectorFunctions.normalize(col("embedding")), centroids)
+          .as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    relabeled.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val tq = System.nanoTime()
+    val ivf = topSet(Similarity.ivfTopK(queries, relabeled, 10, dim, nProbes))
+    val querySec = (System.nanoTime() - tq) / 1e9
     val t1 = System.nanoTime()
     val brute = topSet(Similarity.bruteForceTopK(queries, corpus, 10))
     val bruteSec = (System.nanoTime() - t1) / 1e9
+    relabeled.unpersist(false)
     val recall = (ivf & brute).size.toDouble / brute.size
     def r3(v: Double) = math.round(v * 1000) / 1000.0
-    println(s"""{"n":$n,"cells":$nCells,"probes":$nProbes,"recall_at_10":${r3(recall)},"ivf_sec":${r3(ivfSec)},"brute_sec":${r3(bruteSec)}}""")
+    // queries served before build+query beats all-brute-force
+    val breakEven =
+      if (bruteSec > querySec) math.ceil(buildSec / (bruteSec - querySec) * nQueries).toLong
+      else -1L
+    println(s"""{"n":$n,"cells":$nCells,"probes":$nProbes,"recall_at_10":${r3(recall)},"build_sec":${r3(buildSec)},"query_sec":${r3(querySec)},"ivf_sec":${r3(buildSec + querySec)},"brute_sec":${r3(bruteSec)},"break_even_queries":$breakEven}""")
     spark.stop()
   }
 }

@@ -87,21 +87,36 @@ object ScaleUp {
     // distribution-preserving, decorrelates replicas). The dimension is
     // read from the corpus, not assumed: element_at past the array end
     // returns null with ANSI off and would silently corrupt the scaled
-    // vectors. Rotation repeats after d steps (replicas i and i+d would
-    // be identical, reintroducing quadratic pair growth), so factor > d
-    // is refused rather than quietly degraded.
+    // vectors. Rotation alone repeats after d steps (replicas i and i+d
+    // would be byte-identical, reintroducing quadratic pair growth), so
+    // replicas past the first d compose the rotation (i mod d) with a
+    // deterministic ±1 sign pattern seeded by i/d — norm-preserving,
+    // distinct for every replica index, and replicas < d stay
+    // byte-identical to the rotation-only scheme (an sf1 built before
+    // this change reproduces exactly).
     val emb = read("embeddings")
     val d = emb.select(size(col("embedding"))).first().getInt(0)
-    require(factor <= d,
-      s"factor $factor > embedding dim $d: rotation would repeat and replicas would collide")
     val mixedDims = emb.filter(size(col("embedding")) =!= d).count()
     require(mixedDims == 0,
       s"$mixedDims embedding rows have dim != $d; rotation would null-pad them")
+    def signAt(seed: Long, j: Int): Double = {
+      var x = (seed * 0x9e3779b97f4a7c15L) ^ (j.toLong * 0xbf58476d1ce4e5b9L)
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
     write("embeddings", replicate(emb, factor) { (df, i) =>
       val shifted = shiftKeys(df, i)
       if (i == 0) shifted
       else {
-        val rot = (0 until d).map(j => element_at(col("embedding"), (j + i) % d + 1))
+        val flipSeed = i / d
+        val rot = (0 until d).map { j =>
+          val e = element_at(col("embedding"), (j + i % d) % d + 1)
+          // ±1 as a FLOAT literal: exact in either element type, and it
+          // keeps array<float> corpora float (a double literal would
+          // silently promote the whole column)
+          if (flipSeed == 0) e else e * lit(signAt(flipSeed.toLong, j).toFloat)
+        }
         shifted.withColumn("embedding", array(rot: _*))
       }
     })

@@ -115,8 +115,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(shingleBuilder)
     ext.injectFunction(minhashBuilder)
     ext.injectFunction(vectorAvgBuilder)
-    // size(array_intersect(shingle_hashes(..), shingle_hashes(..))) →
-    // native sorted-merge count (see Rules.scala)
+    // Rewrites over provably-sorted-distinct arrays (see Rules.scala):
+    // size(array_intersect(sh, sh)) → native sorted-merge count,
+    // array_contains(sh, x) → binary search,
+    // array_distinct(sh) → sh (no-op erased; ordered before the others
+    // composes: stripping the wrapper exposes the ShingleHashes child)
+    ext.injectOptimizerRule(_ => DistinctNoopRewrite)
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
+    ext.injectOptimizerRule(_ => SortedContainsRewrite)
   }
 }

@@ -3,9 +3,24 @@
  * EnvelopeExpressions.scala. */
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Coalesce, Expression, Literal, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ArrayDistinct, ArrayIntersect, Coalesce, Expression, Literal, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Shared sortedness evidence for the rewrite rules below: an expression
+  * whose output is ascending-sorted, deduplicated, and null-free BY
+  * CONSTRUCTION. Only [[ShingleHashes]] carries that proof today; an
+  * attribute fed from a shuffle or an arbitrary array expression is NOT
+  * provably sorted and keeps the generic path (sortedness is a semantic
+  * precondition of the specialized operators, not a checked one).
+  */
+private[graft] object SortedEvidence {
+  def provablySortedDistinct(e: Expression): Boolean = e match {
+    case _: ShingleHashes => true
+    case _ => false
+  }
+}
 
 /** Rewrites `size(array_intersect(a, b))` to the native
   * [[SortedIntersectCount]] sorted-merge when BOTH inputs are provably
@@ -31,16 +46,55 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object IntersectCountRewrite extends Rule[LogicalPlan] {
 
-  private def provablySorted(e: Expression): Boolean = e match {
-    case _: ShingleHashes => true
-    case _ => false
-  }
+  import SortedEvidence.provablySortedDistinct
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Size(ArrayIntersect(a, b), legacy)
-          if provablySorted(a) && provablySorted(b) =>
+          if provablySortedDistinct(a) && provablySortedDistinct(b) =>
         val cnt = SortedIntersectCount(a, b)
         if (legacy) Coalesce(Seq(cnt, Literal(-1))) else cnt
+    }
+}
+
+/** Rewrites `array_contains(shingle_hashes(text, n), x)` to the native
+  * binary-search [[SortedArrayContains]]: the probe drops from a linear
+  * scan of every shingle hash to O(log n) — the decontamination shape
+  * runs this per joined (doc, probe) row.
+  *
+  * Guarded on [[SortedEvidence]] (sorted, distinct, null-free output)
+  * and on a LongType probe: the analyzer has already unified the value
+  * type with the array element type by optimizer time, so any other
+  * element/probe type keeps the generic path. Null semantics are
+  * identical over null-free arrays (see [[SortedArrayContains]]).
+  */
+object SortedContainsRewrite extends Rule[LogicalPlan] {
+
+  import SortedEvidence.provablySortedDistinct
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayContains(a, x)
+          if provablySortedDistinct(a) && x.dataType == LongType =>
+        SortedArrayContains(a, x)
+    }
+}
+
+/** Removes `array_distinct` over a provably-distinct input — the
+  * shingle-hash pipeline already emits deduplicated arrays, so the SQL
+  * user's defensive `size(array_distinct(shingle_hashes(t, n)))`
+  * (distinct-shingle counting) pays a per-row hash-set build for a
+  * no-op. The rewrite erases the node entirely, which also composes
+  * with [[IntersectCountRewrite]]: once the wrapper is gone, a
+  * surrounding `size(array_intersect(..))` sees the bare
+  * [[ShingleHashes]] children and specializes too.
+  */
+object DistinctNoopRewrite extends Rule[LogicalPlan] {
+
+  import SortedEvidence.provablySortedDistinct
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayDistinct(a) if provablySortedDistinct(a) => a
     }
 }

@@ -93,6 +93,77 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd membership test over an ASCENDING-SORTED
+  * `array<long>` column — binary search, O(log n) probes instead of
+  * `array_contains`'s linear scan.
+  *
+  * Installed by [[SortedContainsRewrite]] when the array is provably
+  * sorted (produced by [[ShingleHashes]]); the decontamination shape —
+  * `array_contains(shingle_hashes(text, n), probe_hash)` per (doc,
+  * probe) row — runs this once per joined pair. Sortedness is a
+  * PRECONDITION, not checked: on unsorted input the search can miss
+  * present elements; keep the generic `array_contains` for arbitrary
+  * arrays.
+  *
+  * Null semantics match `array_contains` on null-free arrays (the only
+  * arrays the rewrite installs it over): null inputs poison to null via
+  * the nullSafe wrappers; a null ELEMENT (legal in the array type,
+  * never produced by the shingle pipeline) poisons to null rather than
+  * comparing garbage — `array_contains` would return null for a missing
+  * value then too.
+  */
+case class SortedArrayContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_array_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sorted_array_contains expects (array<long>, long), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val x = r.asInstanceOf[Long]
+    var lo = 0
+    var hi = a.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (a.isNullAt(mid)) return null
+      val v = a.getLong(mid)
+      if (v == x) return true
+      else if (v < x) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, x) => {
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val v = ctx.freshName("v")
+      s"""
+         |int $lo = 0;
+         |int $hi = $a.numElements() - 1;
+         |${ev.value} = false;
+         |while ($lo <= $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($a.isNullAt($mid)) { ${ev.isNull} = true; break; }
+         |  long $v = $a.getLong($mid);
+         |  if ($v == $x) { ${ev.value} = true; break; }
+         |  else if ($v < $x) { $lo = $mid + 1; }
+         |  else { $hi = $mid - 1; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd |A ∩ B| over two ASCENDING-SORTED distinct
   * `array<long>` columns — a linear two-pointer merge, no hash set and
   * no intermediate intersection array.

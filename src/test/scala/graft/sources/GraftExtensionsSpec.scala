@@ -126,6 +126,59 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().head.getInt(0) == 1)
   }
 
+  test("optimizer rewrites array_contains over shingle hashes to binary search") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("contains_src")
+    // probe each doc for one of its own shingles (hit) and for a hash no
+    // FNV output equals with overwhelming probability (miss)
+    val q = spark.sql(
+      """SELECT doc_id,
+        | array_contains(shingle_hashes(text, 2),
+        |   element_at(shingle_hashes(text, 2), 1)) AS hit,
+        | array_contains(shingle_hashes(text, 2), -1L) AS miss,
+        | size(shingle_hashes(text, 2)) AS sz
+        |FROM contains_src""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.toString.contains("sorted_array_contains"),
+      s"expected the rewrite in:\n${q.queryExecution.optimizedPlan}")
+    q.collect().foreach { r =>
+      if (r.getInt(3) > 0) assert(r.getBoolean(1), s"own first shingle missing: $r")
+      assert(!r.getBoolean(2), s"phantom hit: $r")
+    }
+    // negative: an arbitrary sorted-looking array carries no proof
+    val generic = spark.sql("SELECT array_contains(array(1L, 2L, 3L), 2L) AS c")
+    assert(!generic.queryExecution.optimizedPlan.toString.contains("sorted_array_contains"))
+    assert(generic.collect().head.getBoolean(0))
+  }
+
+  test("optimizer erases array_distinct over shingle hashes and composes with the merge rewrite") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("distinct_src")
+    val q = spark.sql(
+      """SELECT doc_id,
+        | size(array_distinct(shingle_hashes(text, 2))) AS defensive,
+        | size(shingle_hashes(text, 2)) AS bare,
+        | size(array_intersect(array_distinct(shingle_hashes(text, 2)),
+        |                      shingle_hashes(text, 2))) AS composed
+        |FROM distinct_src""".stripMargin)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    // the no-op wrapper is gone everywhere...
+    assert(!optimized.contains("array_distinct"),
+      s"array_distinct survived optimization:\n$optimized")
+    // ...and stripping it exposed the ShingleHashes child to the
+    // intersect-count rewrite
+    assert(optimized.contains("sorted_intersect_count"),
+      s"composed rewrite did not fire:\n$optimized")
+    q.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2))
+      assert(r.getInt(3) == r.getInt(2))
+    }
+    // negative: arbitrary (non-foldable) arrays keep their array_distinct
+    val generic = spark.sql(
+      "SELECT size(array_distinct(array(doc_id, doc_id))) AS c FROM distinct_src")
+    assert(generic.queryExecution.optimizedPlan.toString.contains("array_distinct"))
+    assert(generic.collect().forall(_.getInt(0) == 1))
+  }
+
   test("SQL surface parity: simhash signatures via SQL equal the Column pipeline") {
     // the same signature query, once through pure SQL (extensions
     // functions + the optimizer rule's territory) and once through the
