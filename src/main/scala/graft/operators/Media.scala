@@ -185,6 +185,49 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** Uncompressed-AVI FRAME extraction — the one video-frame decode
+    * possible with zero codecs: `##db` chunks in the `movi` LIST are
+    * plain device-independent bitmaps (DIB), so their payload IS the
+    * frame. Returns the frames in stream order, or None when the
+    * payload is not an AVI or its movi list carries no uncompressed
+    * frame (`##dc` compressed chunks need a real codec and keep the
+    * documented stub path). Frames inside `rec ` grouping LISTs are
+    * walked too (interleaved AVIs group chunks per record).
+    */
+  private[operators] def aviUncompressedFrames(
+      docId: Long, b: Array[Byte]): Option[Vector[Frame]] =
+    try {
+      if (!sniffFormat(b).contains("avi")) None
+      else {
+        val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+        val out = Vector.newBuilder[Array[Byte]]
+        def isDb(ck: String): Boolean =
+          ck.length == 4 && ck(0).isDigit && ck(1).isDigit &&
+            ck(2) == 'd' && ck(3) == 'b'
+        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val ck = fourcc(b, off)
+            val size = le32(b, off + 4).toInt
+            val payload = off + 8
+            if (size < 0 || payload + size > end) return
+            if (ck == "LIST" && size >= 4) {
+              val listType = fourcc(b, payload)
+              walk(payload + 4, payload + size,
+                inMovi = inMovi || listType == "movi")
+            } else if (inMovi && isDb(ck)) {
+              out += java.util.Arrays.copyOfRange(b, payload, payload + size)
+            }
+            off = payload + size + (size & 1)
+          }
+        }
+        walk(12, riffEnd, inMovi = false)
+        val frames = out.result()
+        if (frames.isEmpty) None
+        else Some(frames.zipWithIndex.map { case (bytes, i) => Frame(docId, i, bytes) })
+      }
+    } catch { case _: Exception => None }
+
   /** Real audio decode: header-only sample rate / channels / duration
     * via `javax.sound.sampled.AudioSystem.getAudioFileFormat` — like the
     * image path it parses the container header without decoding samples,
@@ -293,17 +336,21 @@ object Media {
       }
   }
 
-  /** Frame sampling stub: one "frame" per 256-byte slice of the payload —
-    * the explode-shaped row amplification a real video sampler produces.
-    * Frame bytes stay with the row so downstream per-frame decode sees
-    * real payloads.
+  /** Frame sampling: REAL frame bytes for uncompressed AVIs (`##db`
+    * DIB movi chunks, [[aviUncompressedFrames]] — no codec needed);
+    * every other payload (compressed codecs, non-video blobs) keeps the
+    * stub path — one "frame" per `frameBytes` slice, the explode-shaped
+    * row amplification a real video sampler produces. Frame bytes stay
+    * with the row so downstream per-frame decode sees real payloads.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .flatMap { case (docId, bytes) =>
-        bytes.grouped(frameBytes).zipWithIndex.map { case (chunk, i) =>
-          Frame(docId, i, chunk)
+        aviUncompressedFrames(docId, bytes).getOrElse {
+          bytes.grouped(frameBytes).zipWithIndex.map { case (chunk, i) =>
+            Frame(docId, i, chunk)
+          }.toVector
         }
       }
   }

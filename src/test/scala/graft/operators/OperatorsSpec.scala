@@ -258,6 +258,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("simhash blocked probes equal brute-force all-pairs at every hamming cutoff") {
+    // The blocked 16-bit + 1-bit-flip probing claims EXACT recall for
+    // d ≤ 7 (pigeonhole) — assert it against the plain O(n²) self-join
+    // on real corpus docs, at the production cutoff and at tighter ones
+    // (tighter cutoffs exercise the verify filter, not the probe set).
+    val sim = Dedup.simHash(docs.select($"doc_id", $"text"), "text")
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect()
+    for (d <- Seq(7, 3)) {
+      val brute = (for {
+        (ia, sa) <- sim; (ib, sb) <- sim
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= d
+      } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).toSet
+      assert(brute.nonEmpty || d < 7) // corpus plants near-dups
+      val lsh = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(lsh == brute, s"d=$d: lsh ${lsh.size} vs brute ${brute.size}")
+    }
+  }
+
   test("simhash: near-dup docs have close hamming distance") {
     val planted = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()
@@ -667,6 +686,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val fb = Media.decodeMetadata(Seq((9L, corrupt)).toDF("doc_id", "blob"))
       .collect().head
     assert(fb.duration_ms.isEmpty && fb.width == 64 * (1 + corrupt.length % 16))
+  }
+
+  test("uncompressed AVI movi chunks decode to real frames; compressed falls back to stub") {
+    import java.nio.ByteBuffer
+    def le(i: Int) = ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def chunk(ck: String, payload: Array[Byte]): Array[Byte] =
+      ck.getBytes ++ le(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes ++ le(4 + body.length) ++ listType.getBytes ++ body
+    def riffAvi(body: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le(4 + body.length) ++ "AVI ".getBytes ++ body
+    // three known DIB frames, one odd-sized (exercises even padding),
+    // one inside a 'rec ' grouping list (interleaved-AVI shape)
+    val f0 = Array.tabulate[Byte](16)(i => i.toByte)
+    val f1 = Array.tabulate[Byte](15)(i => (i + 100).toByte)
+    val f2 = Array.tabulate[Byte](8)(i => (i * 3).toByte)
+    val audio = Array.fill[Byte](12)(0x55) // '01wb' audio chunk: skipped
+    val uncompressed = riffAvi(list("movi",
+      chunk("00db", f0) ++ chunk("01wb", audio) ++ chunk("00db", f1) ++
+        list("rec ", chunk("00db", f2))))
+    val compressed = riffAvi(list("movi", chunk("00dc", f0) ++ chunk("00dc", f1)))
+    assert(Media.sniffFormat(uncompressed).contains("avi"))
+    val frames = Media.sampleFrames(
+        Seq((1L, uncompressed), (2L, compressed)).toDF("doc_id", "blob"),
+        frameBytes = 7)
+      .collect().groupBy(_.doc_id)
+    // real frames: exact bytes, stream order, audio chunk skipped
+    val real = frames(1L).sortBy(_.frame_index)
+    assert(real.length == 3)
+    assert(real(0).frame_bytes.toSeq == f0.toSeq)
+    assert(real(1).frame_bytes.toSeq == f1.toSeq)
+    assert(real(2).frame_bytes.toSeq == f2.toSeq)
+    // compressed codec: no JDK decode exists — documented stub slicing
+    assert(frames(2L).length == math.ceil(compressed.length / 7.0).toInt)
+    assert(frames(2L).sortBy(_.frame_index).flatMap(_.frame_bytes).toSeq
+      == compressed.toSeq)
   }
 
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
