@@ -4,9 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the core count (right for the
+    // sf0.1 graded sweep) but are overridable for scale-gate sweeps:
+    // at sf10 a 32-partition shuffle hands each task ~30× the state of
+    // the graded scale and the widest hash-agg/sort pages outgrow task
+    // memory (observed: a 7.5 GB single-page allocation failure). More
+    // partitions is the knob a real cluster would turn — AQE coalesces
+    // any that turn out small, so oversizing is cheap.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -73,7 +82,11 @@ object Bench {
       // noop sink: forces every output column to be computed (a count()
       // would let Catalyst prune projection-only work entirely)
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case t: Throwable =>
+        // a -1 without the throwable is undiagnosable from the artifact
+        System.err.println(s"[bench fail] ${t.toString.take(300)}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // The two passes run as full sweeps (A over all queries, then B)
@@ -85,8 +98,18 @@ object Bench {
     // SAME queries twice and min-of-two can't discard them — r6 read
     // q02/q05/q10 at ~2× with unchanged plans from exactly this.
     // Reversing gives every query a different predecessor context.
-    val passA = selected.map { case (name, fn) => name -> timeOnce(fn) }.toMap
-    val passB = selected.reverse.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    // stderr progress per query: at scale-gate sizes a wedged query is
+    // otherwise indistinguishable from a slow sweep (stdout must stay
+    // parseable, so progress goes to stderr)
+    def sweep(pass: String, qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Map[String, Double] =
+      qs.map { case (name, fn) =>
+        val t = timeOnce(fn)
+        System.err.println(f"[bench $pass] $name%-28s ${t}%.2fs")
+        name -> t
+      }.toMap
+    val passA = sweep("A", selected)
+    val passB = sweep("B", selected.reverse)
     val results = selected.map { case (name, _) =>
       val times = Seq(passA(name), passB(name)).filter(_ >= 0)
       name -> (if (times.nonEmpty) times.min else -1.0)

@@ -84,9 +84,10 @@ private[queries] trait DedupQueries {
            countDistinct(col("norm_hash")).as("n_unique_normalized"))
   }
 
-  /** SimHash band-LSH near-dup pairs with exact hamming verification.
-    * 8×8-bit banding has FULL recall for hamming ≤ 7 (pigeonhole), so the
-    * brute-force self-join oracle is exactly equal — the LSH is a pure
+  /** SimHash blocked-LSH near-dup pairs with exact hamming verification.
+    * 4×16-bit blocks + single-bit probes have FULL recall for hamming ≤ 7
+    * (pigeonhole — see [[Dedup.simHashNearDups]]), so the brute-force
+    * self-join oracle is exactly equal — the LSH is a pure
     * execution-strategy change, not an approximation, at this distance.
     */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =

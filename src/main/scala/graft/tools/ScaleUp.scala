@@ -75,25 +75,54 @@ object ScaleUp {
         ev.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else ev
     write("events", replicate(evTyped, factor)(shiftKeys))
-    // documents: shift + per-replica text tag (replica 0 byte-identical)
+    // documents: shift + per-replica text perturbation (replica 0
+    // byte-identical). The replica tag is SUFFIXED ONTO EVERY WORD of
+    // length ≥ 4 — a bijective token map per replica, chosen so that
+    // pair-producing answer sets grow LINEARLY in the replica factor:
+    //  - WITHIN a replica, w → w+"rN" maps shingle sets bijectively, so
+    //    every Jaccard between two docs of the same replica is EXACTLY
+    //    its base-corpus value — each replica contributes exactly the
+    //    base answer set to every dedup/near-dup query.
+    //  - ACROSS replicas (and vs the base), only the untouched short
+    //    words (~20% of token mass in this corpus) are shared: bigram
+    //    Jaccard needs both words short (~0.02 ≪ every 0.5+ threshold)
+    //    and SimHash cosine ~0.2 puts expected hamming ~28 of 64, ≫
+    //    the ≤7 near-dup cutoff — no manufactured cross-replica pairs.
+    //    (Earlier schemes failed exactly here: an appended tag left
+    //    cross-replica J ≈ 0.99 and a tag interleaved every 4th word
+    //    left J ≈ 0.51-0.56 — under the 0.7 dials but OVER q22's 0.5,
+    //    and token mass ~80% shared kept simhash hamming ~13, within
+    //    sigma of the ≤7 cutoff — so factor-quadratic pair growth
+    //    survived both.)
+    //  - Short words — which include every stopword the quality/langid
+    //    scorers count — are untouched, so stopword ratios, token
+    //    counts, and length-based quality features keep their base
+    //    distributions and selectivity-dependent stages (curation
+    //    filters) see representative data in every replica.
     write("documents", replicate(read("documents"), factor) { (df, i) =>
       val shifted = shiftKeys(df, i)
       if (i == 0) shifted
       else shifted
-        .withColumn("text", concat(col("text"), lit(s" r$i")))
-        .withColumn("n_chars", col("n_chars") + lit(s" r$i".length.toLong))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S{4,})", s"$$1r$i"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     })
-    // embeddings: shift + rotate the vector by i positions (norm- and
-    // distribution-preserving, decorrelates replicas). The dimension is
-    // read from the corpus, not assumed: element_at past the array end
-    // returns null with ANSI off and would silently corrupt the scaled
-    // vectors. Rotation alone repeats after d steps (replicas i and i+d
-    // would be byte-identical, reintroducing quadratic pair growth), so
-    // replicas past the first d compose the rotation (i mod d) with a
-    // deterministic ±1 sign pattern seeded by i/d — norm-preserving,
-    // distinct for every replica index, and replicas < d stay
-    // byte-identical to the rotation-only scheme (an sf1 built before
-    // this change reproduces exactly).
+    // embeddings: shift + a per-replica orthogonal transform (rotation
+    // by i mod d COMPOSED with a ±1 sign pattern seeded by i) — norm-
+    // and cluster-structure-preserving within each replica, and
+    // DECORRELATED across replicas. The sign flip is load-bearing, not
+    // cosmetic: rotation alone leaves cross-replica cosine equal to the
+    // vector's autocorrelation at the rotation lag, which for these
+    // corpora sits ABOVE near-dup thresholds at small lags — measured
+    // as 324k cross-replica pairs at 10× (vs ~200 within the base
+    // corpus), turning every low-threshold ANN sweep quadratic in the
+    // replica factor. A distinct sign pattern per replica flips ~half
+    // the coordinates of any cross-replica product, driving expected
+    // cosine to ~0: pair structure stays within-replica and grows
+    // linearly, which is the property the scale corpus exists to hold.
+    // The dimension is read from the corpus, not assumed: element_at
+    // past the array end returns null with ANSI off and would silently
+    // corrupt the scaled vectors.
     val emb = read("embeddings")
     val d = emb.select(size(col("embedding"))).first().getInt(0)
     val mixedDims = emb.filter(size(col("embedding")) =!= d).count()
@@ -109,13 +138,12 @@ object ScaleUp {
       val shifted = shiftKeys(df, i)
       if (i == 0) shifted
       else {
-        val flipSeed = i / d
         val rot = (0 until d).map { j =>
           val e = element_at(col("embedding"), (j + i % d) % d + 1)
           // ±1 as a FLOAT literal: exact in either element type, and it
           // keeps array<float> corpora float (a double literal would
           // silently promote the whole column)
-          if (flipSeed == 0) e else e * lit(signAt(flipSeed.toLong, j).toFloat)
+          e * lit(signAt(i.toLong, j).toFloat)
         }
         shifted.withColumn("embedding", array(rot: _*))
       }
