@@ -18,18 +18,54 @@ import StreamingJobBase.{JobOpts, TelemetryKafkaTopic}
   */
 object Jobs {
 
+  /** The exact option map handed to the Kafka source — extracted pure
+    * so the consumer tuning (8MB fetch cap, consumer-cache capacity,
+    * startingOffsets, failOnDataLoss, topic) is assertable in specs:
+    * with no broker in this environment, the option PLUMBING is the
+    * only Kafka-specific surface left untested by the DSv2 twin runs.
+    */
+  def kafkaSourceOptions(opts: JobOpts, consumerCacheCapacity: Int): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> opts.kafkaBroker.get,
+      "failOnDataLoss" -> opts.flag("failOnDataLoss").toString,
+      "kafka.max.partition.fetch.bytes" -> (8 * 1024 * 1024).toString, // 8MB
+      "spark.streaming.kafka.consumer.cache.maxCapacity" -> consumerCacheCapacity.toString,
+      "subscribe" -> TelemetryKafkaTopic,
+      "startingOffsets" -> opts.startingOffsets)
+
   def kafkaStream(spark: SparkSession, opts: JobOpts,
                   consumerCacheCapacity: Int = 1000): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", opts.kafkaBroker.get)
-      .option("failOnDataLoss", opts.flag("failOnDataLoss"))
-      .option("kafka.max.partition.fetch.bytes", 8 * 1024 * 1024) // 8MB
-      .option("spark.streaming.kafka.consumer.cache.maxCapacity", consumerCacheCapacity)
-      .option("subscribe", TelemetryKafkaTopic)
-      .option("startingOffsets", opts.startingOffsets)
+      .options(kafkaSourceOptions(opts, consumerCacheCapacity))
       .load()
       .select("value")
+
+  /** The post-source streaming DAG exactly as the job mains run it
+    * (aggregate → repartition(1) → partitioned parquet + checkpoint),
+    * with the SOURCE injected: the mains pass [[kafkaStream]]; specs
+    * pass a DSv2 `graft-synth`-derived envelope stream and drive the
+    * REAL job wiring end-to-end — including checkpoint restart — which
+    * a broker-less environment can't do through the Kafka format.
+    * Returns the started query (the mains await; specs pump and stop).
+    */
+  private[streaming] def startStreamingQuery(
+      job: StreamingJobBase,
+      opts: JobOpts,
+      transform: DataFrame => DataFrame,
+      partitionColumns: Seq[String],
+      source: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val outputPath = opts.getOrElse("outputPath", "/tmp/parquet")
+    transform(source)
+      .repartition(1)
+      .writeStream
+      .queryName(job.QueryName)
+      .format("parquet")
+      .option("path", s"$outputPath/${job.outputPrefix}")
+      .option("checkpointLocation", opts.checkpointPath)
+      .partitionBy(partitionColumns: _*)
+      .start()
+  }
 
   /** Shared dual-mode driver: `transform` is the pipeline's aggregate,
     * applied unchanged in both modes.
@@ -43,15 +79,8 @@ object Jobs {
       consumerCacheCapacity: Int): Unit = {
     val outputPath = opts.getOrElse("outputPath", "/tmp/parquet")
     if (opts.isStreaming) {
-      transform(kafkaStream(spark, opts, consumerCacheCapacity))
-        .repartition(1)
-        .writeStream
-        .queryName(job.QueryName)
-        .format("parquet")
-        .option("path", s"$outputPath/${job.outputPrefix}")
-        .option("checkpointLocation", opts.checkpointPath)
-        .partitionBy(partitionColumns: _*)
-        .start()
+      startStreamingQuery(job, opts, transform, partitionColumns,
+        kafkaStream(spark, opts, consumerCacheCapacity))
         .awaitTermination()
     } else {
       val envelopeDir = opts.get("envelopeDir")
@@ -80,6 +109,15 @@ object Jobs {
       runDualMode(ErrorAggregatorJobDef, opts, spark,
         df => ErrorAggregator.aggregate(df, opts.raiseOnError),
         Seq("submission_date_s3"), consumerCacheCapacity = 1000)
+    /** The real streaming job (same transform, sink, partitioning, and
+      * checkpoint wiring as [[run]]'s streaming branch) over an injected
+      * source — see [[Jobs.startStreamingQuery]].
+      */
+    private[streaming] def startWithSource(
+        opts: JobOpts, source: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      startStreamingQuery(ErrorAggregatorJobDef, opts,
+        df => ErrorAggregator.aggregate(df, opts.raiseOnError),
+        Seq("submission_date_s3"), source)
   }
   private object ErrorAggregatorJobDef extends StreamingJobBase {
     override val JobName = "error_aggregator"

@@ -81,7 +81,7 @@ object StreamingJobBase {
     * (`_ != "false"` would read `GRAFT_ROCKSDB_STATE=0` as ENABLED and
     * silently flip every job's state-store provider.)
     */
-  private[streaming] def envFlag(name: String): Boolean =
+  private[graft] def envFlag(name: String): Boolean =
     sys.env.get(name).map(_.trim.toLowerCase)
       .exists(Set("1", "true", "yes", "on").contains)
 

@@ -53,6 +53,79 @@ class JobsSpec extends AnyFunSuite with SparkTest {
       .map(_.get(0).toString).toSeq == Seq("20160407"))
   }
 
+  test("kafka source option map carries the reference's consumer tuning") {
+    val opts = StreamingJobBase.parseOpts("error_aggregator", Array(
+      "--kafkaBroker", "broker-1:9092", "--startingOffsets", "earliest",
+      "--failOnDataLoss"))
+    val m = Jobs.kafkaSourceOptions(opts, consumerCacheCapacity = 1000)
+    assert(m("kafka.bootstrap.servers") == "broker-1:9092")
+    assert(m("kafka.max.partition.fetch.bytes") == (8 * 1024 * 1024).toString)
+    assert(m("spark.streaming.kafka.consumer.cache.maxCapacity") == "1000")
+    assert(m("subscribe") == StreamingJobBase.TelemetryKafkaTopic)
+    assert(m("startingOffsets") == "earliest")
+    assert(m("failOnDataLoss") == "true")
+    // defaults: latest offsets, failOnDataLoss off
+    val defaults = Jobs.kafkaSourceOptions(
+      StreamingJobBase.parseOpts("x", Array("--kafkaBroker", "b:9092")), 100)
+    assert(defaults("startingOffsets") == "latest")
+    assert(defaults("failOnDataLoss") == "false")
+    assert(defaults("spark.streaming.kafka.consumer.cache.maxCapacity") == "100")
+  }
+
+  test("error aggregator STREAMING job runs source→sink over graft-synth with checkpoint restart") {
+    // The real job DAG — ErrorAggregator.aggregate → repartition(1) →
+    // partitioned parquet + checkpoint — over the DSv2 synth source
+    // (source-injected; the Kafka format needs a broker this environment
+    // lacks). One crash ping per second of event time; 5-min windows,
+    // 1-min watermark. The job is stopped mid-stream and restarted from
+    // its checkpoint: closed windows must emit exactly once, and windows
+    // spanning the restart must still aggregate to full counts.
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("eagg-stream-out").toString
+    val ckptDir = Files.createTempDirectory("eagg-stream-ckpt").toString
+    // window-aligned base (multiple of 300 s) so window starts are exact
+    val baseSec = 1460036400L
+    val opts = StreamingJobBase.parseOpts("error_aggregator", Array(
+      "--kafkaBroker", "unused:9092", // streaming mode; source injected below
+      "--checkpointPath", ckptDir, "--outputPath", outDir, "--raiseOnError"))
+
+    def pingStream(maxRows: Int) = spark.readStream.format("graft-synth")
+      .option("rowsPerBatch", "150").option("maxRows", maxRows.toString)
+      .load()
+      .select($"offset").as[Long]
+      .map(i => TestMessages.crashMessages(1,
+        timestamp = (baseSec + i) * 1000000000L).head.toBytes)
+      .toDF("value")
+
+    def run(maxRows: Int): Unit = {
+      val q = Jobs.ErrorAggregatorJob.startWithSource(opts, pingStream(maxRows))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(450)  // watermark 389 s → only window [0, 300) closes; the
+              // [300, 600) window is left mid-flight in checkpoint state
+    val firstHalf = spark.read.parquet(s"$outDir/error_aggregator/v2")
+    assert(firstHalf.select($"window_start").distinct().count() == 1,
+      "first run should emit exactly the one closed window")
+    run(1200) // resume AT 450 (mid-window): recovered state + new rows
+              // must merge; watermark 1139 s → [300,600) and [600,900) close
+    val out = spark.read.parquet(s"$outDir/error_aggregator/v2")
+      .select($"window_start".cast("long").as("w"), $"experiment_id",
+        $"main_crashes", $"count")
+      .collect()
+    // 3 closed windows × (2 experiments + null row), exactly once each
+    assert(out.length == 9, s"expected 9 rows, got ${out.length}")
+    val groups = out.map(r => (r.getLong(0), r.getAs[String]("experiment_id")))
+    assert(groups.distinct.length == groups.length, "window re-emitted across restart")
+    assert(groups.map(_._1).toSet ==
+      Set(baseSec, baseSec + 300, baseSec + 600), s"wrong windows: ${groups.toSet}")
+    // 300 pings per window — including the window spanning the restart
+    // boundary (state recovered, second half added on top)
+    out.foreach { r =>
+      assert(r.getAs[Long]("main_crashes") == 300L, s"bad count: $r")
+      assert(r.getAs[Long]("count") == 300L, s"bad count: $r")
+    }
+  }
+
   test("opts parser enforces streaming xor batch") {
     intercept[IllegalArgumentException](StreamingJobBase.parseOpts("x", Array.empty))
     intercept[IllegalArgumentException](
