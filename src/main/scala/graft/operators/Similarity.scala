@@ -118,31 +118,34 @@ object Similarity {
   def cosineNearDupLsh(corpus: DataFrame, threshold: Double,
                        nPlanes: Int = 4, nTables: Int = 2): DataFrame = {
     val bucketed = corpus.select(col("vec_id"),
+        VectorFunctions.normalize(col("embedding")).as("emb"),
         posexplode(VectorFunctions.hyperplaneBuckets(col("embedding"), nPlanes, nTables)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
       (acc, bit) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << bit)))
     }
-    // candidate ids first (multi-probe duplicates removed BEFORE any
-    // vector math), then unit-normalized vectors broadcast back in —
-    // each surviving pair costs exactly one dot product
-    val a = bucketed.select(col("vec_id").as("id_a"), col("table"),
-      explode(probes).as("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("table"), col("bucket"))
-    val candidates = a.join(b, Seq("table", "bucket"))
+    // The unit-normalized vectors ride THROUGH the bucket join and the
+    // cosine verifies in-join, so the candidate stream (n·bucketSize·
+    // tables·probes rows — ~6e8 at 200k vectors) is evaluated inside one
+    // codegen stage and NEVER shuffled. The shuffle this plan pays is the
+    // join INPUT — n·tables·(probes+1) vector rows, linear in the corpus.
+    // The ids-only alternative (dedup candidates, re-join vectors twice)
+    // shuffles the candidate stream itself: bucketSize/“bytes of a vector
+    // over bytes of an id-pair” ≈ 5× more bytes at the default dials, and
+    // its vector re-joins stop broadcasting once the corpus passes the
+    // broadcast threshold (measured at 200k vectors: SCALING.md).
+    val a = bucketed.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("table"), explode(probes).as("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val normalized = corpus.select(col("vec_id"),
-      VectorFunctions.normalize(col("embedding")).as("emb"))
-    // no broadcast hint: AQE broadcasts when the normalized side is
-    // small; at full corpus scale these become shuffle joins on the id
-    candidates
-      .join(normalized.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), "id_a")
-      .join(normalized.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), "id_b")
       .withColumn("cosine", VectorFunctions.dot(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      // survivors ≈ the answer set (×≤ tables·probes duplicates) — the
+      // dedup shuffle is on thousands of rows, not the candidate stream
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Plane count that keeps expected bucket occupancy near
