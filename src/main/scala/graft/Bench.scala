@@ -116,7 +116,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Sum only successful queries: a -1 failure sentinel must not
+    // REDUCE the total (round 8 read 9s low with 9 queries failed,
+    // making totals incomparable across rounds). Failures are counted
+    // explicitly instead so a shrunken sweep can never read as faster.
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Both raw passes ride along so the per-query noise band (max/min
     // across passes) is computable from the artifact instead of inferred:
     // single-pass readings at this data scale can sit ±30% on unchanged
@@ -124,8 +129,9 @@ object Bench {
     // regression from sweep noise.
     def passJson(p: Map[String, Double]): String =
       selected.map { case (k, _) => s"\"" + k + "\":" + p(k) }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_pass_a":${passJson(passA)},"queries_pass_b":${passJson(passB)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"queries_pass_a":${passJson(passA)},"queries_pass_b":${passJson(passB)},"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout (~2 KB) and parses what
     // it kept: the full 79-query line (~2.4 KB) loses its head — hence
     // r5's parsed:null. So (a) persist the full result to a file the
@@ -165,7 +171,7 @@ object Bench {
         sortedR((sortedR.size * 9) / 10 min (sortedR.size - 1)))},"max_ratio":${r3(
         worstR)},"max_query":"$worstQ"}"""
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"noise_band":$bandJson,"queries_file":"$outPathJson","queries_sha256":"$sha","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"n_failed":${failed.size},"noise_band":$bandJson,"queries_file":"$outPathJson","queries_sha256":"$sha","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the star-schema corpus (TESTDATA.md).
   *
@@ -29,15 +29,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** Event log with a true TimestampType event-time column. The parquet
-    * stores INT64 nanos; integer DIV (not double math) truncates to the
-    * microsecond exactly like an engine-native ns→µs cast would.
+  /** Event log with a true TimestampType event-time column, normalized
+    * across every encoding the corpus generator has shipped:
+    *   - INT64 TIMESTAMP(NANOS): read as LongType under
+    *     `nanosAsLong=true`; integer DIV (not double math) truncates to
+    *     the microsecond exactly like an engine-native ns→µs cast would.
+    *   - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+    *     TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled`
+    *     defaults true); event-time ops (`window`, casts to long) need
+    *     an instant, so cast to TimestampType — the session timezone is
+    *     UTC in every harness session, so the wall-clock is preserved
+    *     and `cast(ts as long)` matches the DuckDB oracle's `epoch()`.
+    *   - timestamp[us] UTC-adjusted: already TimestampType, pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

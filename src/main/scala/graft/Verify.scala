@@ -50,6 +50,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The FULL expected query list, independent of which dumps succeeded:
+    // a query that throws on the Spark side produces no result directory,
+    // and a gate that enumerates directories would silently drop it from
+    // coverage (round 8: 9 broken queries read as a 72/72 pass). The
+    // checker treats every name here with no result dir as a FAIL.
+    val expected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), expected)
     spark.stop()
   }
 }

@@ -94,12 +94,26 @@ def run_oracle_subprocess(sql, q):
 
 con = connect()
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-names = sorted(os.path.basename(p) for p in glob.glob(f"{outdir}/*")
-               if os.path.isdir(p))
+# Expected set = the FULL declared query list (queries.json, dumped by
+# Verify from SparkEntry.queries), not the result directories present: a
+# query that throws on the Spark side produces no directory, and
+# enumerating directories silently drops it from coverage (round 8: nine
+# broken queries read as a 72/72 pass). Directories are unioned in so a
+# stray extra result still gets checked; declared-but-missing = FAIL.
+dirs = set(os.path.basename(p) for p in glob.glob(f"{outdir}/*")
+           if os.path.isdir(p))
+qlist = f"{outdir}/queries.json"
+declared = set(json.load(open(qlist))) if os.path.exists(qlist) else \
+    set(oracle.keys())
+names = sorted(declared | dirs)
 names = [n for n in names if (only is None or n in only) and n not in skip]
 fails = 0
 timeouts = []
 for name in names:
+    if name not in dirs:
+        print(f"FAIL {name}: declared in SparkEntry.queries but no result "
+              f"directory (Spark-side failure — see Verify stderr)")
+        fails += 1; continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no result parquet"); fails += 1; continue
