@@ -33,6 +33,11 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // A stale result dir from a prior run into the same outDir would
+          // otherwise mask this failure: the declared-but-missing gate only
+          // fires when the directory is absent, so check.py would validate
+          // the previous run's parquet as a pass.
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,10 +60,17 @@ object Verify {
     // and a gate that enumerates directories would silently drop it from
     // coverage (round 8: 9 broken queries read as a 72/72 pass). The
     // checker treats every name here with no result dir as a FAIL.
+    // Deliberately UNFILTERED by `only`: a single-query re-verification
+    // into an existing outDir must not shrink the declared list (check.py
+    // applies its own --only/--skip after unioning declared ∪ dirs).
     val expected = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), expected)
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

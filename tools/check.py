@@ -103,8 +103,19 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 dirs = set(os.path.basename(p) for p in glob.glob(f"{outdir}/*")
            if os.path.isdir(p))
 qlist = f"{outdir}/queries.json"
-declared = set(json.load(open(qlist))) if os.path.exists(qlist) else \
-    set(oracle.keys())
+if os.path.exists(qlist):
+    declared = set(json.load(open(qlist)))
+else:
+    # Fallback for dumps from an older Verify build. oracle_sql.json keys
+    # under-count the declared set (ROWS-ONLY queries have no oracle entry),
+    # so a Spark-side failure of such a query would be silently dropped —
+    # make the reduced coverage loudly visible instead of letting a stale
+    # Verify read as a clean sweep.
+    print("WARNING: queries.json missing from outdir — stale Verify dump? "
+          "Falling back to oracle_sql.json keys; ROWS-ONLY queries that "
+          "failed Spark-side will NOT be counted as failures.",
+          file=sys.stderr)
+    declared = set(oracle.keys())
 names = sorted(declared | dirs)
 names = [n for n in names if (only is None or n in only) and n not in skip]
 fails = 0
