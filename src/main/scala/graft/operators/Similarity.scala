@@ -138,7 +138,30 @@ object Similarity {
       col("table"), explode(probes).as("bucket"))
     val b = bucketed.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
       col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    // Parallelism guard: the join has at most nTables·2^nPlanes distinct
+    // keys, and when the dial is small relative to the corpus (the q28
+    // hand-dial replay: 32 keys at 200k vectors) the sort-merge join is
+    // key-bound — every bucket is uniformly huge, so AQE's skew split
+    // never fires (no partition deviates from the median) and the tail
+    // runs on one core per key. Slice the join S ways: the probe side is
+    // replicated to every slice, the build side keyed by hash(id)%S —
+    // each (x,y) pair still meets exactly once per (table, probed
+    // bucket), at slice(y), so the candidate count and output are
+    // unchanged while the key space grows S×. The auto-dialed path
+    // already has keys ≫ partitions and computes S=1 (plan untouched).
+    val keySpace = nTables.toLong << nPlanes
+    val parallelism =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val slices =
+      math.min(64L, math.max(1L, (4L * parallelism) / math.max(1L, keySpace))).toInt
+    val (aS, bS, joinKeys) =
+      if (slices <= 1) (a, b, Seq("table", "bucket"))
+      else (
+        a.withColumn("slice",
+          explode(array((0 until slices).map(lit(_)): _*))),
+        b.withColumn("slice", pmod(hash(col("id_b")), lit(slices))),
+        Seq("table", "bucket", "slice"))
+    aS.join(bS, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.dot(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)

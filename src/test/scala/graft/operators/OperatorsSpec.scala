@@ -457,6 +457,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(lsh.subsetOf(exact))
   }
 
+  test("embedding near-dup: sliced bucket join emits the same pairs as unsliced") {
+    // The parallelism guard slices the bucket join when the key space
+    // (nTables·2^nPlanes) is small relative to shuffle parallelism — the
+    // hand-dial-at-big-corpus regime where the join is otherwise bound to
+    // one core per bucket. Slicing must be invisible in the result: every
+    // pair still meets exactly once, at the build side's hash slice.
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    // keySpace = 1·2^2 = 4: at 4 partitions slices = 4·4/4 = 4 (active);
+    // at 1 partition slices = 4/4 = 1 (plain single-key join)
+    val sliced = Similarity.cosineNearDupLsh(embeddings, 0.35, nPlanes = 2,
+      nTables = 1).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val unsliced = try
+      Similarity.cosineNearDupLsh(embeddings, 0.35, nPlanes = 2, nTables = 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+    assert(sliced == unsliced)
+    assert(sliced.nonEmpty)
+  }
+
   test("embedding near-dup: auto plane count scales buckets with the corpus") {
     // the formula reproduces the hand-tuned configs at both measured
     // scales: 2k vectors → 4 planes (q28's pinned dial), 20k → 8 planes
