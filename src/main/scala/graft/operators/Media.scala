@@ -37,6 +37,21 @@ object Media {
 
   final case class Frame(doc_id: Long, frame_index: Int, frame_bytes: Array[Byte])
 
+  /** One video frame's CHUNK LOCATION inside its container blob —
+    * codec-independent: offset/size let a downstream external decoder
+    * (the FFmpeg-shaped dependency this container lacks) slice the
+    * frame's bytes out of the blob without re-parsing the container.
+    * `codec_kind` is the RIFF chunk suffix: "db" = uncompressed DIB
+    * (decodable here, see [[aviUncompressedFrames]]), "dc" = compressed.
+    * `keyframe` comes from the `idx1` AVIOLDINDEX when present
+    * (AVIIF_KEYFRAME); uncompressed DIB frames are self-contained so
+    * they default to `Some(true)` without an index, while compressed
+    * frames without an index are `None` (unknown).
+    */
+  final case class FrameChunk(
+      doc_id: Long, frame_index: Int, stream_id: Int, codec_kind: String,
+      offset: Long, size: Long, keyframe: Option[Boolean])
+
   /** Attach the binary payload column. With no true media corpus in the
     * testdata, document text stands in as the blob — the schema and
     * execution path are identical for real image bytes.
@@ -228,6 +243,81 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** AVI FRAME-CHUNK INDEX — parse, don't decode: every video chunk
+    * (`##db` uncompressed, `##dc` compressed) in the `movi` LIST is
+    * located by absolute (offset, size) into the blob, so compressed
+    * codecs — which this JVM cannot decode — still get a real routing
+    * path: a downstream pipeline slices `blob[offset, offset+size)` and
+    * hands it to an external decoder service without re-walking RIFF.
+    * Keyframe flags are recovered from the optional `idx1` AVIOLDINDEX
+    * chunk (entries matched to movi chunks per-chunk-id in stream
+    * order, which sidesteps the notorious movi-relative-vs-absolute
+    * idx1 offset-base ambiguity entirely).
+    */
+  private[operators] def aviFrameChunkIndex(
+      docId: Long, b: Array[Byte]): Option[Vector[FrameChunk]] =
+    try {
+      if (!sniffFormat(b).contains("avi")) None
+      else {
+        val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+        // (chunkId, payloadOffset, size) for video chunks, stream order
+        val chunks = Vector.newBuilder[(String, Int, Int)]
+        var idx1At = -1 // payload offset of the idx1 chunk, if any
+        def isVideoChunk(ck: String): Boolean =
+          ck.length == 4 && ck(0).isDigit && ck(1).isDigit &&
+            ck(2) == 'd' && (ck(3) == 'b' || ck(3) == 'c')
+        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val ck = fourcc(b, off)
+            val size = le32(b, off + 4).toInt
+            val payload = off + 8
+            if (size < 0 || payload + size > end) return
+            if (ck == "LIST" && size >= 4) {
+              val listType = fourcc(b, payload)
+              walk(payload + 4, payload + size,
+                inMovi = inMovi || listType == "movi")
+            } else if (inMovi && isVideoChunk(ck)) {
+              chunks += ((ck, payload, size))
+            } else if (!inMovi && ck == "idx1") {
+              idx1At = payload
+            }
+            off = payload + size + (size & 1)
+          }
+        }
+        walk(12, riffEnd, inMovi = false)
+        val vid = chunks.result()
+        if (vid.isEmpty) None
+        else {
+          // idx1 flags per chunk id, in entry order (16-byte entries:
+          // fourcc id, LE32 flags, LE32 offset, LE32 size); matched to
+          // movi chunks sequentially per id
+          val flagQueues = scala.collection.mutable.Map
+            .empty[String, scala.collection.mutable.Queue[Long]]
+          if (idx1At >= 0) {
+            val idxSize = le32(b, idx1At - 4).toInt
+            var e = idx1At
+            while (e + 16 <= idx1At + idxSize && e + 16 <= b.length) {
+              val id = fourcc(b, e)
+              flagQueues.getOrElseUpdate(id,
+                scala.collection.mutable.Queue.empty) += le32(b, e + 4)
+              e += 16
+            }
+          }
+          val aviifKeyframe = 0x10L
+          Some(vid.zipWithIndex.map { case ((ck, payload, size), i) =>
+            val keyframe = flagQueues.get(ck).filter(_.nonEmpty) match {
+              case Some(q) => Some((q.dequeue() & aviifKeyframe) != 0)
+              case None    => if (ck(3) == 'b') Some(true) else None
+            }
+            FrameChunk(docId, i, stream_id = ck.take(2).toInt,
+              codec_kind = ck.substring(2), offset = payload.toLong,
+              size = size.toLong, keyframe = keyframe)
+          })
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** Real audio decode: header-only sample rate / channels / duration
     * via `javax.sound.sampled.AudioSystem.getAudioFileFormat` — like the
     * image path it parses the container header without decoding samples,
@@ -352,6 +442,22 @@ object Media {
             Frame(docId, i, chunk)
           }.toVector
         }
+      }
+  }
+
+  /** Per-frame chunk index over (doc_id, blob) rows — the
+    * compressed-codec routing path: emits one [[FrameChunk]] per video
+    * chunk in each AVI blob (offsets/sizes/keyframe flags; non-AVI
+    * blobs emit nothing). A production pipeline joins this against the
+    * blob column, slices the keyframes it wants, and ships ONLY those
+    * slices to an external decoder — at 100 TB that avoids moving whole
+    * videos to decode one sampled frame. Map-side, no shuffle.
+    */
+  def frameChunkIndex(media: DataFrame): Dataset[FrameChunk] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        aviFrameChunkIndex(docId, bytes).getOrElse(Vector.empty)
       }
   }
 }

@@ -746,6 +746,63 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       == compressed.toSeq)
   }
 
+  test("frame-chunk index locates compressed frames byte-exactly with idx1 keyframe flags") {
+    import java.nio.ByteBuffer
+    def le(i: Int) = ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def chunk(ck: String, payload: Array[Byte]): Array[Byte] =
+      ck.getBytes ++ le(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes ++ le(4 + body.length) ++ listType.getBytes ++ body
+    def riffAvi(body: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le(4 + body.length) ++ "AVI ".getBytes ++ body
+    // compressed stream 0: keyframe f0, delta f1 (odd size: padding),
+    // delta f2 inside a 'rec ' grouping list; interleaved audio skipped
+    val f0 = Array.tabulate[Byte](24)(i => i.toByte)
+    val f1 = Array.tabulate[Byte](15)(i => (i + 100).toByte)
+    val f2 = Array.tabulate[Byte](10)(i => (i * 7).toByte)
+    val audio = Array.fill[Byte](12)(0x55)
+    val movi = list("movi",
+      chunk("00dc", f0) ++ chunk("01wb", audio) ++ chunk("00dc", f1) ++
+        list("rec ", chunk("00dc", f2)))
+    // idx1 AVIOLDINDEX: flags 0x10 = AVIIF_KEYFRAME; offsets deliberately
+    // written in the movi-relative base the matcher must NOT depend on
+    def idxEntry(ck: String, flags: Int) =
+      ck.getBytes ++ le(flags) ++ le(0) ++ le(0)
+    val idx1 = chunk("idx1",
+      idxEntry("00dc", 0x10) ++ idxEntry("01wb", 0) ++
+        idxEntry("00dc", 0) ++ idxEntry("00dc", 0))
+    val withIdx = riffAvi(movi ++ idx1)
+    val noIdxDb = riffAvi(list("movi", chunk("00db", f0)))
+    val noIdxDc = riffAvi(list("movi", chunk("00dc", f0)))
+    val notAvi = "plain text, not a container".getBytes
+
+    val rows = Media.frameChunkIndex(
+        Seq((1L, withIdx), (2L, noIdxDb), (3L, noIdxDc), (4L, notAvi))
+          .toDF("doc_id", "blob"))
+      .collect().groupBy(_.doc_id)
+
+    val v = rows(1L).sortBy(_.frame_index)
+    assert(v.length == 3) // audio chunk excluded
+    assert(v.forall(c => c.stream_id == 0 && c.codec_kind == "dc"))
+    // offsets are absolute into the blob: slicing recovers frame bytes
+    // exactly — the contract an external decoder relies on
+    def slice(b: Array[Byte], c: Media.FrameChunk) =
+      b.slice(c.offset.toInt, (c.offset + c.size).toInt).toSeq
+    assert(slice(withIdx, v(0)) == f0.toSeq)
+    assert(slice(withIdx, v(1)) == f1.toSeq)
+    assert(slice(withIdx, v(2)) == f2.toSeq)
+    assert(v.map(_.keyframe) sameElements
+      Array(Some(true), Some(false), Some(false)))
+    // no idx1: uncompressed DIB frames are self-contained keyframes;
+    // compressed without an index is honestly unknown
+    assert(rows(2L).head.keyframe == Some(true))
+    assert(rows(2L).head.codec_kind == "db")
+    assert(rows(3L).head.keyframe.isEmpty)
+    assert(!rows.contains(4L)) // non-AVI blobs emit nothing
+  }
+
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
     val media = Media.attachBlob(docs.limit(10))
     val frames = Media.sampleFrames(media, frameBytes = 100).collect()
