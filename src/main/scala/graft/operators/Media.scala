@@ -318,6 +318,104 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** MP4 FRAME-CHUNK INDEX — the ISO-BMFF twin of
+    * [[aviFrameChunkIndex]]: video samples are located from the `stbl`
+    * sample tables without touching `mdat` — `stsz` (sizes), `stco` /
+    * `co64` (chunk offsets), `stsc` (sample→chunk runs), `stss` (sync
+    * samples; absent ⇒ every sample is a keyframe, per spec). Offsets
+    * come out absolute into the blob, `codec_kind` is the `stsd` sample
+    * entry's fourcc (e.g. "avc1"), so a downstream external decoder can
+    * slice exactly the samples it wants. Tracks are filtered to video
+    * via `mdia/hdlr` = 'vide'; a truncated/fragmented file missing any
+    * table yields no rows rather than wrong offsets.
+    */
+  private[operators] def mp4FrameChunkIndex(
+      docId: Long, b: Array[Byte]): Option[Vector[FrameChunk]] =
+    try {
+      if (!sniffFormat(b).contains("mp4")) None
+      else {
+        def boxes(rs: List[(Int, Int)], typ: String): List[(Int, Int)] =
+          rs.flatMap { case (s, e) => mp4Boxes(b, s, e, typ) }
+        val traks = boxes(boxes(List((0, b.length)), "moov"), "trak")
+        val videoStbls = traks.flatMap { trak =>
+          val mdia = boxes(List(trak), "mdia")
+          val isVideo = boxes(mdia, "hdlr").exists { case (hs, he) =>
+            hs + 12 <= he && fourcc(b, hs + 8) == "vide" }
+          if (!isVideo) Nil
+          else boxes(boxes(mdia, "minf"), "stbl").take(1)
+        }
+        val all = videoStbls.zipWithIndex.flatMap { case (stbl, streamId) =>
+          val st = List(stbl)
+          // stsd: version/flags 4 + entry_count 4, first entry is
+          // size 4 + format fourcc — the codec identifier
+          val codec = boxes(st, "stsd").headOption
+            .filter { case (p, e) => p + 16 <= e }
+            .map { case (p, _) => fourcc(b, p + 12) }.getOrElse("????")
+          val sizes = boxes(st, "stsz").headOption.flatMap { case (p, e) =>
+            if (p + 12 > e) None
+            else {
+              val fixed = be32(b, p + 4)
+              val n = be32(b, p + 8).toInt
+              if (fixed != 0) Some(Vector.fill(n)(fixed))
+              else if (p + 12 + 4L * n > e) None
+              else Some(Vector.tabulate(n)(i => be32(b, p + 12 + 4 * i)))
+            }
+          }
+          val chunkOffsets = boxes(st, "stco").headOption.flatMap { case (p, e) =>
+            val n = if (p + 8 <= e) be32(b, p + 4).toInt else -1
+            if (n < 0 || p + 8 + 4L * n > e) None
+            else Some(Vector.tabulate(n)(i => be32(b, p + 8 + 4 * i)))
+          }.orElse(boxes(st, "co64").headOption.flatMap { case (p, e) =>
+            val n = if (p + 8 <= e) be32(b, p + 4).toInt else -1
+            if (n < 0 || p + 8 + 8L * n > e) None
+            else Some(Vector.tabulate(n)(i => be64(b, p + 8 + 8 * i)))
+          })
+          // (first_chunk, samples_per_chunk) runs; each applies until
+          // the next entry's first_chunk
+          val sampleRuns = boxes(st, "stsc").headOption.flatMap { case (p, e) =>
+            val n = if (p + 8 <= e) be32(b, p + 4).toInt else -1
+            if (n < 0 || p + 8 + 12L * n > e) None
+            else Some(Vector.tabulate(n)(i =>
+              (be32(b, p + 8 + 12 * i).toInt, be32(b, p + 12 + 12 * i).toInt)))
+          }
+          val syncSamples = boxes(st, "stss").headOption.flatMap { case (p, e) =>
+            val n = if (p + 8 <= e) be32(b, p + 4).toInt else -1
+            if (n < 0 || p + 8 + 4L * n > e) None
+            else Some(Vector.tabulate(n)(i => be32(b, p + 8 + 4 * i).toInt).toSet)
+          }
+          (sizes, chunkOffsets, sampleRuns) match {
+            case (Some(sz), Some(co), Some(runs))
+                if sz.nonEmpty && co.nonEmpty && runs.nonEmpty =>
+              val out = Vector.newBuilder[FrameChunk]
+              var sample = 0 // 0-based; stss is 1-based
+              var run = 0
+              var chunk = 0
+              while (chunk < co.length && sample < sz.length) {
+                if (run + 1 < runs.length && chunk + 1 >= runs(run + 1)._1)
+                  run += 1
+                var off = co(chunk)
+                var i = 0
+                while (i < runs(run)._2 && sample < sz.length) {
+                  val keyframe = syncSamples match {
+                    case Some(ss) => Some(ss.contains(sample + 1))
+                    case None     => Some(true)
+                  }
+                  out += FrameChunk(docId, sample, streamId, codec,
+                    offset = off, size = sz(sample).toLong, keyframe = keyframe)
+                  off += sz(sample)
+                  sample += 1
+                  i += 1
+                }
+                chunk += 1
+              }
+              out.result()
+            case _ => Vector.empty
+          }
+        }
+        if (all.isEmpty) None else Some(all.toVector)
+      }
+    } catch { case _: Exception => None }
+
   /** Real audio decode: header-only sample rate / channels / duration
     * via `javax.sound.sampled.AudioSystem.getAudioFileFormat` — like the
     * image path it parses the container header without decoding samples,
@@ -445,19 +543,54 @@ object Media {
       }
   }
 
+  /** Deterministic AVI wrapper for stand-in corpora: splits `payload`
+    * into three `00dc` frames (sizes ⌊n/3⌋, ⌊n/3⌋, n−2⌊n/3⌋) inside a
+    * movi LIST, with an idx1 index marking frame 0 as the keyframe —
+    * enough container structure to drive [[frameChunkIndex]] end to end
+    * over a text corpus whose bytes stand in for video. The layout is
+    * closed-form (RIFF hdr 12 B, LIST hdr 12 B, 8 B per chunk header,
+    * odd sizes pad 1 B), so an SQL oracle can replay every offset.
+    */
+  def wrapAvi(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val s = n / 3
+    val sizes = Array(s, s, n - 2 * s)
+    var at = 0
+    val frames = sizes.map { sz =>
+      val f = java.util.Arrays.copyOfRange(payload, at, at + sz); at += sz; f
+    }
+    def le(i: Int): Array[Byte] = Array(
+      (i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    def chunk(ck: String, p: Array[Byte]): Array[Byte] =
+      ck.getBytes("ISO-8859-1") ++ le(p.length) ++ p ++
+        (if (p.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val moviBody = frames.flatMap(f => chunk("00dc", f))
+    val movi = "LIST".getBytes("ISO-8859-1") ++ le(4 + moviBody.length) ++
+      "movi".getBytes("ISO-8859-1") ++ moviBody
+    val idxEntries = Array(0x10, 0, 0).flatMap(fl =>
+      "00dc".getBytes("ISO-8859-1") ++ le(fl) ++ le(0) ++ le(0))
+    val idx1 = "idx1".getBytes("ISO-8859-1") ++ le(idxEntries.length) ++ idxEntries
+    val body = "AVI ".getBytes("ISO-8859-1") ++ movi ++ idx1
+    "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+  }
+
   /** Per-frame chunk index over (doc_id, blob) rows — the
     * compressed-codec routing path: emits one [[FrameChunk]] per video
-    * chunk in each AVI blob (offsets/sizes/keyframe flags; non-AVI
-    * blobs emit nothing). A production pipeline joins this against the
-    * blob column, slices the keyframes it wants, and ships ONLY those
-    * slices to an external decoder — at 100 TB that avoids moving whole
-    * videos to decode one sampled frame. Map-side, no shuffle.
+    * frame in each AVI or MP4 blob (offsets/sizes/keyframe flags;
+    * other blobs emit nothing). A production pipeline joins this
+    * against the blob column, slices the keyframes it wants, and ships
+    * ONLY those slices to an external decoder — at 100 TB that avoids
+    * moving whole videos to decode one sampled frame. Map-side, no
+    * shuffle.
     */
   def frameChunkIndex(media: DataFrame): Dataset[FrameChunk] = {
     import media.sparkSession.implicits._
     media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .flatMap { case (docId, bytes) =>
-        aviFrameChunkIndex(docId, bytes).getOrElse(Vector.empty)
+        aviFrameChunkIndex(docId, bytes)
+          .orElse(mp4FrameChunkIndex(docId, bytes))
+          .getOrElse(Vector.empty)
       }
   }
 }

@@ -106,6 +106,7 @@ object QueryPack
     "q79_gap_fill"          -> (gapFilledDaily _),
     "q80_emb_neardup_lsh_auto" -> (embNearDupLshAuto _),
     "q81_chunking"          -> (chunkDocs _),
+    "q82_frame_index"       -> (frameIndexStats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

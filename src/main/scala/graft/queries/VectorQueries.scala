@@ -132,6 +132,38 @@ private[queries] trait VectorQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_frames")).as("total_frames"))
   }
 
+  /** Frame-chunk routing index, end to end: each document's bytes are
+    * wrapped into a deterministic AVI ([[graft.operators.Media.wrapAvi]]:
+    * three `00dc` frames + idx1 keyframe index), then
+    * [[graft.operators.Media.frameChunkIndex]] parses the containers
+    * back to per-frame (offset, size, keyframe) rows — the slice-and-
+    * route path an external compressed-codec decoder consumes. The
+    * container layout is closed-form, so the oracle replays every
+    * offset arithmetically from octet_length.
+    */
+  def frameIndexStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val blobs = docs
+      .select(col("doc_id"), col("text").cast("binary").as("p"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, graft.operators.Media.wrapAvi(p)) }
+      .toDF("doc_id", "blob")
+    graft.operators.Media.frameChunkIndex(blobs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("offset")).as("sum_off"),
+           sum(col("size")).as("sum_sz"),
+           sum(when(col("keyframe") === true, 1L).otherwise(0L)).as("n_key"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_frames")).as("total_frames"),
+           sum(col("sum_off")).as("sum_offsets"),
+           sum(col("sum_sz")).as("sum_sizes"),
+           sum(col("n_key")).as("n_keyframes"))
+  }
+
   /** Int8 scalar quantization of embeddings: q = clamp(⌊x·512⌋, ±127),
     * the storage-compression step of a vector index build. All arithmetic
     * is exact across engines (×512 is a power-of-two double multiply —
@@ -217,6 +249,21 @@ private[queries] trait VectorQueries {
         | CAST(SUM(64 * (1 + n % 9)) AS BIGINT) AS total_height,
         | CAST(SUM(n) AS BIGINT) AS total_bytes
         |FROM m GROUP BY format""".stripMargin,
+    // wrapAvi layout replay: frames sit at 32, 40+s+s%2, 48+2(s+s%2)
+    // where s = ⌊n/3⌋ (RIFF hdr 12 + LIST hdr 12 + 8 per chunk header,
+    // odd chunk sizes pad 1); per-doc offset sum = 120 + 3(s+s%2),
+    // sizes sum to n, and idx1 marks exactly frame 0 as keyframe.
+    "q82_frame_index" ->
+      """WITH t AS (
+        | SELECT source, octet_length(CAST(text AS BLOB)) AS n,
+        |  octet_length(CAST(text AS BLOB)) // 3 AS s
+        | FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(3 * COUNT(*) AS BIGINT) AS total_frames,
+        | CAST(SUM(120 + 3 * (s + s % 2)) AS BIGINT) AS sum_offsets,
+        | CAST(SUM(n) AS BIGINT) AS sum_sizes,
+        | CAST(COUNT(*) AS BIGINT) AS n_keyframes
+        |FROM t GROUP BY source""".stripMargin,
     "q30_media_frames" ->
       """WITH f AS (
         | SELECT doc_id, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_frames

@@ -803,6 +803,56 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(!rows.contains(4L)) // non-AVI blobs emit nothing
   }
 
+  test("mp4 frame-chunk index resolves stbl sample tables to absolute offsets") {
+    import java.nio.ByteBuffer
+    def be(i: Int) = ByteBuffer.allocate(4).putInt(i).array()
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ typ.getBytes ++ payload
+    // 4 video samples in 2 chunks of 2 (stsc run table has ONE entry
+    // covering both chunks); sizes vary so per-sample offsets must
+    // accumulate within a chunk; stss marks samples 1 and 3 as sync
+    val samples = Seq(
+      Array.tabulate[Byte](10)(_.toByte),
+      Array.tabulate[Byte](12)(i => (i + 50).toByte),
+      Array.tabulate[Byte](8)(i => (i * 3).toByte),
+      Array.tabulate[Byte](6)(i => (i + 90).toByte))
+    def stbl(chunkOff: Seq[Int]) = box("stbl",
+      box("stsd", be(0) ++ be(1) ++ be(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)) ++
+        box("stsz", be(0) ++ be(0) ++ be(4) ++ samples.flatMap(s => be(s.length)).toArray) ++
+        box("stsc", be(0) ++ be(1) ++ be(1) ++ be(2) ++ be(0)) ++
+        box("stco", be(0) ++ be(chunkOff.length) ++ chunkOff.flatMap(be).toArray) ++
+        box("stss", be(0) ++ be(2) ++ be(1) ++ be(3)))
+    def trak(handler: String, chunkOff: Seq[Int]) = box("trak", box("mdia",
+      box("hdlr", be(0) ++ be(0) ++ handler.getBytes ++ Array.fill[Byte](12)(0)) ++
+        box("minf", stbl(chunkOff))))
+    def mp4(chunkOff: Seq[Int]): Array[Byte] = {
+      val ftyp = box("ftyp", "isom".getBytes ++ be(512))
+      // audio trak first: must be skipped without consuming stream ids
+      val moov = box("moov", trak("soun", Seq(0)) ++ trak("vide", chunkOff))
+      val mdatPayload = ftyp.length + moov.length + 8
+      val c0 = mdatPayload
+      val c1 = c0 + samples(0).length + samples(1).length
+      val resolved = if (chunkOff == Seq(0, 0)) Seq(c0, c1) else chunkOff
+      val body = ftyp ++ box("moov", trak("soun", Seq(0)) ++
+        trak("vide", resolved)) ++ box("mdat", samples.flatten.toArray)
+      body
+    }
+    val blob = mp4(Seq(0, 0))
+    assert(Media.sniffFormat(blob).contains("mp4"))
+
+    val rows = Media.frameChunkIndex(Seq((1L, blob)).toDF("doc_id", "blob"))
+      .collect().sortBy(_.frame_index)
+    assert(rows.length == 4)
+    assert(rows.forall(c => c.stream_id == 0 && c.codec_kind == "avc1"))
+    def slice(c: Media.FrameChunk) =
+      blob.slice(c.offset.toInt, (c.offset + c.size).toInt).toSeq
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(slice(rows(i)) == s.toSeq, s"sample $i bytes")
+    }
+    assert(rows.map(_.keyframe).toSeq ==
+      Seq(Some(true), Some(false), Some(true), Some(false)))
+  }
+
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
     val media = Media.attachBlob(docs.limit(10))
     val frames = Media.sampleFrames(media, frameBytes = 100).collect()
