@@ -46,11 +46,16 @@ object Media {
     * `keyframe` comes from the `idx1` AVIOLDINDEX when present
     * (AVIIF_KEYFRAME); uncompressed DIB frames are self-contained so
     * they default to `Some(true)` without an index, while compressed
-    * frames without an index are `None` (unknown).
+    * frames without an index are `None` (unknown). `pts_ms` is the
+    * frame's presentation time (AVI: frame_index × avih
+    * dwMicroSecPerFrame; MP4: cumulative `stts` deltas over the `mdhd`
+    * timescale), `None` when the container omits timing — it lets a
+    * sampling pass select "one frame per N seconds" on the index alone.
     */
   final case class FrameChunk(
       doc_id: Long, frame_index: Int, stream_id: Int, codec_kind: String,
-      offset: Long, size: Long, keyframe: Option[Boolean])
+      offset: Long, size: Long, keyframe: Option[Boolean],
+      pts_ms: Option[Long] = None)
 
   /** Attach the binary payload column. With no true media corpus in the
     * testdata, document text stands in as the blob — the schema and
@@ -263,6 +268,7 @@ object Media {
         // (chunkId, payloadOffset, size) for video chunks, stream order
         val chunks = Vector.newBuilder[(String, Int, Int)]
         var idx1At = -1 // payload offset of the idx1 chunk, if any
+        var usPerFrame = 0L // avih dwMicroSecPerFrame, 0 = no timing
         def isVideoChunk(ck: String): Boolean =
           ck.length == 4 && ck(0).isDigit && ck(1).isDigit &&
             ck(2) == 'd' && (ck(3) == 'b' || ck(3) == 'c')
@@ -281,6 +287,8 @@ object Media {
               chunks += ((ck, payload, size))
             } else if (!inMovi && ck == "idx1") {
               idx1At = payload
+            } else if (!inMovi && ck == "avih" && size >= 4) {
+              usPerFrame = le32(b, payload)
             }
             off = payload + size + (size & 1)
           }
@@ -312,7 +320,8 @@ object Media {
             }
             FrameChunk(docId, i, stream_id = ck.take(2).toInt,
               codec_kind = ck.substring(2), offset = payload.toLong,
-              size = size.toLong, keyframe = keyframe)
+              size = size.toLong, keyframe = keyframe,
+              pts_ms = if (usPerFrame > 0) Some(i * usPerFrame / 1000L) else None)
           })
         }
       }
@@ -342,9 +351,22 @@ object Media {
           val isVideo = boxes(mdia, "hdlr").exists { case (hs, he) =>
             hs + 12 <= he && fourcc(b, hs + 8) == "vide" }
           if (!isVideo) Nil
-          else boxes(boxes(mdia, "minf"), "stbl").take(1)
+          else {
+            // mdhd: media timescale (ticks/second) — version 0 places it
+            // after 4+4+4 bytes of version/ctime/mtime, version 1 after
+            // 4+8+8 (64-bit times)
+            val timescale = boxes(mdia, "mdhd").headOption.flatMap {
+              case (p, e) =>
+                if (p + 4 > e) None
+                else {
+                  val at = if (b(p) == 1) p + 20 else p + 12
+                  if (at + 4 <= e) Some(be32(b, at)) else None
+                }
+            }.getOrElse(0L)
+            boxes(boxes(mdia, "minf"), "stbl").take(1).map((_, timescale))
+          }
         }
-        val all = videoStbls.zipWithIndex.flatMap { case (stbl, streamId) =>
+        val all = videoStbls.zipWithIndex.flatMap { case ((stbl, timescale), streamId) =>
           val st = List(stbl)
           // stsd: version/flags 4 + entry_count 4, first entry is
           // size 4 + format fourcc — the codec identifier
@@ -383,6 +405,33 @@ object Media {
             if (n < 0 || p + 8 + 4L * n > e) None
             else Some(Vector.tabulate(n)(i => be32(b, p + 8 + 4 * i).toInt).toSet)
           }
+          // stts (sample_count, sample_delta) runs → per-sample start
+          // tick; ms via the mdhd timescale
+          val sampleStartTicks = boxes(st, "stts").headOption.flatMap {
+            case (p, e) =>
+              val n = if (p + 8 <= e) be32(b, p + 4).toInt else -1
+              if (n < 0 || p + 8 + 8L * n > e) None
+              else {
+                // cap expansion: a corrupt sample_count must not allocate
+                // unbounded memory (more entries than the blob could
+                // possibly index is a malformed table)
+                val cap = math.min(b.length.toLong, 4L * 1024 * 1024).toInt
+                val out = Vector.newBuilder[Long]
+                var total = 0
+                var t = 0L
+                var i = 0
+                while (i < n && total <= cap) {
+                  val cnt = be32(b, p + 8 + 8 * i).toInt
+                  val delta = be32(b, p + 12 + 8 * i)
+                  var j = 0
+                  while (j < cnt && total <= cap) {
+                    out += t; t += delta; j += 1; total += 1
+                  }
+                  i += 1
+                }
+                if (total > cap) None else Some(out.result())
+              }
+          }
           (sizes, chunkOffsets, sampleRuns) match {
             case (Some(sz), Some(co), Some(runs))
                 if sz.nonEmpty && co.nonEmpty && runs.nonEmpty =>
@@ -400,8 +449,14 @@ object Media {
                     case Some(ss) => Some(ss.contains(sample + 1))
                     case None     => Some(true)
                   }
+                  val pts = sampleStartTicks match {
+                    case Some(ticks) if timescale > 0 && sample < ticks.length =>
+                      Some(ticks(sample) * 1000L / timescale)
+                    case _ => None
+                  }
                   out += FrameChunk(docId, sample, streamId, codec,
-                    offset = off, size = sz(sample).toLong, keyframe = keyframe)
+                    offset = off, size = sz(sample).toLong, keyframe = keyframe,
+                    pts_ms = pts)
                   off += sz(sample)
                   sample += 1
                   i += 1

@@ -801,6 +801,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(rows(2L).head.codec_kind == "db")
     assert(rows(3L).head.keyframe.isEmpty)
     assert(!rows.contains(4L)) // non-AVI blobs emit nothing
+    // no avih header anywhere above → timing honestly unknown
+    assert(v.forall(_.pts_ms.isEmpty))
+
+    // with an avih header (33333 µs/frame): pts = index × µs/frame
+    val avih = { // dwMicroSecPerFrame at offset 0
+      val a = Array.fill[Byte](56)(0)
+      le(33333).copyToArray(a, 0); a
+    }
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val timed = riffAvi(hdrl ++ movi ++ idx1)
+    val tRows = Media.frameChunkIndex(Seq((9L, timed)).toDF("doc_id", "blob"))
+      .collect().sortBy(_.frame_index)
+    assert(tRows.map(_.pts_ms).toSeq == Seq(Some(0L), Some(33L), Some(66L)))
+    assert(tRows.map(_.keyframe).toSeq ==
+      Seq(Some(true), Some(false), Some(false))) // idx1 still applies
   }
 
   test("mp4 frame-chunk index resolves stbl sample tables to absolute offsets") {
@@ -821,9 +836,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
         box("stsz", be(0) ++ be(0) ++ be(4) ++ samples.flatMap(s => be(s.length)).toArray) ++
         box("stsc", be(0) ++ be(1) ++ be(1) ++ be(2) ++ be(0)) ++
         box("stco", be(0) ++ be(chunkOff.length) ++ chunkOff.flatMap(be).toArray) ++
-        box("stss", be(0) ++ be(2) ++ be(1) ++ be(3)))
+        box("stss", be(0) ++ be(2) ++ be(1) ++ be(3)) ++
+        // two stts runs: 2 samples × 40 ticks, then 2 × 60
+        box("stts", be(0) ++ be(2) ++ be(2) ++ be(40) ++ be(2) ++ be(60)))
     def trak(handler: String, chunkOff: Seq[Int]) = box("trak", box("mdia",
       box("hdlr", be(0) ++ be(0) ++ handler.getBytes ++ Array.fill[Byte](12)(0)) ++
+        // version-0 mdhd: timescale 1000 ticks/s after ctime/mtime
+        box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0)) ++
         box("minf", stbl(chunkOff))))
     def mp4(chunkOff: Seq[Int]): Array[Byte] = {
       val ftyp = box("ftyp", "isom".getBytes ++ be(512))
@@ -851,6 +870,10 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
     assert(rows.map(_.keyframe).toSeq ==
       Seq(Some(true), Some(false), Some(true), Some(false)))
+    // stts cumulative ticks (0, 40, 80, 140) over the 1000-tick/s
+    // mdhd timescale = milliseconds directly
+    assert(rows.map(_.pts_ms).toSeq ==
+      Seq(Some(0L), Some(40L), Some(80L), Some(140L)))
   }
 
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
