@@ -648,4 +648,35 @@ object Media {
           .getOrElse(Vector.empty)
       }
   }
+
+  /** The end-user routine the chunk index exists for: select keyframes
+    * at most one per `everyMs` of presentation time (all keyframes when
+    * the container has no timing; every frame when it has no keyframe
+    * flags either) and emit their BYTES, sliced from the blob in the
+    * same map-side pass — index, filter, and slice never leave the
+    * partition, so a 100 TB corpus ships only the selected keyframe
+    * payloads (not whole videos) to the downstream decoder fleet.
+    */
+  def sampleKeyframes(media: DataFrame, everyMs: Long = 10000L): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        val idx = aviFrameChunkIndex(docId, bytes)
+          .orElse(mp4FrameChunkIndex(docId, bytes))
+          .getOrElse(Vector.empty)
+        val keyframes = idx.filter(_.keyframe.getOrElse(true))
+        var nextDue = Long.MinValue
+        val picked = keyframes.filter { c =>
+          c.pts_ms match {
+            case Some(t) => if (t >= nextDue) { nextDue = t + everyMs; true }
+                            else false
+            case None    => true // no timing: keep all keyframes
+          }
+        }
+        picked.zipWithIndex.map { case (c, i) =>
+          Frame(docId, i, java.util.Arrays.copyOfRange(
+            bytes, c.offset.toInt, (c.offset + c.size).toInt))
+        }
+      }
+  }
 }

@@ -876,6 +876,54 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       Seq(Some(0L), Some(40L), Some(80L), Some(140L)))
   }
 
+  test("keyframe sampling picks one keyframe per interval and slices its bytes") {
+    import java.nio.ByteBuffer
+    def be(i: Int) = ByteBuffer.allocate(4).putInt(i).array()
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ typ.getBytes ++ payload
+    // 4 samples, keyframes 1 and 3 (stss), pts 0/40/80/140 ms
+    // (stts 2×40 then 2×60 over a 1000 tick/s mdhd timescale)
+    val samples = Seq(
+      Array.tabulate[Byte](10)(_.toByte),
+      Array.tabulate[Byte](12)(i => (i + 50).toByte),
+      Array.tabulate[Byte](8)(i => (i * 3).toByte),
+      Array.tabulate[Byte](6)(i => (i + 90).toByte))
+    def stbl(chunkOff: Seq[Int]) = box("stbl",
+      box("stsd", be(0) ++ be(1) ++ be(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)) ++
+        box("stsz", be(0) ++ be(0) ++ be(4) ++ samples.flatMap(s => be(s.length)).toArray) ++
+        box("stsc", be(0) ++ be(1) ++ be(1) ++ be(2) ++ be(0)) ++
+        box("stco", be(0) ++ be(chunkOff.length) ++ chunkOff.flatMap(be).toArray) ++
+        box("stss", be(0) ++ be(2) ++ be(1) ++ be(3)) ++
+        box("stts", be(0) ++ be(2) ++ be(2) ++ be(40) ++ be(2) ++ be(60)))
+    def trak(chunkOff: Seq[Int]) = box("trak", box("mdia",
+      box("hdlr", be(0) ++ be(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0)) ++
+        box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0)) ++
+        box("minf", stbl(chunkOff))))
+    val ftyp = box("ftyp", "isom".getBytes ++ be(512))
+    val moovLen = box("moov", trak(Seq(0, 0))).length
+    val c0 = ftyp.length + moovLen + 8
+    val c1 = c0 + samples(0).length + samples(1).length
+    val blob = ftyp ++ box("moov", trak(Seq(c0, c1))) ++
+      box("mdat", samples.flatten.toArray)
+
+    // 50 ms interval: keyframes at 0 and 80 ms are both >= the next-due
+    // mark; sliced bytes are the exact sample payloads
+    val wide = Media.sampleKeyframes(
+        Seq((1L, blob)).toDF("doc_id", "blob"), everyMs = 50L)
+      .collect().sortBy(_.frame_index)
+    assert(wide.map(_.frame_bytes.toSeq).toSeq ==
+      Seq(samples(0).toSeq, samples(2).toSeq))
+    // 100 ms interval: the 80 ms keyframe falls inside the window
+    val narrow = Media.sampleKeyframes(
+        Seq((1L, blob)).toDF("doc_id", "blob"), everyMs = 100L)
+      .collect()
+    assert(narrow.map(_.frame_bytes.toSeq).toSeq == Seq(samples(0).toSeq))
+    // non-container blobs yield nothing (routing is container-only)
+    assert(Media.sampleKeyframes(
+      Seq((2L, "not a container".getBytes)).toDF("doc_id", "blob"))
+      .collect().isEmpty)
+  }
+
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
     val media = Media.attachBlob(docs.limit(10))
     val frames = Media.sampleFrames(media, frameBytes = 100).collect()
