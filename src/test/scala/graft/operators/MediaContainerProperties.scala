@@ -48,4 +48,45 @@ object MediaContainerProperties extends Properties("MediaContainer") {
       // ##dc payloads need a codec: the frame DECODER must not claim them
       Media.aviUncompressedFrames(7L, Media.wrapAvi(p)).isEmpty
     }
+
+  // ---- parser fuzzing: a 100 TB corpus WILL contain corrupt blobs; a
+  // single throw in the map-side parse fails the whole task, so both
+  // index parsers must return None/empty on ANY input ---------------
+
+  private val junkGen: Gen[Array[Byte]] =
+    Gen.oneOf(
+      // pure noise
+      payloadGen,
+      // noise behind a valid magic: forces the parser past the sniff
+      payloadGen.map(p => "RIFF1234AVI ".getBytes("ISO-8859-1") ++ p),
+      payloadGen.map(p =>
+        Array[Byte](0, 0, 0, 16) ++ "ftypisom0000".getBytes("ISO-8859-1") ++ p))
+
+  property("index parsers never throw on arbitrary bytes") =
+    forAll(junkGen) { junk =>
+      Media.aviFrameChunkIndex(1L, junk)
+      Media.mp4FrameChunkIndex(1L, junk)
+      Media.aviUncompressedFrames(1L, junk)
+      true
+    }
+
+  property("index parsers never throw on truncations of a valid container") =
+    forAll(payloadGen, Gen.chooseNum(0.0, 1.0)) { (p, frac) =>
+      val blob = Media.wrapAvi(p)
+      val cut = java.util.Arrays.copyOf(blob, (blob.length * frac).toInt)
+      Media.aviFrameChunkIndex(1L, cut)
+      Media.aviUncompressedFrames(1L, cut)
+      true
+    }
+
+  property("truncated containers yield a subset of the full index") =
+    forAll(payloadGen, Gen.chooseNum(0.0, 1.0)) { (p, frac) =>
+      val blob = Media.wrapAvi(p)
+      val cut = java.util.Arrays.copyOf(blob, (blob.length * frac).toInt)
+      val full = Media.aviFrameChunkIndex(1L, blob).getOrElse(Vector.empty)
+        .map(c => (c.offset, c.size)).toSet
+      val part = Media.aviFrameChunkIndex(1L, cut).getOrElse(Vector.empty)
+        .map(c => (c.offset, c.size)).toSet
+      part.subsetOf(full) // never an invented frame location
+    }
 }

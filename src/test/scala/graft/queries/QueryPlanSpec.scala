@@ -197,4 +197,20 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"chunking must not shuffle (scan → explode → project only):\n$plan")
     assert(plan.contains("Generate"), s"expected the posexplode generator in:\n$plan")
   }
+
+  test("q82: frame index shuffles only fixed-width rows — wrap/parse stay map-side") {
+    // container wrap + sample-table parse run where the scan sits; the
+    // exchanges carry (doc_id, 3 numeric aggregates) and the source
+    // group keys — never blob bytes — so shuffle volume is rows, not
+    // video bytes. No cartesian anywhere.
+    val plan = executedPlan(QueryPack.frameIndexStats(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame-index join must stay an equi-join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, // per-doc agg, join alignment, per-source agg
+      s"expected at most 3 keyed exchanges, got $exchanges in:\n$plan")
+    assert(plan.contains("SerializeFromObject"),
+      s"expected the typed wrap/parse pipeline inline above the scan:\n$plan")
+  }
 }
