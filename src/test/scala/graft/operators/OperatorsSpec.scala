@@ -656,6 +656,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("frame routing runs unchanged on a stream (stateless, append mode)") {
+    // ingest-time media indexing: a streaming media pipeline routes
+    // frames as blobs ARRIVE — frameChunkIndex/sampleKeyframes are
+    // stateless map-side flatMaps, so they lift to streaming with no
+    // watermark or state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val payload = Array.tabulate[Byte](90)(i => (i * 5).toByte)
+    val avi = Media.wrapAvi(payload) // 3 dc frames, frame 0 keyframed
+    val input = MemoryStream[(Long, Array[Byte])]
+    val indexed = Media.frameChunkIndex(input.toDF().toDF("doc_id", "blob"))
+    val q = indexed.writeStream.format("memory")
+      .queryName("frame_stream").outputMode("append").start()
+    try {
+      input.addData((1L, avi), (2L, "not a container".getBytes))
+      q.processAllAvailable()
+      val rows = spark.table("frame_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(5)))
+      assert(rows.count(_._1 == 1L) == 3 && !rows.exists(_._1 == 2L))
+      // offsets live in the streamed rows exactly as in batch
+      val batch = Media.frameChunkIndex(Seq((1L, avi)).toDF("doc_id", "blob"))
+        .collect().map(c => (c.doc_id, c.frame_index, c.size))
+      assert(rows.filter(_._1 == 1L).sortBy(_._2).toSeq == batch.sortBy(_._2).toSeq)
+    } finally q.stop()
+  }
+
   test("media decode: MP4 box tree and AVI header yield real video metadata") {
     // minimal-but-valid containers built byte-by-byte: the parser must
     // recover duration from moov/mvhd, dimensions from the first VIDEO
