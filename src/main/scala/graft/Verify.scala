@@ -37,7 +37,18 @@ object Verify {
           // otherwise mask this failure: the declared-but-missing gate only
           // fires when the directory is absent, so check.py would validate
           // the previous run's parquet as a pass.
-          deleteRecursively(new java.io.File(s"$outDir/$name"))
+          val stale = new java.io.File(s"$outDir/$name")
+          deleteRecursively(stale)
+          if (stale.exists()) {
+            // delete() returning false is silent — if the stale dir
+            // survives (open handle, permissions), the masking scenario
+            // above is back; a failed verify run must fail loudly, not
+            // let check.py grade last run's parquet
+            System.err.println(
+              s"[verify] FATAL: could not remove stale $stale after failure")
+            spark.stop()
+            sys.exit(2)
+          }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -205,6 +205,34 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** Depth-first RIFF chunk walk shared by every AVI parser: recurses
+    * into LISTs tracking whether the cursor sits inside a `movi` data
+    * LIST (directly or via `rec ` interleave grouping), fires
+    * `onChunk(fourcc, payloadOffset, size, inMovi)` for every leaf
+    * chunk, and stops at the first malformed/truncated header (size
+    * negative or past the enclosing boundary) — so callers only ever
+    * see chunks whose payload is fully inside the blob.
+    */
+  private def walkRiff(b: Array[Byte])(
+      onChunk: (String, Int, Int, Boolean) => Unit): Unit = {
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val ck = fourcc(b, off)
+        val size = le32(b, off + 4).toInt
+        val payload = off + 8
+        if (size < 0 || payload + size > end) return
+        if (ck == "LIST" && size >= 4)
+          walk(payload + 4, payload + size,
+            inMovi = inMovi || fourcc(b, payload) == "movi")
+        else onChunk(ck, payload, size, inMovi)
+        off = payload + size + (size & 1)
+      }
+    }
+    walk(12, riffEnd, inMovi = false)
+  }
+
   /** Uncompressed-AVI FRAME extraction — the one video-frame decode
     * possible with zero codecs: `##db` chunks in the `movi` LIST are
     * plain device-independent bitmaps (DIB), so their payload IS the
@@ -219,29 +247,14 @@ object Media {
     try {
       if (!sniffFormat(b).contains("avi")) None
       else {
-        val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
         val out = Vector.newBuilder[Array[Byte]]
         def isDb(ck: String): Boolean =
           ck.length == 4 && ck(0).isDigit && ck(1).isDigit &&
             ck(2) == 'd' && ck(3) == 'b'
-        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
-          var off = start
-          while (off + 8 <= end) {
-            val ck = fourcc(b, off)
-            val size = le32(b, off + 4).toInt
-            val payload = off + 8
-            if (size < 0 || payload + size > end) return
-            if (ck == "LIST" && size >= 4) {
-              val listType = fourcc(b, payload)
-              walk(payload + 4, payload + size,
-                inMovi = inMovi || listType == "movi")
-            } else if (inMovi && isDb(ck)) {
-              out += java.util.Arrays.copyOfRange(b, payload, payload + size)
-            }
-            off = payload + size + (size & 1)
-          }
+        walkRiff(b) { (ck, payload, size, inMovi) =>
+          if (inMovi && isDb(ck))
+            out += java.util.Arrays.copyOfRange(b, payload, payload + size)
         }
-        walk(12, riffEnd, inMovi = false)
         val frames = out.result()
         if (frames.isEmpty) None
         else Some(frames.zipWithIndex.map { case (bytes, i) => Frame(docId, i, bytes) })
@@ -264,7 +277,6 @@ object Media {
     try {
       if (!sniffFormat(b).contains("avi")) None
       else {
-        val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
         // (chunkId, payloadOffset, size) for video chunks, stream order
         val chunks = Vector.newBuilder[(String, Int, Int)]
         var idx1At = -1 // payload offset of the idx1 chunk, if any
@@ -272,28 +284,12 @@ object Media {
         def isVideoChunk(ck: String): Boolean =
           ck.length == 4 && ck(0).isDigit && ck(1).isDigit &&
             ck(2) == 'd' && (ck(3) == 'b' || ck(3) == 'c')
-        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
-          var off = start
-          while (off + 8 <= end) {
-            val ck = fourcc(b, off)
-            val size = le32(b, off + 4).toInt
-            val payload = off + 8
-            if (size < 0 || payload + size > end) return
-            if (ck == "LIST" && size >= 4) {
-              val listType = fourcc(b, payload)
-              walk(payload + 4, payload + size,
-                inMovi = inMovi || listType == "movi")
-            } else if (inMovi && isVideoChunk(ck)) {
-              chunks += ((ck, payload, size))
-            } else if (!inMovi && ck == "idx1") {
-              idx1At = payload
-            } else if (!inMovi && ck == "avih" && size >= 4) {
-              usPerFrame = le32(b, payload)
-            }
-            off = payload + size + (size & 1)
-          }
+        walkRiff(b) { (ck, payload, size, inMovi) =>
+          if (inMovi && isVideoChunk(ck)) chunks += ((ck, payload, size))
+          else if (!inMovi && ck == "idx1") idx1At = payload
+          else if (!inMovi && ck == "avih" && size >= 4)
+            usPerFrame = le32(b, payload)
         }
-        walk(12, riffEnd, inMovi = false)
         val vid = chunks.result()
         if (vid.isEmpty) None
         else {
@@ -313,12 +309,19 @@ object Media {
             }
           }
           val aviifKeyframe = 0x10L
-          Some(vid.zipWithIndex.map { case ((ck, payload, size), i) =>
+          // frame_index and pts count PER STREAM (interleaved multi-
+          // stream AVIs alternate 00dc/01dc chunks — a global counter
+          // would double every stream's pts and misnumber its frames)
+          val perStream = scala.collection.mutable.Map.empty[Int, Int]
+          Some(vid.map { case (ck, payload, size) =>
+            val sid = ck.take(2).toInt
+            val i = perStream.getOrElse(sid, 0)
+            perStream(sid) = i + 1
             val keyframe = flagQueues.get(ck).filter(_.nonEmpty) match {
               case Some(q) => Some((q.dequeue() & aviifKeyframe) != 0)
               case None    => if (ck(3) == 'b') Some(true) else None
             }
-            FrameChunk(docId, i, stream_id = ck.take(2).toInt,
+            FrameChunk(docId, i, stream_id = sid,
               codec_kind = ck.substring(2), offset = payload.toLong,
               size = size.toLong, keyframe = keyframe,
               pts_ms = if (usPerFrame > 0) Some(i * usPerFrame / 1000L) else None)
@@ -373,12 +376,18 @@ object Media {
           val codec = boxes(st, "stsd").headOption
             .filter { case (p, e) => p + 16 <= e }
             .map { case (p, _) => fourcc(b, p + 12) }.getOrElse("????")
+          // every expansion is capped by what the blob could possibly
+          // index: a corrupt sample_count must not allocate unbounded
+          // memory (OOM is an Error and would escape the Exception
+          // catch, killing the executor)
+          val tableCap = math.min(b.length.toLong, 4L * 1024 * 1024).toInt
           val sizes = boxes(st, "stsz").headOption.flatMap { case (p, e) =>
             if (p + 12 > e) None
             else {
               val fixed = be32(b, p + 4)
               val n = be32(b, p + 8).toInt
-              if (fixed != 0) Some(Vector.fill(n)(fixed))
+              if (n < 0 || n > tableCap) None
+              else if (fixed != 0) Some(Vector.fill(n)(fixed))
               else if (p + 12 + 4L * n > e) None
               else Some(Vector.tabulate(n)(i => be32(b, p + 12 + 4 * i)))
             }
@@ -412,10 +421,7 @@ object Media {
               val n = if (p + 8 <= e) be32(b, p + 4).toInt else -1
               if (n < 0 || p + 8 + 8L * n > e) None
               else {
-                // cap expansion: a corrupt sample_count must not allocate
-                // unbounded memory (more entries than the blob could
-                // possibly index is a malformed table)
-                val cap = math.min(b.length.toLong, 4L * 1024 * 1024).toInt
+                val cap = tableCap
                 val out = Vector.newBuilder[Long]
                 var total = 0
                 var t = 0L
@@ -454,9 +460,16 @@ object Media {
                       Some(ticks(sample) * 1000L / timescale)
                     case _ => None
                   }
-                  out += FrameChunk(docId, sample, streamId, codec,
-                    offset = off, size = sz(sample).toLong, keyframe = keyframe,
-                    pts_ms = pts)
+                  // unlike AVI (whose walker bounds every chunk), stco/
+                  // stsz offsets are free-standing claims about mdat: a
+                  // truncated file or corrupt entry would point outside
+                  // the blob — emit only locations a slice can honor,
+                  // so downstream never zero-pads or throws
+                  val size = sz(sample).toLong
+                  if (off >= 0 && size >= 0 && off + size <= b.length)
+                    out += FrameChunk(docId, sample, streamId, codec,
+                      offset = off, size = size, keyframe = keyframe,
+                      pts_ms = pts)
                   off += sz(sample)
                   sample += 1
                   i += 1
@@ -665,18 +678,28 @@ object Media {
           .orElse(mp4FrameChunkIndex(docId, bytes))
           .getOrElse(Vector.empty)
         val keyframes = idx.filter(_.keyframe.getOrElse(true))
-        var nextDue = Long.MinValue
+        // interval cursor PER STREAM: pts restarts at 0 for each video
+        // track, so one global cursor would suppress every track after
+        // the first
+        val nextDue = scala.collection.mutable.Map.empty[Int, Long]
         val picked = keyframes.filter { c =>
           c.pts_ms match {
-            case Some(t) => if (t >= nextDue) { nextDue = t + everyMs; true }
-                            else false
-            case None    => true // no timing: keep all keyframes
+            case Some(t) =>
+              if (t >= nextDue.getOrElse(c.stream_id, Long.MinValue)) {
+                nextDue(c.stream_id) = t + everyMs; true
+              } else false
+            case None => true // no timing: keep all keyframes
           }
         }
-        picked.zipWithIndex.map { case (c, i) =>
-          Frame(docId, i, java.util.Arrays.copyOfRange(
-            bytes, c.offset.toInt, (c.offset + c.size).toInt))
-        }
+        // both index parsers emit only in-blob locations; the filter is
+        // belt-and-suspenders so a parser bug can never fail the task
+        picked
+          .filter(c => c.offset >= 0 && c.size >= 0 &&
+            c.offset + c.size <= bytes.length)
+          .zipWithIndex.map { case (c, i) =>
+            Frame(docId, i, java.util.Arrays.copyOfRange(
+              bytes, c.offset.toInt, (c.offset + c.size).toInt))
+          }
       }
   }
 }

@@ -11,6 +11,45 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
   private lazy val docs = graft.Tables.documents(spark, sfDir)
   private lazy val embeddings = graft.Tables.embeddings(spark, sfDir)
 
+  /** Hand-built MP4 shared by the frame-index and keyframe-sampling
+    * tests (one copy, so a layout fix reaches both): an audio trak
+    * (must be skipped) plus a video trak with 4 samples in 2 chunks of
+    * 2 (single stsc run), sizes 10/12/8/6, stss keyframes 1 and 3, and
+    * stts 2×40 + 2×60 ticks over a 1000 tick/s mdhd timescale →
+    * pts 0/40/80/140 ms.
+    */
+  private object Mp4Fixture {
+    import java.nio.ByteBuffer
+    def be(i: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(i).array()
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ typ.getBytes ++ payload
+    val samples: Seq[Array[Byte]] = Seq(
+      Array.tabulate[Byte](10)(_.toByte),
+      Array.tabulate[Byte](12)(i => (i + 50).toByte),
+      Array.tabulate[Byte](8)(i => (i * 3).toByte),
+      Array.tabulate[Byte](6)(i => (i + 90).toByte))
+    private def stbl(chunkOff: Seq[Int]) = box("stbl",
+      box("stsd", be(0) ++ be(1) ++ be(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)) ++
+        box("stsz", be(0) ++ be(0) ++ be(4) ++ samples.flatMap(s => be(s.length)).toArray) ++
+        box("stsc", be(0) ++ be(1) ++ be(1) ++ be(2) ++ be(0)) ++
+        box("stco", be(0) ++ be(chunkOff.length) ++ chunkOff.flatMap(be).toArray) ++
+        box("stss", be(0) ++ be(2) ++ be(1) ++ be(3)) ++
+        box("stts", be(0) ++ be(2) ++ be(2) ++ be(40) ++ be(2) ++ be(60)))
+    private def trak(handler: String, chunkOff: Seq[Int]) = box("trak", box("mdia",
+      box("hdlr", be(0) ++ be(0) ++ handler.getBytes ++ Array.fill[Byte](12)(0)) ++
+        box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0)) ++
+        box("minf", stbl(chunkOff))))
+    /** Full file with stco offsets resolved to the real mdat layout. */
+    lazy val blob: Array[Byte] = {
+      val ftyp = box("ftyp", "isom".getBytes ++ be(512))
+      def moov(off: Seq[Int]) =
+        box("moov", trak("soun", Seq(0)) ++ trak("vide", off))
+      val c0 = ftyp.length + moov(Seq(0, 0)).length + 8
+      val c1 = c0 + samples(0).length + samples(1).length
+      ftyp ++ moov(Seq(c0, c1)) ++ box("mdat", samples.flatten.toArray)
+    }
+  }
+
   test("exact dedup keeps the min-id row per content hash") {
     val withDup = docs.select($"doc_id", $"text")
       .union(docs.select(($"doc_id" + 100000).as("doc_id"), $"text").limit(5))
@@ -845,44 +884,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
   }
 
   test("mp4 frame-chunk index resolves stbl sample tables to absolute offsets") {
-    import java.nio.ByteBuffer
-    def be(i: Int) = ByteBuffer.allocate(4).putInt(i).array()
-    def box(typ: String, payload: Array[Byte]): Array[Byte] =
-      be(8 + payload.length) ++ typ.getBytes ++ payload
     // 4 video samples in 2 chunks of 2 (stsc run table has ONE entry
     // covering both chunks); sizes vary so per-sample offsets must
-    // accumulate within a chunk; stss marks samples 1 and 3 as sync
-    val samples = Seq(
-      Array.tabulate[Byte](10)(_.toByte),
-      Array.tabulate[Byte](12)(i => (i + 50).toByte),
-      Array.tabulate[Byte](8)(i => (i * 3).toByte),
-      Array.tabulate[Byte](6)(i => (i + 90).toByte))
-    def stbl(chunkOff: Seq[Int]) = box("stbl",
-      box("stsd", be(0) ++ be(1) ++ be(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)) ++
-        box("stsz", be(0) ++ be(0) ++ be(4) ++ samples.flatMap(s => be(s.length)).toArray) ++
-        box("stsc", be(0) ++ be(1) ++ be(1) ++ be(2) ++ be(0)) ++
-        box("stco", be(0) ++ be(chunkOff.length) ++ chunkOff.flatMap(be).toArray) ++
-        box("stss", be(0) ++ be(2) ++ be(1) ++ be(3)) ++
-        // two stts runs: 2 samples × 40 ticks, then 2 × 60
-        box("stts", be(0) ++ be(2) ++ be(2) ++ be(40) ++ be(2) ++ be(60)))
-    def trak(handler: String, chunkOff: Seq[Int]) = box("trak", box("mdia",
-      box("hdlr", be(0) ++ be(0) ++ handler.getBytes ++ Array.fill[Byte](12)(0)) ++
-        // version-0 mdhd: timescale 1000 ticks/s after ctime/mtime
-        box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0)) ++
-        box("minf", stbl(chunkOff))))
-    def mp4(chunkOff: Seq[Int]): Array[Byte] = {
-      val ftyp = box("ftyp", "isom".getBytes ++ be(512))
-      // audio trak first: must be skipped without consuming stream ids
-      val moov = box("moov", trak("soun", Seq(0)) ++ trak("vide", chunkOff))
-      val mdatPayload = ftyp.length + moov.length + 8
-      val c0 = mdatPayload
-      val c1 = c0 + samples(0).length + samples(1).length
-      val resolved = if (chunkOff == Seq(0, 0)) Seq(c0, c1) else chunkOff
-      val body = ftyp ++ box("moov", trak("soun", Seq(0)) ++
-        trak("vide", resolved)) ++ box("mdat", samples.flatten.toArray)
-      body
-    }
-    val blob = mp4(Seq(0, 0))
+    // accumulate within a chunk; stss marks samples 1 and 3 as sync;
+    // the audio trak must be skipped without consuming stream ids
+    val samples = Mp4Fixture.samples
+    val blob = Mp4Fixture.blob
     assert(Media.sniffFormat(blob).contains("mp4"))
 
     val rows = Media.frameChunkIndex(Seq((1L, blob)).toDF("doc_id", "blob"))
@@ -903,34 +910,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
   }
 
   test("keyframe sampling picks one keyframe per interval and slices its bytes") {
-    import java.nio.ByteBuffer
-    def be(i: Int) = ByteBuffer.allocate(4).putInt(i).array()
-    def box(typ: String, payload: Array[Byte]): Array[Byte] =
-      be(8 + payload.length) ++ typ.getBytes ++ payload
-    // 4 samples, keyframes 1 and 3 (stss), pts 0/40/80/140 ms
-    // (stts 2×40 then 2×60 over a 1000 tick/s mdhd timescale)
-    val samples = Seq(
-      Array.tabulate[Byte](10)(_.toByte),
-      Array.tabulate[Byte](12)(i => (i + 50).toByte),
-      Array.tabulate[Byte](8)(i => (i * 3).toByte),
-      Array.tabulate[Byte](6)(i => (i + 90).toByte))
-    def stbl(chunkOff: Seq[Int]) = box("stbl",
-      box("stsd", be(0) ++ be(1) ++ be(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)) ++
-        box("stsz", be(0) ++ be(0) ++ be(4) ++ samples.flatMap(s => be(s.length)).toArray) ++
-        box("stsc", be(0) ++ be(1) ++ be(1) ++ be(2) ++ be(0)) ++
-        box("stco", be(0) ++ be(chunkOff.length) ++ chunkOff.flatMap(be).toArray) ++
-        box("stss", be(0) ++ be(2) ++ be(1) ++ be(3)) ++
-        box("stts", be(0) ++ be(2) ++ be(2) ++ be(40) ++ be(2) ++ be(60)))
-    def trak(chunkOff: Seq[Int]) = box("trak", box("mdia",
-      box("hdlr", be(0) ++ be(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0)) ++
-        box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0)) ++
-        box("minf", stbl(chunkOff))))
-    val ftyp = box("ftyp", "isom".getBytes ++ be(512))
-    val moovLen = box("moov", trak(Seq(0, 0))).length
-    val c0 = ftyp.length + moovLen + 8
-    val c1 = c0 + samples(0).length + samples(1).length
-    val blob = ftyp ++ box("moov", trak(Seq(c0, c1))) ++
-      box("mdat", samples.flatten.toArray)
+    // shared fixture: keyframes 1 and 3 (stss), pts 0/40/80/140 ms
+    val samples = Mp4Fixture.samples
+    val blob = Mp4Fixture.blob
 
     // 50 ms interval: keyframes at 0 and 80 ms are both >= the next-due
     // mark; sliced bytes are the exact sample payloads
@@ -948,6 +930,59 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(Media.sampleKeyframes(
       Seq((2L, "not a container".getBytes)).toDF("doc_id", "blob"))
       .collect().isEmpty)
+  }
+
+  test("multi-stream containers: per-stream numbering, sampling, and bounds") {
+    import java.nio.ByteBuffer
+    def le(i: Int) = ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def chunk(ck: String, payload: Array[Byte]): Array[Byte] =
+      ck.getBytes ++ le(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes ++ le(4 + body.length) ++ listType.getBytes ++ body
+    def riffAvi(body: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le(4 + body.length) ++ "AVI ".getBytes ++ body
+    val f = Array.tabulate[Byte](10)(_.toByte)
+    val avih = { val a = Array.fill[Byte](56)(0); le(33333).copyToArray(a, 0); a }
+    // interleaved two-stream AVI: 00dc/01dc alternate; idx1 keys all four
+    def idxEntry(ck: String) = ck.getBytes ++ le(0x10) ++ le(0) ++ le(0)
+    val multi = riffAvi(
+      list("hdrl", chunk("avih", avih)) ++
+        list("movi", chunk("00dc", f) ++ chunk("01dc", f) ++
+          chunk("00dc", f) ++ chunk("01dc", f)) ++
+        chunk("idx1", idxEntry("00dc") ++ idxEntry("01dc") ++
+          idxEntry("00dc") ++ idxEntry("01dc")))
+    val byStream = Media.frameChunkIndex(Seq((1L, multi)).toDF("doc_id", "blob"))
+      .collect().groupBy(_.stream_id)
+    // frame_index and pts count within each stream, not globally: a
+    // global counter would give stream 1 indices 1,3 and doubled pts
+    Seq(0, 1).foreach { sid =>
+      val s = byStream(sid).sortBy(_.frame_index)
+      assert(s.map(_.frame_index).toSeq == Seq(0, 1), s"stream $sid indices")
+      assert(s.map(_.pts_ms).toSeq == Seq(Some(0L), Some(33L)), s"stream $sid pts")
+    }
+    // interval sampling keeps an independent cursor per stream: a huge
+    // interval yields ONE keyframe per stream, not one per container
+    val sampled = Media.sampleKeyframes(
+        Seq((1L, multi)).toDF("doc_id", "blob"), everyMs = 60000L)
+      .collect()
+    assert(sampled.length == 2, s"one keyframe per stream, got ${sampled.length}")
+
+    // MP4 truncated mid-mdat: stco/stsz point past the cut — the index
+    // must emit only locations a slice can honor (no zero-padding, no
+    // throw), and sampling over the truncated blob must not crash
+    val blob = Mp4Fixture.blob
+    val cut = java.util.Arrays.copyOf(blob, blob.length - 10)
+    val cutIdx = Media.frameChunkIndex(Seq((2L, cut)).toDF("doc_id", "blob"))
+      .collect()
+    assert(cutIdx.forall(c => c.offset + c.size <= cut.length))
+    // the 10-byte cut swallows the 6-byte sample 4 whole and clips 4
+    // bytes off sample 3 — both must drop (a clipped slice would be
+    // wrong bytes, not a shorter frame)
+    assert(cutIdx.length == 2)
+    Media.sampleKeyframes(Seq((2L, cut)).toDF("doc_id", "blob"), everyMs = 1L)
+      .collect() // must not throw
   }
 
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
