@@ -253,18 +253,21 @@ object Dedup {
           .sortBy(r => (r.getLong(1), r.getLong(0)))
           .zipWithIndex.map { case (r, i) => r.getLong(0) -> i.toLong }.toMap
         val rankMap = typedLit(ranks)
-        def cmp(l: Column, r: Column): Column = {
-          // try_element_at: missing key → null in BOTH ANSI modes
-          // (plain element_at throws under Spark 4's default ANSI)
-          val lo = try_element_at(rankMap, l)
-          val ro = try_element_at(rankMap, r)
-          val byHash = when(l < r, -1).when(l > r, 1).otherwise(0)
-          when(lo.isNull && ro.isNull, byHash)
-            .when(lo.isNull, lit(-1)) // non-hot before hot
-            .when(ro.isNull, lit(1))
-            .otherwise(when(lo < ro, -1).when(lo > ro, 1).otherwise(byHash))
-        }
-        sh.withColumn("sh_ord", array_sort(col("sh"), cmp))
+        // ONE rank lookup per ELEMENT, not two per comparison: a map
+        // literal's lookup is a linear scan of its M entries, so a
+        // comparator closing over it costs O(sz·log sz·M) per row.
+        // Tagging each hash with its sort key first — (rank, hash)
+        // structs, sorted lexicographically, hash projected back — is
+        // the same total order (non-hot carry rank −1: before every hot
+        // rank ≥ 0, tie-broken by raw hash) at O(sz·M + sz·log sz).
+        // try_element_at: missing key → null in BOTH ANSI modes (plain
+        // element_at throws under Spark 4's default ANSI).
+        sh.withColumn("sh_ord",
+          transform(
+            array_sort(transform(col("sh"), h => struct(
+              coalesce(try_element_at(rankMap, h), lit(-1L)).as("r"),
+              h.as("h")))),
+            s => s.getField("h")))
       }
     } else sh.withColumn("sh_ord", col("sh"))
 
@@ -517,7 +520,10 @@ object Dedup {
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val edgeCount = edges.count() // also materializes the cache
-    if (longIds && edgeCount <= driverSideThreshold) {
+    // edges holds BOTH directions, so compare pairs (= edgeCount/2)
+    // against the documented threshold — comparing the doubled count
+    // silently halved the fast path's reach
+    if (longIds && edgeCount / 2 <= driverSideThreshold) {
       // Adaptive small-graph path. Near-dup pair sets are a sliver of the
       // corpus (ids only, post-LSH): ≤ `driverSideThreshold` edges is
       // ≈ 16 MB on the driver — union-find solves that in milliseconds,
@@ -567,6 +573,15 @@ object Dedup {
         i += 1
       }
       edges.unpersist(false)
+      // unconverged labels are WRONG labels (a node mid-chain still
+      // carries a non-minimum), and downstream keep-rules would silently
+      // under-deduplicate — fail loudly instead; graphs with diameter
+      // beyond the budget belong on connectedComponentsStar (O(log n))
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIterations rounds " +
+            "(graph diameter exceeds budget); raise maxIterations or use " +
+            "connectedComponentsStar")
       labels.select(col("node"), col("label").as("cluster_id"))
     }
   }
@@ -713,7 +728,14 @@ object Dedup {
       materializeIndex: Boolean = false): DataFrame = {
     require(maxHamming <= 7,
       "4 x 16-bit blocks with 1-bit probes guarantee recall only for d <= 7")
+    // Token-less documents all hash to simhash 0 (every vote ties) and
+    // would collide pairwise in all four blocks — n_empty²/2 output
+    // pairs, the quadratic blow-up the blocking exists to prevent and
+    // a real hazard in raw crawls. They carry no near-dup signal, so
+    // exclude them — the same guard the MinHash twin applies via its
+    // minhash-null filter.
     val simLazy = simHash(docs.select(col(idCol), col(textCol)), textCol)
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol), col("simhash"))
     // Lazy by default (one job, signature scan recomputed per join
     // branch); materialized mode persists the ids+signature relation

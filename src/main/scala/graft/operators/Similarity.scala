@@ -143,12 +143,15 @@ object Similarity {
     // hand-dial replay: 32 keys at 200k vectors) the sort-merge join is
     // key-bound — every bucket is uniformly huge, so AQE's skew split
     // never fires (no partition deviates from the median) and the tail
-    // runs on one core per key. Slice the join S ways: the probe side is
-    // replicated to every slice, the build side keyed by hash(id)%S —
-    // each (x,y) pair still meets exactly once per (table, probed
-    // bucket), at slice(y), so the candidate count and output are
-    // unchanged while the key space grows S×. The auto-dialed path
-    // already has keys ≫ partitions and computes S=1 (plan untouched).
+    // runs on one core per key. Slice the join S ways: the UNPROBED side
+    // `b` (1 row per vec×table) is replicated to every slice and the
+    // probe side `a` keyed by hash(id_a)%S — each (x,y) pair still meets
+    // exactly once per (table, probed bucket), at slice(x), so the
+    // candidate count and output are unchanged while the key space grows
+    // S×. Replicating `b` rather than `a` ships (probes+1)× fewer
+    // duplicated vector rows through the exchange (`a` carries a row per
+    // probe). The auto-dialed path already has keys ≫ partitions and
+    // computes S=1 (plan untouched).
     val keySpace = nTables.toLong << nPlanes
     val parallelism =
       corpus.sparkSession.sessionState.conf.numShufflePartitions.toLong
@@ -157,9 +160,9 @@ object Similarity {
     val (aS, bS, joinKeys) =
       if (slices <= 1) (a, b, Seq("table", "bucket"))
       else (
-        a.withColumn("slice",
+        a.withColumn("slice", pmod(hash(col("id_a")), lit(slices))),
+        b.withColumn("slice",
           explode(array((0 until slices).map(lit(_)): _*))),
-        b.withColumn("slice", pmod(hash(col("id_b")), lit(slices))),
         Seq("table", "bucket", "slice"))
     aS.join(bS, joinKeys)
       .filter(col("id_a") < col("id_b"))
@@ -355,8 +358,15 @@ object Similarity {
       dim: Int,
       iterations: Int): (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iterations > 0)
-    val normalized = corpus.select(col(idCol),
-      VectorFunctions.normalize(col(vecCol)).as("_v"))
+    // drop malformed vectors (null, wrong length, null element) BEFORE
+    // normalizing — the same guard centroidVectors applies: one dirty
+    // row would otherwise surface as a null cell in the update collect
+    // (NPE on r.getInt) or a poisoned seed centroid
+    val normalized = corpus
+      .filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim &&
+        !exists(col(vecCol), _.isNull))
+      .select(col(idCol), VectorFunctions.normalize(col(vecCol)).as("_v"))
     var centroids: Array[Array[Double]] = normalized
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -412,8 +422,16 @@ object Similarity {
     math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              dim: Int, nProbes: Int = 2): DataFrame = {
-    val cells = centroidVectors(corpus, dim)
+              dim: Int, nProbes: Int = 2,
+              centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    // default: per-label means of the raw embeddings (the oracle-
+    // replayable twin). A caller that already BUILT the quantizer (the
+    // kMeans path) passes its exact centroids instead — probe ranking
+    // must score against the geometry the cells were built around, and
+    // recomputing means of raw vectors would both pay an extra corpus
+    // aggregate and, under heterogeneous norms, rank probes against
+    // directions the spherical build never used.
+    val cells = centroidsOverride.getOrElse(centroidVectors(corpus, dim))
     val q = queries.select(col("query_id"),
       VectorFunctions.normalize(col("embedding")).as("q_emb"))
     val probeRank = Window.partitionBy(col("query_id"))
@@ -457,6 +475,14 @@ object Similarity {
     val (_, centroids) = kMeans(corpus, "vec_id", "embedding", nCells, dim, iterations)
     val relabeled = corpus.select(col("vec_id"), col("embedding"),
       assignCells(VectorFunctions.normalize(col("embedding")), centroids).as("label"))
-    ivfTopK(queries, relabeled, k, dim, nProbes)
+    // hand ivfTopK the spherical centroids the cells were built around
+    // (skips a full-corpus re-aggregate and keeps probe geometry
+    // aligned with the quantizer)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cellDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("label", "centroid")
+    ivfTopK(queries, relabeled, k, dim, nProbes, Some(cellDf))
   }
 }

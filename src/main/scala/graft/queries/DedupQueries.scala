@@ -203,11 +203,12 @@ private[queries] trait DedupQueries {
         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
         | FROM d a JOIN d b ON a.doc_id < b.doc_id) x
         |WHERE j >= 0.5""".stripMargin,
+    // sv has one row per doc with >= 1 token, so the inner join mirrors
+    // the engine's token-less-document exclusion (empty docs all hash
+    // to 0 and would pair quadratically — see Dedup.simHashNearDups)
     "q32_simhash_neardup" ->
       s"""WITH $simhashVotesSql,
-         |su AS (SELECT doc_id, $simhashUnsignedPackSql AS us FROM sv),
-         |alld AS (SELECT d.doc_id, COALESCE(su.us, 0) AS us
-         |  FROM documents d LEFT JOIN su ON d.doc_id = su.doc_id)
+         |alld AS (SELECT doc_id, $simhashUnsignedPackSql AS us FROM sv)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          | CAST(bit_count(xor(a.us, b.us)) AS INT) AS hamming
          |FROM alld a JOIN alld b ON a.doc_id < b.doc_id
