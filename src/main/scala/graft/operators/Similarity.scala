@@ -485,4 +485,115 @@ object Similarity {
       .toDF("label", "centroid")
     ivfTopK(queries, relabeled, k, dim, nProbes, Some(cellDf))
   }
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et
+    * al. 2023, arXiv:2303.09540): partition the corpus with a coarse
+    * quantizer, then within each cluster drop every member whose cosine
+    * to some LOWER-ID member clears `threshold`. The keep-lowest-id rule
+    * makes the survivor set deterministic and order-free — a member is
+    * dropped iff ANY lower-id same-cluster member is within the
+    * threshold, regardless of whether that member itself survives — so
+    * no sequential greedy scan is needed and the whole prune is one
+    * declarative self-join.
+    *
+    * Scale shape: the corpus shuffles ONCE by cluster id (fixed-width
+    * (cell, id, unit-vector) rows); the per-cluster self-join and its
+    * cosine filter evaluate inside the joined codegen stage, so the
+    * candidate pairs never materialize to a shuffle — the same
+    * no-candidate-shuffle discipline as [[cosineNearDupLsh]]. Total
+    * verify work is Σ|cell|²/2: linear in n when the quantizer keeps
+    * cluster sizes bounded ([[semanticDedupAuto]] sizes k = n/target
+    * for exactly that), which is the published SemDeDup recipe.
+    */
+  def semanticDedup(corpus: DataFrame, clusterCol: String,
+                    threshold: Double,
+                    clusterCountHint: Long = 0L): DataFrame = {
+    val n = corpus.select(col("vec_id"), col(clusterCol).as("_cell"),
+      VectorFunctions.normalize(col("embedding")).as("_emb"))
+    val a = n.select(col("_cell"), col("vec_id").as("_id_a"),
+      col("_emb").as("_emb_a"))
+    val b = n.select(col("_cell"), col("vec_id").as("_id_b"),
+      col("_emb").as("_emb_b"))
+    // Parallelism guard (the cosineNearDupLsh slicing, keyed by the
+    // quantizer's k instead of a bucket dial): with k clusters ≪ shuffle
+    // parallelism the equi-join is key-bound — every cluster is
+    // uniformly large, AQE's skew split never fires, and the tail runs
+    // one core per cluster. Replicate side `b` across S hash slices of
+    // `a`'s ids: each pair still meets exactly once, output unchanged,
+    // key space grows S×. Callers that know their quantizer pass its k;
+    // hint 0 (unknown) and the bounded-cell auto path (k ≫ partitions)
+    // both compute S = 1 and leave the plan untouched.
+    val parallelism =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val slices =
+      if (clusterCountHint <= 0L) 1
+      else math.min(64L,
+        math.max(1L, (4L * parallelism) / clusterCountHint)).toInt
+    val (aS, bS, joinKeys) =
+      if (slices <= 1) (a, b, Seq("_cell"))
+      else (
+        a.withColumn("_slice", pmod(hash(col("_id_a")), lit(slices))),
+        b.withColumn("_slice",
+          explode(array((0 until slices).map(lit(_)): _*))),
+        Seq("_cell", "_slice"))
+    val dropped = aS.join(bS, joinKeys)
+      .filter(col("_id_a") < col("_id_b") &&
+        VectorFunctions.dot(col("_emb_a"), col("_emb_b")) >= threshold)
+      .select(col("_id_b").as("vec_id")).distinct()
+    corpus.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** Semantic dedup on the production BUILD path: a k-means coarse
+    * quantizer sized for bounded cluster size — k = ⌈n / targetCellSize⌉
+    * — so the per-cluster quadratic term stays ≤ targetCellSize² and
+    * total prune work grows LINEARLY with the corpus (the √n cell rule
+    * that fits ANN probing would leave Σ|cell|² ≈ n^1.5 here). Driver
+    * holds k × dim doubles; past the plan-literal budget (~16 MB, see
+    * [[ivfTopKAuto]]) a deployment moves assignment from literal
+    * centroids to a broadcast centroid table — the join shape of the
+    * prune itself is unchanged.
+    */
+  def semanticDedupAuto(corpus: DataFrame, dim: Int, threshold: Double,
+                        targetCellSize: Int = 512,
+                        iterations: Int = 3): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+    val (assign, _) = kMeans(corpus, "vec_id", "embedding", k, dim, iterations)
+    semanticDedup(corpus.join(assign, Seq("vec_id")), "cell", threshold,
+        clusterCountHint = k)
+      .drop("cell")
+  }
+
+  /** Prototypicality pruning (after Sorscher et al., NeurIPS'22 "Beyond
+    * neural scaling laws"): score each member by cosine to its OWN
+    * cluster centroid and drop the most prototypical `dropPermille`/1000
+    * of every cluster — redundant easy examples near the cluster core
+    * contribute least to training, so data pruning removes them first.
+    *
+    * Deterministic by construction: rank ties break to the lower vec_id
+    * and the per-cluster drop count is integer arithmetic
+    * (⌊n·dropPermille/1000⌋ — no float boundary). Scale shape: the
+    * centroid table is one row per cluster (broadcast), scoring is
+    * map-side, and the only wide operation is the per-cluster
+    * rank/count window — one shuffle by cluster id.
+    */
+  def prototypePrune(corpus: DataFrame, dim: Int,
+                     dropPermille: Int): DataFrame = {
+    require(dropPermille >= 0 && dropPermille <= 1000)
+    val cents = centroidVectors(corpus, dim)
+    val rankW = Window.partitionBy(col("label"))
+      .orderBy(col("_proto").desc, col("vec_id").asc)
+    val cellW = Window.partitionBy(col("label"))
+    corpus.join(broadcast(cents), Seq("label"))
+      .withColumn("_proto",
+        VectorFunctions.cosine(col("embedding"), col("centroid")))
+      .withColumn("_rk", row_number().over(rankW))
+      .withColumn("_n", count(lit(1)).over(cellW))
+      // floor(n·permille/1000) — exact while n·permille < 2^53, i.e. any
+      // realistic corpus; Spark's `/` on longs is double division, so
+      // the explicit floor pins the integer-cut semantics the oracle's
+      // `//` uses
+      .filter(col("_rk") > floor((col("_n") * lit(dropPermille.toLong)) / lit(1000L)))
+      .drop("_proto", "_rk", "_n", "centroid")
+  }
 }

@@ -166,7 +166,36 @@ private[queries] trait DedupQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Cross-corpus dedup: the incoming crawl batch (doc_id % 10 == 0
+    * stands in for it) deduped AGAINST the existing training corpus via
+    * [[Dedup.crossCorpusPairs]] — only cross-side candidates are ever
+    * generated, never either side's intra-corpus pairs, which is what
+    * makes "dedup the new crawl against 100 TB of history" affordable.
+    * Bounded to the deterministic id slice the pair oracles use.
+    */
+  def crossCorpusDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+    Dedup.crossCorpusPairs(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", shingleSize = 2, threshold = 0.5)
+  }
+
   private[queries] def dedupOracles: Map[String, String] = Map(
+    "q83_cross_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE doc_id < 2000),
+        |d AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t)
+        |SELECT id_l, id_r, ROUND(j, 6) AS jaccard FROM (
+        | SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        | FROM d a JOIN d b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0) x
+        |WHERE j >= 0.5""".stripMargin,
     "q15_dedup_exact" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY source""".stripMargin,

@@ -107,6 +107,9 @@ object QueryPack
     "q80_emb_neardup_lsh_auto" -> (embNearDupLshAuto _),
     "q81_chunking"          -> (chunkDocs _),
     "q82_frame_index"       -> (frameIndexStats _),
+    "q83_cross_dedup"       -> (crossCorpusDedup _),
+    "q84_semdedup"          -> (semanticDedupStats _),
+    "q85_prototypes"        -> (prototypePruneStats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

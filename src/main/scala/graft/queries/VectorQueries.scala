@@ -183,6 +183,40 @@ private[queries] trait VectorQueries {
            sum(col("sum_q")).as("sum_q"),
            sum(col("n_sat")).as("n_saturated"))
 
+  /** SemDeDup over the label clusters (the oracle-replayable twin of
+    * [[graft.operators.Similarity.semanticDedupAuto]], whose k-means
+    * quantizer the testdata's `label` column stands in for): drop every
+    * vector with a lower-id same-label neighbor at cosine ≥ 0.4, report
+    * survivors per label. `sum_kept_ids` pins the exact survivor SET,
+    * not just its size. Threshold margin: the nearest intra-label pair
+    * sits ≥1e-4 from 0.4 on the test corpora (SemanticPruneSpec pins
+    * ≥1e-9), so cross-engine cosine noise (~1e-15) cannot flip a pair.
+    *
+    * Bounded to a deterministic id slice, like every quadratic-twin
+    * query (q22/q27/q45): the 10 fixed label cells make the per-cell
+    * self-join quadratic in the corpus BY CONFIGURATION — the scale
+    * path is [[graft.operators.Similarity.semanticDedupAuto]], whose
+    * k = n/targetCellSize quantizer keeps total work linear (measured
+    * at 200k vectors in SCALING.md).
+    */
+  def semanticDedupStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 4000),
+        "label", threshold = 0.4, clusterCountHint = 10)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
+
+  /** Prototypicality pruning: drop the 30% of each label cluster closest
+    * to its own centroid (Sorscher et al. data pruning), report the kept
+    * set per label. Rank determinism: adjacent prototypicality scores on
+    * the test corpora differ by ≥4e-8 (SemanticPruneSpec pins ≥1e-12 at
+    * the cut boundary), far above cross-engine summation noise.
+    */
+  def prototypePruneStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.prototypePrune(Tables.embeddings(s, dir), dim = 64, dropPermille = 300)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
+
   private[queries] def vectorOracles: Map[String, String] = Map(
     "q23_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
@@ -313,6 +347,36 @@ private[queries] trait VectorQueries {
          |FROM b a JOIN b c ON a.vec_id < c.vec_id
          | AND ${anyTableCollidesSql("a.b", "c.b", 4)}
          |WHERE list_cosine_similarity(a.emb, c.emb) >= 0.35""".stripMargin
+    },
+    // SemDeDup replay: same label clusters, same cosine threshold, same
+    // keep-lowest-id rule (dropped iff ANY lower-id in-cluster neighbor
+    // ≥ 0.4). SUM(vec_id) needs the BIGINT cast — DuckDB SUM(BIGINT)
+    // widens to HUGEINT and would schema-mismatch.
+    "q84_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings WHERE vec_id < 4000),
+        |dropped AS (SELECT DISTINCT b.vec_id
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4)
+        |SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+        |FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |GROUP BY label""".stripMargin,
+    // prototype-pruning replay: per-label mean centroid (the q38 twin),
+    // rank by cosine-to-own-centroid desc with vec_id tie-break, keep
+    // ranks past the integer 30% cut.
+    "q85_prototypes" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cent AS (SELECT label, $centroid AS c FROM e GROUP BY label),
+         |pr AS (SELECT e.vec_id, e.label,
+         |  ROW_NUMBER() OVER (PARTITION BY e.label
+         |    ORDER BY list_cosine_similarity(e.emb, cent.c) DESC, e.vec_id) AS rk,
+         |  COUNT(*) OVER (PARTITION BY e.label) AS n
+         | FROM e JOIN cent USING (label))
+         |SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+         |FROM pr WHERE rk > (n * 300) // 1000
+         |GROUP BY label""".stripMargin
     },
     "q64_emb_quantize" ->
       """WITH e AS (

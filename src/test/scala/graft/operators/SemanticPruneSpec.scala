@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic dedup (SemDeDup cluster-then-prune) and prototypicality
+  * pruning: correctness against hand-computed brute force, the k=1-
+  * cluster ≡ global-dedup identity for the auto build path, and the
+  * numeric-margin pins that let q84/q85 carry full DuckDB oracles
+  * (the same safety argument AnnOracleMarginSpec makes for the LSH
+  * sign bits).
+  */
+class SemanticPruneSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // Hand-built corpus: two clusters; in cluster 0, vectors 1/2/3 are
+  // near-identical (pairwise cosine ~1) and 4 is orthogonal; cluster 1
+  // holds 5 and a near-dup 6. Survivors under keep-lowest-id at 0.9:
+  // 1 (lowest of {1,2,3}), 4, 5 (lowest of {5,6}).
+  private def toyCorpus = Seq(
+    (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+    (2L, 0, Array(0.999f, 0.01f, 0.0f)),
+    (3L, 0, Array(0.998f, 0.02f, 0.0f)),
+    (4L, 0, Array(0.0f, 1.0f, 0.0f)),
+    (5L, 1, Array(0.0f, 0.0f, 1.0f)),
+    (6L, 1, Array(0.01f, 0.0f, 0.999f))
+  ).toDF("vec_id", "label", "embedding")
+
+  test("semanticDedup keeps the lowest-id member of each near-dup set") {
+    val kept = Similarity.semanticDedup(toyCorpus, "label", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("semanticDedup is cluster-local: cross-cluster near-dups survive") {
+    // same vectors, but the {5,6} pair split across clusters — no
+    // cluster shares a near-dup pair, so nothing is dropped
+    val split = toyCorpus.withColumn("label",
+      when(col("vec_id") === 6L, lit(2)).otherwise(col("label")))
+      .filter(col("vec_id") >= 4L)
+    val kept = Similarity.semanticDedup(split, "label", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(4L, 5L, 6L))
+  }
+
+  test("semanticDedup matches the quadratic brute force on real data") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val kept = Similarity.semanticDedup(corpus, "label", threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    // brute force: collect (id, label, normalized emb), drop any id with
+    // a lower-id same-label neighbor at cosine >= threshold
+    val rows = corpus.select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("e"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val expected = rows.filter { case (id, lab, e) =>
+      !rows.exists { case (id2, lab2, e2) =>
+        id2 < id && lab2 == lab &&
+          e.zip(e2).map { case (x, y) => x * y }.sum >= 0.4
+      }
+    }.map(_._1).toSet
+    assert(kept == expected)
+    assert(kept.size < rows.length, "threshold should drop something")
+  }
+
+  test("sliced join (small clusterCountHint) leaves survivors unchanged") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    // hint 1 forces slices = 4·parallelism — the replicated-side join —
+    // while hint 0 keeps the plain per-cluster equi-join
+    val sliced = Similarity.semanticDedup(corpus, "label", 0.4,
+      clusterCountHint = 1).select("vec_id").as[Long].collect().toSet
+    val plain = Similarity.semanticDedup(corpus, "label", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sliced == plain)
+  }
+
+  test("semanticDedupAuto with one cluster equals global-threshold dedup") {
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+    val auto = Similarity.semanticDedupAuto(corpus, dim = 64, threshold = 0.4,
+        targetCellSize = 1000000)
+      .select("vec_id").as[Long].collect().toSet
+    val global = Similarity.semanticDedup(
+        corpus.withColumn("one", lit(0)), "one", threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(auto == global)
+  }
+
+  test("prototypePrune drops the integer 30% cut, most-prototypical first") {
+    // centroid = mean(raw) = (0.7, 0.3375); cosines to it: v3 0.989,
+    // v2 0.943, v1 0.901, v4 0.522 — floor(4*300/1000) = 1, so exactly
+    // v3 (the member closest to the centroid direction) goes
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(0.8f, 0.25f)),
+      (4L, 0, Array(0.1f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val kept = Similarity.prototypePrune(df, dim = 2, dropPermille = 300)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("prototypePrune permille edges: 0 keeps all, 1000 drops all") {
+    val corpus = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 40)
+    val n = corpus.count()
+    assert(Similarity.prototypePrune(corpus, 64, 0).count() == n)
+    assert(Similarity.prototypePrune(corpus, 64, 1000).count() == 0L)
+  }
+
+  test("prototypePrune keeps exactly n - floor(0.3 n) per label") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val perLabel = corpus.groupBy("label").count().as[(Int, Long)].collect().toMap
+    val kept = Similarity.prototypePrune(corpus, 64, 300)
+      .groupBy("label").count().as[(Int, Long)].collect().toMap
+    perLabel.foreach { case (lab, n) =>
+      assert(kept.getOrElse(lab, 0L) == n - (n * 300) / 1000,
+        s"label $lab: n=$n kept=${kept.get(lab)}")
+    }
+  }
+
+  // ---- oracle-margin pins (the q84/q85 cross-engine safety argument) ----
+
+  test("q84 margin: no intra-label cosine sits inside the noise band of 0.4") {
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("vec_id"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("e"))
+      .as[(Int, Long, Seq[Double])].collect()
+    var minMargin = Double.MaxValue
+    for {
+      (la, ia, ea) <- rows; (lb, ib, eb) <- rows
+      if la == lb && ia < ib
+    } {
+      val c = ea.zip(eb).map { case (x, y) => x * y }.sum
+      minMargin = math.min(minMargin, math.abs(c - 0.4))
+    }
+    // measured ~1.7e-3 at sf0.001 (1.2e-4 at sf0.1); 1e-9 still leaves
+    // six orders of magnitude over cross-engine summation noise
+    assert(minMargin > 1e-9,
+      s"intra-label cosine margin $minMargin too close to the 0.4 threshold")
+  }
+
+  test("q85 margin: adjacent prototypicality scores are separated") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.centroidVectors(corpus, 64)
+    val scored = corpus.join(cents, Seq("label"))
+      .select(col("label"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("centroid"))
+          .as("proto"))
+      .as[(Int, Double)].collect()
+    val minGap = scored.groupBy(_._1).values.map { g =>
+      val s = g.map(_._2).sorted
+      if (s.length < 2) Double.MaxValue
+      else s.sliding(2).map { case Array(a, b) => b - a }.min
+    }.min
+    // measured ~1.9e-5 at sf0.001 (3.9e-8 at sf0.1); any gap above
+    // 1e-12 keeps the rank order stable across engines
+    assert(minGap > 1e-12,
+      s"adjacent prototypicality gap $minGap inside the cross-engine noise band")
+  }
+}

@@ -213,4 +213,44 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
     assert(plan.contains("SerializeFromObject"),
       s"expected the typed wrap/parse pipeline inline above the scan:\n$plan")
   }
+
+  test("q83: cross-corpus prefix join pushes the id slice to both scans") {
+    val plan = executedPlan(QueryPack.crossCorpusDedup(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,2000)"),
+      s"expected the doc_id slice at the parquet scan in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus candidates must meet in equi-joins only:\n$plan")
+  }
+
+  test("q84: semantic dedup verifies cosine IN the cluster join — no candidate shuffle") {
+    val df = QueryPack.semanticDedupStats(spark, dir)
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cluster self-join must stay an equi-join:\n$plan")
+    // the cosine threshold must sit in the join condition (evaluated as
+    // pairs stream through the joined codegen stage), not in a filter
+    // above a materialized candidate set
+    assert(plan.contains("array_dot"),
+      s"expected the in-join cosine verify in:\n$plan")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && plan.indexOf("array_dot") != -1 &&
+      plan.substring(0, plan.indexOf("array_dot") + 200).contains("Join") ||
+      plan.indexOf("array_dot") > joinIdx,
+      s"cosine verify should evaluate with the join, not after a shuffle:\n$plan")
+  }
+
+  test("q85: prototype pruning broadcasts the centroid table and shuffles by label once") {
+    val df = QueryPack.prototypePruneStats(spark, dir)
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected the per-cluster centroid table to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid join must stay a hash join:\n$plan")
+    assert(plan.contains("Window"), s"expected the per-cluster rank window in:\n$plan")
+  }
 }
