@@ -558,10 +558,141 @@ object Similarity {
                         iterations: Int = 3): DataFrame = {
     val n = corpus.count()
     val k = math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
-    val (assign, _) = kMeans(corpus, "vec_id", "embedding", k, dim, iterations)
-    semanticDedup(corpus.join(assign, Seq("vec_id")), "cell", threshold,
-        clusterCountHint = k)
-      .drop("cell")
+    if (k > MaxLiteralCells)
+      semanticDedupTwoLevel(corpus, dim, threshold, targetCellSize, iterations)
+    else {
+      val (assign, _) = kMeans(corpus, "vec_id", "embedding", k, dim, iterations)
+      semanticDedup(corpus.join(assign, Seq("vec_id")), "cell", threshold,
+          clusterCountHint = k)
+        .drop("cell")
+    }
+  }
+
+  /** Past this many cells the single-level build stops being viable:
+    * assignment is n·k ≈ n²/targetCell dot products (quadratic once
+    * k ∝ n) and the driver-held centroid literal (k × dim doubles)
+    * approaches the plan-size budget. 4096 cells × 64 dims × 8 B ≈ 2 MB
+    * literal and ~2M vectors at the default cell size — [[semanticDedupAuto]]
+    * switches to the two-level build beyond it.
+    */
+  val MaxLiteralCells: Int = 4096
+
+  /** Two-level quantizer build for [[semanticDedup]] — the ≥1M-vector
+    * path. The single-level build's defect is structural: with
+    * k = n/targetCell cells, literal-centroid assignment costs n·k ≈
+    * n²/targetCell dot products per iteration and puts k×dim doubles in
+    * the plan. Splitting the quantizer bounds both:
+    *
+    *  - Level 1: literal-centroid spherical k-means with k₁ = ⌈√k⌉
+    *    coarse cells ([[kMeans]] — driver holds √k × dim doubles, map-
+    *    side `cell_argmax` assignment, n·√k dots per iteration).
+    *  - Level 2: an INDEPENDENT k-means inside every coarse cell, all
+    *    cells in one distributed job per iteration — sub-centroids live
+    *    in a (cell, sub, vector) DataFrame of k rows (never on the
+    *    driver, never a literal). For assignment each cell's
+    *    sub-centroids bundle into one array row (k₁ rows total,
+    *    broadcast) and the argmax runs MAP-SIDE via the native
+    *    `cell_argmax`: n·k₂ = n·√k dots per iteration and no
+    *    vector-carrying shuffle — the iteration's only wide op is the
+    *    k-row centroid-update aggregate.
+    *
+    * Total build work is O(n·√(n/targetCell)·dim) — n^1.5, down from n²
+    * — and driver/plan state is O(√k): at 100M vectors that is 442
+    * literal centroids and a 195k-row sub-centroid table. Seeding and
+    * tie-breaks mirror [[kMeans]] exactly (k₂ lowest-id members of each
+    * coarse cell; argmax ties to the lowest sub id; empty sub-cells and
+    * zero-norm means keep their previous centroid), so with k₁ = 1 the
+    * two levels collapse to the single-level build bit-for-bit —
+    * spec'd, along with survivors(twoLevel) ⊇ survivors(global brute):
+    * a finer partition can only MISS cross-cell pairs, never invent
+    * drops. Measured (SemDedupScale, 200k vectors): same-shape survivor
+    * set with the build ~4× cheaper; see SCALING.md.
+    */
+  def semanticDedupTwoLevel(corpus: DataFrame, dim: Int, threshold: Double,
+                            targetCellSize: Int = 512,
+                            iterations: Int = 3,
+                            k1Override: Int = 0): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = corpus.count()
+    val k = math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+    val k1 = if (k1Override > 0) k1Override
+      else math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    val (assign1, _) = kMeans(corpus, "vec_id", "embedding", k1, dim, iterations)
+    // fixed-width working set for the level-2 iterations: (cell, id, unit
+    // vector). The malformed-vector guard matches kMeans — such rows got
+    // no level-1 cell, so the inner join drops them here too (same
+    // contract as the single-level path).
+    val pts = corpus
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull))
+      .select(col("vec_id"),
+        VectorFunctions.normalize(col("embedding")).as("_v"))
+      .join(assign1, Seq("vec_id"))
+      .persist(MEMORY_AND_DISK)
+    // Per-point argmax over the own cell's sub-centroids, MAP-SIDE: each
+    // coarse cell's sub-centroids bundle into ONE array row in sub-id
+    // order (k1 rows total — bounded at √k by construction, so the
+    // explicit broadcast is safe at any corpus size) and the argmax is
+    // the same native cell_argmax the single-level build uses, ties to
+    // the lowest sub id. The alternative — joining the (cell, sub, _c)
+    // rows and max_by-ing per point — shuffles n·k2 vector-carrying
+    // candidate rows per iteration (~126 GB/iteration at 2M vectors,
+    // measured before this shape); here the only wide op left in an
+    // iteration is the k-row vectorAvg update.
+    def assignSub(cents: DataFrame): DataFrame = {
+      val bundled = cents
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("sub"), col("_c"))).as("_subs"))
+        .select(col("cell"),
+          transform(array_sort(col("_subs")), s => s.getField("_c")).as("_subs"))
+      pts.join(broadcast(bundled), Seq("cell"))
+        .select(col("cell"), col("vec_id"), col("_v"),
+          org.apache.spark.sql.graft.VectorExpressions
+            .cellArgmax(col("_v"), col("_subs")).as("sub"))
+    }
+    // seeds: the k2 lowest-id members of each coarse cell (kMeans seeds
+    // with the k lowest-id vectors globally — same rule, per cell)
+    val seedW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    var subcents = pts
+      .withColumn("_rn", row_number().over(seedW))
+      .filter(col("_rn") <= k2)
+      .select(col("cell"), (col("_rn") - 1).as("sub"), col("_v").as("_c"))
+      .persist(MEMORY_AND_DISK)
+    var it = 0
+    while (it < iterations) {
+      // spherical k-means update: renormalized mean; empty sub-cells and
+      // zero-norm means (null _m below) keep the previous centroid
+      val updated = assignSub(subcents)
+        .groupBy(col("cell"), col("sub"))
+        .agg(VectorFunctions.vectorAvg(col("_v"), dim).as("_m"))
+        .select(col("cell"), col("sub"),
+          graft.functions.TextFunctions.bind(VectorFunctions.norm(col("_m"))) {
+            nm => when(nm =!= 0.0, transform(col("_m"), x => x / nm))
+          }.as("_m"))
+      val next = subcents
+        .join(updated, Seq("cell", "sub"), "left")
+        .select(col("cell"), col("sub"),
+          coalesce(col("_m"), col("_c")).as("_c"))
+        .persist(MEMORY_AND_DISK)
+      next.count()
+      subcents.unpersist(false)
+      subcents = next
+      it += 1
+    }
+    // composite fine-cell id, then the one-shuffle prune. The assignment
+    // is materialized (fixed-width (id, long) rows) so the working sets
+    // can be released before the caller's action runs.
+    val finalAssign = assignSub(subcents)
+      .select(col("vec_id"),
+        (col("cell").cast("long") * k2 + col("sub")).as("_cell2"))
+      .localCheckpoint(true)
+    pts.unpersist(false)
+    subcents.unpersist(false)
+    semanticDedup(corpus.join(finalAssign, Seq("vec_id")), "_cell2",
+        threshold, clusterCountHint = k1.toLong * k2)
+      .drop("_cell2")
   }
 
   /** Prototypicality pruning (after Sorscher et al., NeurIPS'22 "Beyond

@@ -54,9 +54,18 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional 4th arg: comma-separated table subset (e.g. "embeddings"
+    // for the 2M-vector semantic-dedup campaign — replicating 60M
+    // lineitem rows to measure one vector operator would be waste).
+    // NOTE: replica key shifts assume BASE-CORPUS id ranges (< the
+    // Strides), so always scale from /root/testdata/sf0.1, never from an
+    // already-scaled output.
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def write(t: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      if (only.isEmpty || only(t))
+        df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     // dimensions: fixed
     Seq("region", "nation").foreach(t => write(t, read(t)))

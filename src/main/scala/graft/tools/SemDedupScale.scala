@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * miss rate is the price of linearity, exactly SemDeDup's published
   * trade).
   *
+  * Mode `twolevel` measures [[Similarity.semanticDedupTwoLevel]] (the
+  * ≥1M-vector build: n^1.5 work instead of n², sub-centroids in a
+  * DataFrame instead of a plan literal) end-to-end against the same
+  * corpus and threshold, so the two builds' survivor counts and walls
+  * sit side by side in SCALING.md.
+  *
   * Usage: runMain graft.tools.SemDedupScale <sfDir> [threshold]
-  *        [targetCellSize] [bruteMaxN]
+  *        [targetCellSize] [bruteMaxN] [mode: single|twolevel]
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
@@ -25,6 +31,7 @@ object SemDedupScale {
     val threshold = if (args.length > 1) args(1).toDouble else 0.4
     val targetCell = if (args.length > 2) args(2).toInt else 512
     val bruteMaxN = if (args.length > 3) args(3).toLong else 20000L
+    val mode = if (args.length > 4) args(4) else "single"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -41,6 +48,19 @@ object SemDedupScale {
     val n = corpus.count()
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val k = math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+
+    if (mode == "twolevel") {
+      val t0 = System.nanoTime()
+      val survivors = Similarity
+        .semanticDedupTwoLevel(corpus, dim, threshold, targetCell)
+        .count()
+      val tTotal = (System.nanoTime() - t0) / 1e9
+      val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+      println(
+        s"""{"metric":"semdedup_twolevel","n":$n,"k":$k,"k1":$k1,"threshold":$threshold,"target_cell":$targetCell,"total_sec":${f"$tTotal%.2f"},"survivors":$survivors}""")
+      spark.stop()
+      return
+    }
 
     // build (k-means) timed apart from the prune join it feeds
     val t0 = System.nanoTime()

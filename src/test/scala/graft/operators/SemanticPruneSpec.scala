@@ -87,6 +87,65 @@ class SemanticPruneSpec extends AnyFunSuite with SparkTest {
     assert(auto == global)
   }
 
+  test("semanticDedupTwoLevel with k1=1 collapses to the single-level build") {
+    // one coarse cell ⇒ the level-2 k-means IS the single-level k-means:
+    // same lowest-id seeds, same argmax tie-break, same spherical update
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val two = Similarity.semanticDedupTwoLevel(corpus, dim = 64,
+        threshold = 0.4, targetCellSize = 16, k1Override = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val one = Similarity.semanticDedupAuto(corpus, dim = 64,
+        threshold = 0.4, targetCellSize = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(two == one)
+    assert(two.size < 500, "the 16-point cells should drop something")
+  }
+
+  test("semanticDedupTwoLevel survivors contain the global-prune survivors") {
+    // a partition-based prune can only MISS cross-cell pairs, never
+    // invent a drop: dropped(partitioned) ⊆ dropped(global)
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val two = Similarity.semanticDedupTwoLevel(corpus, dim = 64,
+        threshold = 0.4, targetCellSize = 16)
+      .select("vec_id").as[Long].collect().toSet
+    val global = Similarity.semanticDedup(
+        corpus.withColumn("one", lit(0)), "one", threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(global.subsetOf(two))
+  }
+
+  test("semanticDedupTwoLevel is deterministic across runs") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    def run() = Similarity.semanticDedupTwoLevel(corpus, dim = 64,
+        threshold = 0.4, targetCellSize = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(run() == run())
+  }
+
+  test("semanticDedupAuto dispatches to the two-level build past MaxLiteralCells") {
+    // 4,100 synthetic unit vectors at targetCellSize=1 ⇒ k > 4096: the
+    // single-level path would plant 4,100 centroid literals in the plan;
+    // the dispatch must take the two-level build and still satisfy the
+    // supset-of-global contract. Vectors: deterministic points on the
+    // unit circle (dim 2 suffices for the dispatch logic).
+    val n = 4100
+    val corpus = spark.range(n).toDF("vec_id")
+      .withColumn("_t", col("vec_id").cast("double") * 0.0015)
+      .select(col("vec_id"),
+        array(cos(col("_t")).cast("float"), sin(col("_t")).cast("float"))
+          .as("embedding"))
+    val kept = Similarity.semanticDedupAuto(corpus, dim = 2,
+        threshold = 0.999999, targetCellSize = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // cells of ~1 point at a near-exact threshold: the prune must not
+    // invent drops beyond what a global prune at that threshold makes
+    val global = Similarity.semanticDedup(
+        corpus.withColumn("one", lit(0)), "one", threshold = 0.999999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(global.subsetOf(kept))
+    assert(kept.size <= n)
+  }
+
   test("prototypePrune drops the integer 30% cut, most-prototypical first") {
     // centroid = mean(raw) = (0.7, 0.3375); cosines to it: v3 0.989,
     // v2 0.943, v1 0.901, v4 0.522 — floor(4*300/1000) = 1, so exactly
