@@ -121,8 +121,41 @@ object Bench {
         val t = timeOnce(fn)
         System.err.println(f"[bench warm] $name%-28s ${t}%.2fs")
       }
+    // HOST CALIBRATION: this eval host's per-core throughput swings
+    // 2-4× across hours (measured 2026-08-14: the same 60M-row scan-agg
+    // read 4.0 s at 07:00 and 14.4 s at 12:30 on identical build, corpus,
+    // partitions, and heap; a fixed single-thread loop tracked the same
+    // swing). Absolute walls from different sweeps are therefore NOT
+    // comparable unless their host regimes match — so every artifact
+    // carries its own speed stamp: a fixed xorshift64 ALU kernel, single
+    // thread and all-threads, in million steps/sec. Compare sweeps via
+    // (wall × cal) or flag regime mismatch when cal ratios diverge.
+    def xorshiftMops(steps: Long): Double = {
+      var x = 88172645463325252L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < steps) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("")  // defeat dead-code elimination
+      steps / dt / 1e6
+    }
+    def hostCal(): (Double, Double) = {
+      val st = xorshiftMops(400000000L)
+      val threads = Runtime.getRuntime.availableProcessors()
+      val perThread = new Array[Double](threads)
+      val ts = (0 until threads).map { ti =>
+        new Thread(() => perThread(ti) = xorshiftMops(200000000L))
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (st, perThread.sum)
+    }
+    val (calSt, calMt) = hostCal()
+    System.err.println(f"[bench cal] single-thread ${calSt}%.0f Mops/s, all-threads ${calMt}%.0f Mops/s")
     val passA = sweep("A", selected)
     val passB = sweep("B", selected.reverse)
+    // second stamp AFTER the passes: a regime shift mid-sweep shows as
+    // pre/post divergence instead of silently skewing pass A vs pass B
+    val (calSt2, calMt2) = hostCal()
+    System.err.println(f"[bench cal] post-sweep single-thread ${calSt2}%.0f Mops/s, all-threads ${calMt2}%.0f Mops/s")
     val results = selected.map { case (name, _) =>
       val times = Seq(passA(name), passB(name)).filter(_ >= 0)
       name -> (if (times.nonEmpty) times.min else -1.0)
@@ -143,8 +176,10 @@ object Bench {
     def passJson(p: Map[String, Double]): String =
       selected.map { case (k, _) => s"\"" + k + "\":" + p(k) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calJson =
+      f"""{"pre":{"st_mops":$calSt%.0f,"mt_mops":$calMt%.0f},"post":{"st_mops":$calSt2%.0f,"mt_mops":$calMt2%.0f}}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"queries_pass_a":${passJson(passA)},"queries_pass_b":${passJson(passB)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"host_cal":$calJson,"queries":$qs,"queries_pass_a":${passJson(passA)},"queries_pass_b":${passJson(passB)},"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout (~2 KB) and parses what
     // it kept: the full 79-query line (~2.4 KB) loses its head — hence
     // r5's parsed:null. So (a) persist the full result to a file the
@@ -184,7 +219,7 @@ object Bench {
         sortedR((sortedR.size * 9) / 10 min (sortedR.size - 1)))},"max_ratio":${r3(
         worstR)},"max_query":"$worstQ"}"""
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"n_failed":${failed.size},"noise_band":$bandJson,"queries_file":"$outPathJson","queries_sha256":"$sha","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"n_queries":${results.size},"n_failed":${failed.size},"noise_band":$bandJson,"host_cal":$calJson,"queries_file":"$outPathJson","queries_sha256":"$sha","sf":"$sfDir"}""")
     spark.stop()
   }
 }
