@@ -27,10 +27,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Single source of truth for the driver heap: -Xmx always uses it, and
+// the SPARK_GRAFT_PRETOUCH branch reuses the same value for -Xms so the
+// two can never diverge into -Xms > -Xmx (which the JVM refuses).
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$driverMem",
   // Bench/Verify run 150+ distinct codegen'd queries in one JVM; the
   // default 240 MB code cache fills and flips hot paths back to the
   // interpreter (multi-second stalls on decimal-heavy aggregates).
@@ -44,7 +48,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cost at JVM start: commit the full heap (-Xms=-Xmx) and touch it
   // (AlwaysPreTouch) before any query runs.
   if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "0") == "1")
-    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-      "-XX:+AlwaysPreTouch")
+    Seq(s"-Xms$driverMem", "-XX:+AlwaysPreTouch")
   else Seq.empty
 )

@@ -508,8 +508,17 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, clusterCol: String,
                     threshold: Double,
                     clusterCountHint: Long = 0L): DataFrame = {
-    val n = corpus.select(col("vec_id"), col(clusterCol).as("_cell"),
-      VectorFunctions.normalize(col("embedding")).as("_emb"))
+    // Zero-norm contract: an all-zero embedding has no direction, so it
+    // neither drops anything nor can be dropped — it is excluded from the
+    // prune join entirely (and therefore always survives). Without this
+    // guard the engine would keep it too (normalize(0)=0, dot=0 <
+    // threshold) but a SQL replay via cosine-similarity yields NaN there,
+    // and NaN >= τ diverges across engines (DuckDB sorts NaN high) — the
+    // explicit filter pins one behavior everywhere.
+    val n = corpus
+      .filter(VectorFunctions.norm(col("embedding")) =!= 0.0)
+      .select(col("vec_id"), col(clusterCol).as("_cell"),
+        VectorFunctions.normalize(col("embedding")).as("_emb"))
     val a = n.select(col("_cell"), col("vec_id").as("_id_a"),
       col("_emb").as("_emb_a"))
     val b = n.select(col("_cell"), col("vec_id").as("_id_b"),

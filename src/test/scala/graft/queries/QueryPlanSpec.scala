@@ -232,14 +232,14 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"cluster self-join must stay an equi-join:\n$plan")
     // the cosine threshold must sit in the join condition (evaluated as
     // pairs stream through the joined codegen stage), not in a filter
-    // above a materialized candidate set
+    // above a materialized candidate set: the JOIN NODE'S OWN line must
+    // mention array_dot, not merely some later operator
     assert(plan.contains("array_dot"),
       s"expected the in-join cosine verify in:\n$plan")
-    val joinIdx = plan.indexOf("Join")
-    assert(joinIdx >= 0 && plan.indexOf("array_dot") != -1 &&
-      plan.substring(0, plan.indexOf("array_dot") + 200).contains("Join") ||
-      plan.indexOf("array_dot") > joinIdx,
-      s"cosine verify should evaluate with the join, not after a shuffle:\n$plan")
+    val joinLineHasDot = plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("array_dot"))
+    assert(joinLineHasDot,
+      s"cosine verify should sit in the join condition, not after a shuffle:\n$plan")
   }
 
   test("q85: prototype pruning broadcasts the centroid table and shuffles by label once") {
