@@ -192,18 +192,149 @@ object Similarity {
     math.max(2, np)
   }
 
-  /** [[cosineNearDupLsh]] with the plane count derived from the corpus
-    * size (one count() action — a real pipeline already knows its corpus
-    * cardinality and can pass [[planesForCorpus]] directly). Longer
-    * hashes lower per-table recall, so OR-amplification must rise with
-    * them: pass nTables ≈ 4–8 for 8+ planes (recall per table for a pair
-    * at cosine c is (1 − acos(c)/π)^nPlanes before multi-probe; tables
-    * OR together).
+  /** Ids-only twin of [[cosineNearDupLsh]] — same candidate rule
+    * (multi-probed same-table bucket collision), same output, different
+    * bytes discipline: the bucket join carries (id, table, bucket) rows
+    * only, candidate PAIRS dedup as 16-byte id rows, and the vectors
+    * join back once per side for the exact-cosine verify. The exchange
+    * trade vs the vector-carrying path is ≈ targetBucketSize/dim: the
+    * candidate-dedup shuffle costs ~16 B × bucketSize per input row
+    * where the vector-carrying join input costs ~8 B × dim per input
+    * row — so this variant wins when the embedding dimension exceeds
+    * the bucket occupancy (dim ≫ 128 at the default dials: the 768-dim
+    * regime of real text encoders), and loses at dim 64.
+    * [[cosineNearDupLshAuto]] picks between the two from those
+    * estimates; recall is IDENTICAL by construction (spec'd
+    * pairs-equal), so the choice is pure bytes routing.
+    */
+  def cosineNearDupLshIdsOnly(corpus: DataFrame, threshold: Double,
+                              nPlanes: Int = 4, nTables: Int = 2): DataFrame = {
+    val keyed = corpus.select(col("vec_id"),
+        posexplode(VectorFunctions.hyperplaneBuckets(col("embedding"), nPlanes, nTables)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
+      (acc, bit) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << bit)))
+    }
+    val a = keyed.select(col("vec_id").as("id_a"),
+      col("table"), explode(probes).as("bucket"))
+    val b = keyed.select(col("vec_id").as("id_b"), col("table"), col("bucket"))
+    // same parallelism guard as the vector-carrying path: small key
+    // spaces (hand dials) would otherwise bind the join to one core per
+    // bucket; slicing is output-invariant (each pair meets once, at
+    // slice(id_a))
+    val keySpace = nTables.toLong << nPlanes
+    val parallelism =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val slices =
+      math.min(64L, math.max(1L, (4L * parallelism) / math.max(1L, keySpace))).toInt
+    val (aS, bS, joinKeys) =
+      if (slices <= 1) (a, b, Seq("table", "bucket"))
+      else (
+        a.withColumn("slice", pmod(hash(col("id_a")), lit(slices))),
+        b.withColumn("slice",
+          explode(array((0 until slices).map(lit(_)): _*))),
+        Seq("table", "bucket", "slice"))
+    val candidates = aS.join(bS, joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val vecs = corpus.select(col("vec_id"),
+      VectorFunctions.normalize(col("embedding")).as("emb"))
+    candidates
+      .join(vecs.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
+      .withColumn("cosine", VectorFunctions.dot(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Per-node shuffle budget the auto path sizes its dials against.
+    * Default 48 GB: under the measured single-node death (the 2M-vector
+    * default-dial run spilled a ~66 GB probe-side exchange past this
+    * host's free disk — SCALING.md "LSH near-dup at 2M") and above the
+    * config that completed (45 GB peak). On a real cluster the budget is
+    * aggregate executor scratch space / executors; callers pass it.
+    */
+  val DefaultLshShuffleBudgetBytes: Long = 48L << 30
+
+  /** Estimated bytes entering the vector-carrying bucket-join exchange:
+    * n·tables·(probes+1 a-side rows + 1 b-side row) of (8·dim + ~40 B
+    * of ids/keys/row overhead). Calibrated against the measured 66 GB
+    * at n=2M, dim=64, 14 planes, 4 tables (515 B/row observed).
+    */
+  def lshProbeExchangeBytes(n: Long, dim: Int, nPlanes: Int, nTables: Int): Long =
+    n * nTables * (nPlanes + 2L) * (8L * dim + 40L)
+
+  /** Estimated bytes through the ids-only path's exchanges: thin
+    * (id, table, bucket) join inputs plus the candidate-pair dedup
+    * stream (~bucketSize candidates of 16 B per probe row).
+    */
+  def lshIdsOnlyExchangeBytes(n: Long, nPlanes: Int, nTables: Int,
+                              targetBucketSize: Long): Long =
+    n * nTables * ((nPlanes + 2L) * 24L + targetBucketSize * (nPlanes + 1L) * 8L)
+
+  /** Largest table count ≤ `requested` whose estimated vector-carrying
+    * exchange fits `budgetBytes` (floor 1). Fewer tables = less
+    * OR-amplification = lower recall at a given threshold — the same
+    * banding trade the nTables dial always expressed, now derived from
+    * a byte budget instead of discovered via a dead executor.
+    */
+  def tablesForShuffleBudget(n: Long, dim: Int, nPlanes: Int,
+                             requested: Int, budgetBytes: Long): Int = {
+    var t = requested
+    while (t > 1 && lshProbeExchangeBytes(n, dim, nPlanes, t) > budgetBytes) t -= 1
+    t
+  }
+
+  /** [[cosineNearDupLsh]] with every dial derived: the plane count from
+    * the corpus size ([[planesForCorpus]]) and the table count / row
+    * layout from a SHUFFLE-BYTE BUDGET — the round-10 2M-vector run died
+    * on exactly this (default nTables=4 → ~66 GB probe-side exchange >
+    * one node's free disk), so nothing in the API derived dials from
+    * bytes until now. Policy, in order:
+    *
+    *  1. vector-carrying at the requested tables fits the budget → run
+    *     it unchanged (small corpora land here; behavior identical to
+    *     the pre-budget API).
+    *  2. it doesn't, but the ids-only layout at the SAME tables does →
+    *     [[cosineNearDupLshIdsOnly]]: identical candidates and pairs
+    *     (spec'd), so recall is preserved and only bytes move — the
+    *     dim ≫ bucketSize regime.
+    *  3. neither fits → clamp tables on whichever layout estimates
+    *     cheaper ([[tablesForShuffleBudget]]): linear volume must fit
+    *     the node, and fewer OR-tables is the one dial that sheds bytes
+    *     proportionally. This IS a recall trade; callers with more disk
+    *     raise `shuffleByteBudget` instead.
+    *
+    * Longer hashes lower per-table recall, so OR-amplification should
+    * rise with them: pass nTables ≈ 4–8 for 8+ planes (recall per table
+    * for a pair at cosine c is (1 − acos(c)/π)^nPlanes before
+    * multi-probe; tables OR together).
     */
   def cosineNearDupLshAuto(corpus: DataFrame, threshold: Double,
-                           nTables: Int = 4, targetBucketSize: Long = 128): DataFrame =
-    cosineNearDupLsh(corpus, threshold,
-      nPlanes = planesForCorpus(corpus.count(), targetBucketSize), nTables = nTables)
+                           nTables: Int = 4, targetBucketSize: Long = 128,
+                           shuffleByteBudget: Long = DefaultLshShuffleBudgetBytes): DataFrame = {
+    val n = corpus.count()
+    val np = planesForCorpus(n, targetBucketSize)
+    val dim =
+      if (n == 0) 0
+      else corpus.select(size(col("embedding"))).head().getInt(0)
+    val vecBytes = lshProbeExchangeBytes(n, dim, np, nTables)
+    val idsBytes = lshIdsOnlyExchangeBytes(n, np, nTables, targetBucketSize)
+    if (vecBytes <= shuffleByteBudget)
+      cosineNearDupLsh(corpus, threshold, np, nTables)
+    else if (idsBytes <= shuffleByteBudget)
+      cosineNearDupLshIdsOnly(corpus, threshold, np, nTables)
+    else if (vecBytes <= idsBytes)
+      cosineNearDupLsh(corpus, threshold, np,
+        tablesForShuffleBudget(n, dim, np, nTables, shuffleByteBudget))
+    else {
+      var t = nTables
+      while (t > 1 &&
+        lshIdsOnlyExchangeBytes(n, np, t, targetBucketSize) > shuffleByteBudget) t -= 1
+      cosineNearDupLshIdsOnly(corpus, threshold, np, t)
+    }
+  }
 
   /** Streaming embedding near-duplicate pairs — the hyperplane-LSH twin
     * of [[graft.operators.Dedup.streamingNearDupPairs]] (MinHash). Each

@@ -550,6 +550,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(found.subsetOf(exact))
   }
 
+  test("embedding near-dup: ids-only layout emits exactly the vector-carrying pairs") {
+    // same candidate rule, different bytes routing — the pair set (and
+    // the rounded cosines) must be identical, which is what lets the
+    // auto path switch layouts purely on byte estimates
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val vec = asSet(Similarity.cosineNearDupLsh(embeddings, 0.35, nPlanes = 4, nTables = 2))
+    val ids = asSet(Similarity.cosineNearDupLshIdsOnly(embeddings, 0.35, nPlanes = 4, nTables = 2))
+    assert(vec == ids)
+    assert(vec.nonEmpty)
+  }
+
+  test("LSH shuffle budget: table count derives from the byte estimate") {
+    // the measured round-10 death: n=2M, dim=64, 14 planes — 4 tables
+    // estimate ~70 GB (> the 48 GB default budget, and indeed > the
+    // node's free disk when it died); the derivation lands on 2 tables,
+    // the config that completed at 45 GB peak (SCALING.md)
+    val n = 2000000L
+    val np = Similarity.planesForCorpus(n) // 14
+    assert(np == 14)
+    assert(Similarity.lshProbeExchangeBytes(n, 64, np, 4) > Similarity.DefaultLshShuffleBudgetBytes)
+    assert(Similarity.tablesForShuffleBudget(n, 64, np, 4,
+      Similarity.DefaultLshShuffleBudgetBytes) == 2)
+    // a roomy budget keeps the requested dial
+    assert(Similarity.tablesForShuffleBudget(n, 64, np, 4, 1L << 40) == 4)
+    // floor at 1 even when nothing fits
+    assert(Similarity.tablesForShuffleBudget(n, 64, np, 4, 1L) == 1)
+    // the dim ≫ bucketSize regime: at 768 dims the ids-only layout
+    // estimates cheaper than vector-carrying (the auto path's step-2/3
+    // dispatch), while at 64 dims vector-carrying wins
+    assert(Similarity.lshIdsOnlyExchangeBytes(n, np, 4, 128) <
+      Similarity.lshProbeExchangeBytes(n, 768, np, 4))
+    assert(Similarity.lshProbeExchangeBytes(n, 64, np, 4) <
+      Similarity.lshIdsOnlyExchangeBytes(n, np, 4, 128))
+  }
+
+  test("LSH auto budget dispatch: every branch emits the same pairs on a small corpus") {
+    // bucketSize 8 puts this corpus in the ids-only-cheaper regime
+    // (dim 64 > bucket 8), so all three dispatch steps are reachable
+    def pairs(budget: Long) =
+      Similarity.cosineNearDupLshAuto(embeddings, 0.35, targetBucketSize = 8,
+          shuffleByteBudget = budget)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val n = embeddings.count()
+    val np = Similarity.planesForCorpus(n, 8)
+    val vecBytes = Similarity.lshProbeExchangeBytes(n, 64, np, 4)
+    assert(Similarity.lshIdsOnlyExchangeBytes(n, np, 4, 8) < vecBytes)
+    val roomy = pairs(vecBytes)          // step 1: vector-carrying
+    val idsOnly = pairs(vecBytes - 1)    // step 2: ids-only, same tables
+    val clamped = pairs(1L)              // step 3: clamped ids-only tables
+    assert(roomy == idsOnly)
+    assert(roomy.nonEmpty)
+    // clamped tables lose OR-amplification, never invent pairs
+    assert(clamped.subsetOf(roomy))
+  }
+
   test("media decode: mapPartitions metadata with deterministic stub") {
     val media = Media.attachBlob(docs)
     val meta = Media.decodeMetadata(media).collect()
