@@ -110,11 +110,14 @@ object Media {
     new String(b, off, 4, "ISO-8859-1")
 
   /** All ISO-BMFF boxes of `typ` directly inside [start, end): returns
-    * (payloadStart, payloadEnd) per box. Handles 64-bit `largesize`
-    * (size==1) and to-end (size==0) encodings; stops at malformation.
+    * (boxStart, payloadStart, payloadEnd) per box — boxStart is the
+    * box's own first byte (the offset base `moof`-relative fragment
+    * runs resolve against). Handles 64-bit `largesize` (size==1) and
+    * to-end (size==0) encodings; stops at malformation.
     */
-  private def mp4Boxes(b: Array[Byte], start: Int, end: Int, typ: String): List[(Int, Int)] = {
-    val out = List.newBuilder[(Int, Int)]
+  private def mp4BoxesWithStart(
+      b: Array[Byte], start: Int, end: Int, typ: String): List[(Int, Int, Int)] = {
+    val out = List.newBuilder[(Int, Int, Int)]
     var off = start
     var ok = true
     while (ok && off + 8 <= end) {
@@ -125,12 +128,15 @@ object Media {
         else (8, size0)
       if (size < hdr || off + size > end) ok = false
       else {
-        if (fourcc(b, off + 4) == typ) out += ((off + hdr, off + size.toInt))
+        if (fourcc(b, off + 4) == typ) out += ((off, off + hdr, off + size.toInt))
         off += size.toInt
       }
     }
     out.result()
   }
+
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int, typ: String): List[(Int, Int)] =
+    mp4BoxesWithStart(b, start, end, typ).map { case (_, p, e) => (p, e) }
 
   /** MP4 metadata: duration from `moov/mvhd` (duration/timescale),
     * width/height from the first `trak/tkhd` with a nonzero width (audio
@@ -330,16 +336,36 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** Per-video-track header info pulled from `moov` — what both the
+    * stbl sample walk and the moof fragment walk need: the spec keys
+    * fragments to tracks by `track_ID` (tkhd/tfhd), while `stream_id`
+    * in the output stays the index among VIDEO tracks in moov order.
+    */
+  private final case class TrackInfo(
+      trackId: Long, streamId: Int, timescale: Long, codec: String,
+      stbl: Option[(Int, Int)],
+      // mvex/trex per-track defaults, applied when a fragment's tfhd/
+      // trun omit the field: (size, duration, flags)
+      trexSize: Option[Long], trexDuration: Option[Long], trexFlags: Option[Long])
+
   /** MP4 FRAME-CHUNK INDEX — the ISO-BMFF twin of
     * [[aviFrameChunkIndex]]: video samples are located from the `stbl`
     * sample tables without touching `mdat` — `stsz` (sizes), `stco` /
     * `co64` (chunk offsets), `stsc` (sample→chunk runs), `stss` (sync
-    * samples; absent ⇒ every sample is a keyframe, per spec). Offsets
-    * come out absolute into the blob, `codec_kind` is the `stsd` sample
-    * entry's fourcc (e.g. "avc1"), so a downstream external decoder can
-    * slice exactly the samples it wants. Tracks are filtered to video
-    * via `mdia/hdlr` = 'vide'; a truncated/fragmented file missing any
-    * table yields no rows rather than wrong offsets.
+    * samples; absent ⇒ every sample is a keyframe, per spec) — AND, for
+    * fragmented files (DASH/fMP4, the dominant crawled-video layout),
+    * from the per-fragment `moof/traf/trun` run tables: trun sample
+    * sizes/flags/durations with tfhd/trex defaults filled in, base data
+    * offsets resolved per spec (tfhd base-data-offset when present,
+    * else the enclosing moof's first byte for the first traf /
+    * default-base-is-moof, else the preceding traf's data end), and
+    * presentation time from `tfdt` + cumulative durations (+ trun
+    * composition offsets). Offsets come out absolute into the blob,
+    * `codec_kind` is the `stsd` sample entry's fourcc (e.g. "avc1"), so
+    * a downstream external decoder can slice exactly the samples it
+    * wants. Tracks are filtered to video via `mdia/hdlr` = 'vide'; a
+    * truncated file or a trun whose sizes can't be resolved yields no
+    * rows for that fragment rather than wrong offsets.
     */
   private[operators] def mp4FrameChunkIndex(
       docId: Long, b: Array[Byte]): Option[Vector[FrameChunk]] =
@@ -348,13 +374,28 @@ object Media {
       else {
         def boxes(rs: List[(Int, Int)], typ: String): List[(Int, Int)] =
           rs.flatMap { case (s, e) => mp4Boxes(b, s, e, typ) }
-        val traks = boxes(boxes(List((0, b.length)), "moov"), "trak")
-        val videoStbls = traks.flatMap { trak =>
+        val moov = boxes(List((0, b.length)), "moov")
+        val traks = boxes(moov, "trak")
+        // mvex/trex defaults keyed by track_ID
+        val trex: Map[Long, (Long, Long, Long)] =
+          boxes(boxes(moov, "mvex"), "trex").flatMap { case (p, e) =>
+            if (p + 24 > e) None
+            else Some(be32(b, p + 4) ->
+              (be32(b, p + 16), be32(b, p + 12), be32(b, p + 20)))
+          }.toMap
+        val videoTracks: List[TrackInfo] = traks.flatMap { trak =>
           val mdia = boxes(List(trak), "mdia")
           val isVideo = boxes(mdia, "hdlr").exists { case (hs, he) =>
             hs + 12 <= he && fourcc(b, hs + 8) == "vide" }
           if (!isVideo) Nil
           else {
+            // tkhd: track_ID after version/flags + create/modify times
+            // (v0: 4+4+4 bytes before it; v1: 4+8+8)
+            val trackId = boxes(List(trak), "tkhd").headOption.flatMap {
+              case (p, e) =>
+                val at = if (p < e && b(p) == 1) p + 20 else p + 12
+                if (at + 4 <= e) Some(be32(b, at)) else None
+            }.getOrElse(-1L)
             // mdhd: media timescale (ticks/second) — version 0 places it
             // after 4+4+4 bytes of version/ctime/mtime, version 1 after
             // 4+8+8 (64-bit times)
@@ -366,16 +407,20 @@ object Media {
                   if (at + 4 <= e) Some(be32(b, at)) else None
                 }
             }.getOrElse(0L)
-            boxes(boxes(mdia, "minf"), "stbl").take(1).map((_, timescale))
+            val stbl = boxes(boxes(mdia, "minf"), "stbl").headOption
+            val codec = boxes(stbl.toList, "stsd").headOption
+              .filter { case (p, e) => p + 16 <= e }
+              .map { case (p, _) => fourcc(b, p + 12) }.getOrElse("????")
+            val tx = trex.get(trackId)
+            List(TrackInfo(trackId, streamId = 0, timescale, codec, stbl,
+              tx.map(_._1).filter(_ > 0), tx.map(_._2).filter(_ > 0),
+              tx.map(_._3)))
           }
-        }
-        val all = videoStbls.zipWithIndex.flatMap { case ((stbl, timescale), streamId) =>
-          val st = List(stbl)
-          // stsd: version/flags 4 + entry_count 4, first entry is
-          // size 4 + format fourcc — the codec identifier
-          val codec = boxes(st, "stsd").headOption
-            .filter { case (p, e) => p + 16 <= e }
-            .map { case (p, _) => fourcc(b, p + 12) }.getOrElse("????")
+        }.zipWithIndex.map { case (t, i) => t.copy(streamId = i) }
+        val moovSamples = videoTracks.flatMap { track =>
+          val st = track.stbl.toList
+          val (timescale, streamId, codec) =
+            (track.timescale, track.streamId, track.codec)
           // every expansion is capped by what the blob could possibly
           // index: a corrupt sample_count must not allocate unbounded
           // memory (OOM is an Error and would escape the Exception
@@ -480,6 +525,123 @@ object Media {
             case _ => Vector.empty
           }
         }
+
+        // ---- fragmented samples: moof/traf/trun ----------------------
+        val byTrackId = videoTracks.map(t => t.trackId -> t).toMap
+        // frame_index continues per stream after any moov-based samples
+        val frameAt = scala.collection.mutable.Map.empty[Int, Int]
+        moovSamples.foreach(c =>
+          frameAt(c.stream_id) = frameAt.getOrElse(c.stream_id, 0) + 1)
+        // decode-time cursor per stream: tfdt overrides; absent tfdt
+        // continues from the previous fragment's accumulated ticks
+        val nextTick = scala.collection.mutable.Map.empty[Int, Long]
+        val frag = Vector.newBuilder[FrameChunk]
+        for ((moofStart, ms, me) <- mp4BoxesWithStart(b, 0, b.length, "moof")) {
+          // default base data offset: first traf ⇒ moof's first byte,
+          // later trafs ⇒ end of the preceding traf's data (per spec)
+          var trafBaseDefault = moofStart.toLong
+          for ((ts, te) <- mp4Boxes(b, ms, me, "traf")) {
+            mp4Boxes(b, ts, te, "tfhd").headOption.foreach { case (p, e) =>
+              val tfFlags = (be32(b, p) & 0xFFFFFFL).toInt
+              var at = p + 4
+              val trackId = be32(b, at); at += 4
+              var baseOpt: Option[Long] = None
+              if ((tfFlags & 0x01) != 0 && at + 8 <= e) {
+                baseOpt = Some(be64(b, at)); at += 8
+              }
+              if ((tfFlags & 0x02) != 0) at += 4 // sample-description-index
+              val defDur =
+                if ((tfFlags & 0x08) != 0 && at + 4 <= e) {
+                  val v = be32(b, at); at += 4; Some(v)
+                } else None
+              val defSize =
+                if ((tfFlags & 0x10) != 0 && at + 4 <= e) {
+                  val v = be32(b, at); at += 4; Some(v)
+                } else None
+              val defFlags =
+                if ((tfFlags & 0x20) != 0 && at + 4 <= e) {
+                  val v = be32(b, at); at += 4; Some(v)
+                } else None
+              val base = baseOpt.getOrElse(
+                if ((tfFlags & 0x20000) != 0) moofStart.toLong else trafBaseDefault)
+              val track = byTrackId.get(trackId)
+              val fallbackSize = defSize.orElse(track.flatMap(_.trexSize))
+              val fallbackDur = defDur.orElse(track.flatMap(_.trexDuration))
+              val fallbackFlags = defFlags.orElse(track.flatMap(_.trexFlags))
+              val tfdt = mp4Boxes(b, ts, te, "tfdt").headOption.flatMap {
+                case (tp, tend) =>
+                  if (tp + 8 > tend) None
+                  else if (b(tp) == 1 && tp + 12 <= tend) Some(be64(b, tp + 4))
+                  else Some(be32(b, tp + 4))
+              }
+              var decodeTick = tfdt.getOrElse(
+                track.map(t => nextTick.getOrElse(t.streamId, 0L)).getOrElse(0L))
+              var cursor = base
+              for ((rp, rend) <- mp4Boxes(b, ts, te, "trun")) {
+                val trFlags = (be32(b, rp) & 0xFFFFFFL).toInt
+                var rat = rp + 4
+                val n = be32(b, rat).toInt; rat += 4
+                val haveSize = (trFlags & 0x200) != 0 || fallbackSize.isDefined
+                val haveDur = (trFlags & 0x100) != 0 || fallbackDur.isDefined
+                var off =
+                  if ((trFlags & 0x01) != 0 && rat + 4 <= rend) {
+                    val d = be32(b, rat).toInt; rat += 4 // SIGNED int32
+                    base + d
+                  } else cursor
+                val firstFlags =
+                  if ((trFlags & 0x04) != 0 && rat + 4 <= rend) {
+                    val v = be32(b, rat); rat += 4; Some(v)
+                  } else None
+                val perSample =
+                  Seq(0x100, 0x200, 0x400, 0x800).count(f => (trFlags & f) != 0)
+                var i = 0
+                // a trun whose sizes can't be resolved (no per-sample
+                // sizes, no tfhd/trex default) locates nothing — skip it
+                // rather than emit wrong offsets
+                while (haveSize && i < n && n >= 0 &&
+                    rat + 4L * perSample <= rend) {
+                  val dur =
+                    if ((trFlags & 0x100) != 0) { val v = be32(b, rat); rat += 4; v }
+                    else fallbackDur.getOrElse(0L)
+                  val size =
+                    if ((trFlags & 0x200) != 0) { val v = be32(b, rat); rat += 4; v }
+                    else fallbackSize.get
+                  val sflags =
+                    if ((trFlags & 0x400) != 0) { val v = be32(b, rat); rat += 4; Some(v) }
+                    else if (i == 0 && firstFlags.isDefined) firstFlags
+                    else fallbackFlags
+                  val cto =
+                    if ((trFlags & 0x800) != 0) { val v = be32(b, rat).toInt; rat += 4; v.toLong }
+                    else 0L
+                  track.foreach { t =>
+                    val idx = frameAt.getOrElse(t.streamId, 0)
+                    // sample_is_non_sync_sample is bit 16 of the sample
+                    // flags; keyframe = its negation, None when no flag
+                    // source exists anywhere
+                    val keyframe = sflags.map(f => ((f >> 16) & 1L) == 0L)
+                    val pts =
+                      if (t.timescale > 0 && (haveDur || i == 0))
+                        Some((decodeTick + cto) * 1000L / t.timescale)
+                      else None
+                    if (off >= 0 && size >= 0 && off + size <= b.length) {
+                      frag += FrameChunk(docId, idx, t.streamId, t.codec,
+                        offset = off, size = size, keyframe = keyframe,
+                        pts_ms = pts)
+                      frameAt(t.streamId) = idx + 1
+                    }
+                  }
+                  off += size
+                  decodeTick += dur
+                  i += 1
+                }
+                cursor = math.max(cursor, off)
+              }
+              track.foreach(t => nextTick(t.streamId) = decodeTick)
+              trafBaseDefault = cursor
+            }
+          }
+        }
+        val all = moovSamples ++ frag.result()
         if (all.isEmpty) None else Some(all.toVector)
       }
     } catch { case _: Exception => None }

@@ -48,6 +48,66 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       val c1 = c0 + samples(0).length + samples(1).length
       ftyp ++ moov(Seq(c0, c1)) ++ box("mdat", samples.flatten.toArray)
     }
+
+    /** Fragmented (DASH/fMP4) twin: the same 4 sample payloads delivered
+      * via two moof+mdat pairs instead of stbl tables. Exercises every
+      * fragment-side rule the walker implements: tfhd default-base-is-
+      * moof + default-sample-duration, trex default-sample-flags fallback
+      * (fragment 1's second sample has no per-sample or tfhd flags),
+      * trun data-offset (moof-relative), a second trun WITHOUT a
+      * data-offset continuing at the previous trun's data end, trun
+      * first-sample-flags, per-sample flags with the non-sync bit, and
+      * tfdt v0/v1 decode times feeding pts.
+      */
+    lazy val fragBlob: Array[Byte] = {
+      val ftyp = box("ftyp", "isom".getBytes ++ be(512))
+      val trakV = box("trak",
+        // tkhd v0: ver/flags, ctime, mtime, track_ID = 7
+        box("tkhd", be(0) ++ be(0) ++ be(0) ++ be(7)) ++
+        box("mdia",
+          box("hdlr", be(0) ++ be(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0)) ++
+          box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0)) ++
+          box("minf", box("stbl",
+            box("stsd", be(0) ++ be(1) ++ be(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)) ++
+            box("stsz", be(0) ++ be(0) ++ be(0)) ++    // empty: samples come from moofs
+            box("stsc", be(0) ++ be(0)) ++
+            box("stco", be(0) ++ be(0))))))
+      // trex: ver/flags, track_ID, default_sample_description_index,
+      // default_sample_duration(0), default_sample_size(0),
+      // default_sample_flags = non-sync (the fallback when a fragment
+      // sample has no flags of its own)
+      val mvex = box("mvex",
+        box("trex", be(0) ++ be(7) ++ be(1) ++ be(0) ++ be(0) ++ be(0x10000)))
+      val moov = box("moov", trakV ++ mvex)
+      // fragment 1: tfhd carries default-base-is-moof (0x20000) +
+      // default-sample-duration 40 (0x08); one trun with a data-offset,
+      // first-sample-flags sync, per-sample sizes 10 and 12
+      def moof1(d: Int) = box("moof",
+        box("mfhd", be(0) ++ be(1)) ++
+        box("traf",
+          box("tfhd", be(0x020008) ++ be(7) ++ be(40)) ++
+          box("tfdt", be(0) ++ be(0)) ++
+          box("trun", be(0x000205) ++ be(2) ++ be(d) ++ be(0) ++
+            be(samples(0).length) ++ be(samples(1).length))))
+      // fragment 2: tfdt VERSION 1 (64-bit decode time 80); trun A has a
+      // data-offset and per-sample duration/size/flags (sync); trun B
+      // has NO data-offset — its sample must continue at trun A's data
+      // end — and a non-sync per-sample flag
+      def moof2(d: Int) = box("moof",
+        box("mfhd", be(0) ++ be(2)) ++
+        box("traf",
+          box("tfhd", be(0x020000) ++ be(7)) ++
+          box("tfdt", be(0x01000000) ++ be(0) ++ be(80)) ++
+          box("trun", be(0x000701) ++ be(1) ++ be(d) ++
+            be(60) ++ be(samples(2).length) ++ be(0)) ++
+          box("trun", be(0x000700) ++ be(1) ++
+            be(60) ++ be(samples(3).length) ++ be(0x10000))))
+      val d1 = moof1(0).length + 8
+      val d2 = moof2(0).length + 8
+      ftyp ++ moov ++
+        moof1(d1) ++ box("mdat", (samples(0) ++ samples(1)).toArray) ++
+        moof2(d2) ++ box("mdat", (samples(2) ++ samples(3)).toArray)
+    }
   }
 
   test("exact dedup keeps the min-id row per content hash") {
@@ -963,6 +1023,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     // mdhd timescale = milliseconds directly
     assert(rows.map(_.pts_ms).toSeq ==
       Seq(Some(0L), Some(40L), Some(80L), Some(140L)))
+  }
+
+  test("fragmented mp4 (moof/trun): index resolves fragment runs byte-exactly") {
+    val samples = Mp4Fixture.samples
+    val blob = Mp4Fixture.fragBlob
+    assert(Media.sniffFormat(blob).contains("mp4"))
+    val rows = Media.frameChunkIndex(Seq((1L, blob)).toDF("doc_id", "blob"))
+      .collect().sortBy(_.frame_index)
+    assert(rows.length == 4, s"expected 4 fragment samples, got ${rows.toSeq}")
+    assert(rows.forall(c => c.stream_id == 0 && c.codec_kind == "avc1"))
+    // byte-exact: every chunk location slices the original payload
+    def slice(c: Media.FrameChunk) =
+      blob.slice(c.offset.toInt, (c.offset + c.size).toInt).toSeq
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(slice(rows(i)) == s.toSeq, s"fragment sample $i bytes")
+    }
+    // keyframes: trun first-sample-flags (sync), trex default (non-sync),
+    // per-sample sync, per-sample non-sync
+    assert(rows.map(_.keyframe).toSeq ==
+      Seq(Some(true), Some(false), Some(true), Some(false)))
+    // pts: tfdt 0 + default duration 40, then tfdt(v1) 80 + trun
+    // duration 60 — over the 1000-tick/s mdhd timescale
+    assert(rows.map(_.pts_ms).toSeq ==
+      Seq(Some(0L), Some(40L), Some(80L), Some(140L)))
+    // keyframe sampling rides the fragment index the same as stbl files
+    val sampled = Media.sampleKeyframes(
+        Seq((1L, blob)).toDF("doc_id", "blob"), everyMs = 50L)
+      .collect().sortBy(_.frame_index)
+    assert(sampled.map(_.frame_bytes.toSeq).toSeq ==
+      Seq(samples(0).toSeq, samples(2).toSeq))
+    // truncation: cutting mid-mdat drops exactly the out-of-bounds
+    // locations (correct-by-refusal, not zero-padding)
+    val cut = java.util.Arrays.copyOf(blob, blob.length - 8)
+    val cutRows = Media.frameChunkIndex(Seq((2L, cut)).toDF("doc_id", "blob"))
+      .collect()
+    assert(cutRows.forall(c => c.offset + c.size <= cut.length))
+    assert(cutRows.length == 2, s"8-byte cut clips sample 4 and sample 3")
   }
 
   test("keyframe sampling picks one keyframe per interval and slices its bytes") {
