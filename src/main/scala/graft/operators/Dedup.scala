@@ -737,6 +737,25 @@ object Dedup {
     val simLazy = simHash(docs.select(col(idCol), col(textCol)), textCol)
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol), col("simhash"))
+    hammingNearDups(simLazy, idCol, "simhash", maxHamming, materializeIndex)
+  }
+
+  /** Blocked hamming-distance near-dup join over ANY 64-bit signature
+    * relation — the machinery [[simHashNearDups]] runs over text
+    * simhashes, factored out so other fingerprints (image dHash/pHash in
+    * [[graft.operators.Media]]) bucket through the identical 4×16-bit
+    * block + single-bit-probe scheme. Exact recall for hamming ≤ 7 by
+    * the pigeonhole argument documented above; shuffle carries ids +
+    * block keys only.
+    */
+  def hammingNearDups(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 7,
+      materializeIndex: Boolean = false): DataFrame = {
+    require(maxHamming <= 7,
+      "4 x 16-bit blocks with 1-bit probes guarantee recall only for d <= 7")
     // Lazy by default (one job, signature scan recomputed per join
     // branch); materialized mode persists the ids+signature relation
     // (16 B/row — smaller than any exploded index) and checkpoints the
@@ -744,22 +763,22 @@ object Dedup {
     // [[nearDuplicatePairs]].
     val sim =
       if (materializeIndex)
-        simLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else simLazy
+        sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs
     def blockKey(b: Int) =
-      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+      shiftrightunsigned(col(sigCol), b * 16).bitwiseAND(0xFFFFL)
     // probe side: exact block value (v = -1) plus each single-bit flip
     val probes = sim.withColumn("blk",
         explode(array((for { b <- 0 until 4; v <- -1 until 16 } yield struct(
           lit(b).as("block_id"),
           (if (v < 0) blockKey(b)
            else blockKey(b).bitwiseXOR(lit(1L << v))).as("block_key"))): _*)))
-      .select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
+      .select(col(idCol).as("id_a"), col(sigCol).as("sim_a"),
         col("blk.block_id"), col("blk.block_key"))
     val index = sim.withColumn("blk",
         explode(array((0 until 4).map(b => struct(
           lit(b).as("block_id"), blockKey(b).as("block_key"))): _*)))
-      .select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
+      .select(col(idCol).as("id_b"), col(sigCol).as("sim_b"),
         col("blk.block_id"), col("blk.block_key"))
     // id_a < id_b loses no recall: probes and index both cover every
     // doc, and block matching is symmetric (a ^ flip = b ⇔ b ^ flip = a)

@@ -824,6 +824,120 @@ object Media {
       }
   }
 
+  // --- image perceptual hashing (dHash) -------------------------------
+
+  /** Minimal 24-bit BMP writer: grayscale pixels (0–255, row-major,
+    * TOP-down in `pixels`) become a real decodable bitmap (BMP stores
+    * rows bottom-up with 4-byte row padding; r=g=b=value). Exists so
+    * corpora without true image payloads can still drive the REAL
+    * decode path — [[dHash64]] reads these through javax.imageio like
+    * any crawled image — with pixel values that stay closed-form for a
+    * SQL oracle.
+    */
+  def grayBmp(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val fileSize = 54 + dataSize
+    val out = new Array[Byte](fileSize)
+    def putLe(off: Int, v: Int, n: Int): Unit =
+      (0 until n).foreach(i => out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    putLe(2, fileSize, 4)           // file size (the sniffer checks it)
+    putLe(10, 54, 4)                // pixel data offset
+    putLe(14, 40, 4)                // BITMAPINFOHEADER size
+    putLe(18, w, 4)
+    putLe(22, h, 4)                 // positive height = bottom-up rows
+    putLe(26, 1, 2)                 // planes
+    putLe(28, 24, 2)                // bits per pixel
+    putLe(34, dataSize, 4)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y        // bottom-up
+      var x = 0
+      while (x < w) {
+        val v = (pixels(srcRow * w + x) & 0xff).toByte
+        val at = 54 + y * rowBytes + x * 3
+        out(at) = v; out(at + 1) = v; out(at + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash) of an image blob: decode via
+    * javax.imageio, reduce to a 9×8 grayscale grid (integer block
+    * average — deterministic, no float resampling), then bit (r·8+c) =
+    * 1 iff gray(r,c) > gray(r,c+1). Horizontal-gradient signs survive
+    * resizing/recompression, which is what makes dHash a near-dup
+    * signature; hamming distance between hashes ≈ perceptual distance.
+    * None for blobs no installed reader decodes (the compressed-codec
+    * stance everywhere in this file: refuse, don't fake).
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w < 9 || h < 8) None
+        else {
+          val g = Array.ofDim[Long](8, 9)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 9) {
+              // block [r·h/8, (r+1)·h/8) × [c·w/9, (c+1)·w/9): integer
+              // bounds, exact mean over the block
+              val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+              val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+              var sum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              g(r)(c) = sum / (3L * (y1 - y0) * (x1 - x0))
+              c += 1
+            }
+            r += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (g(k / 8)(k % 8) > g(k / 8)(k % 8 + 1)) hash |= (1L << k)
+            k += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-image dHash signatures over (doc_id, blob) rows — map-side,
+    * one decoder init per partition; undecodable blobs drop out. Feed
+    * the result to [[graft.operators.Dedup.hammingNearDups]] for the
+    * blocked hamming near-dup join (exact recall ≤ 7): hashing is the
+    * only pixel-touching step, so a 100 TB image corpus shuffles 16 B
+    * signatures, never pixels.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (docId, bytes) =>
+          dHash64(bytes).map(h => (docId, h))
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
   /** The end-user routine the chunk index exists for: select keyframes
     * at most one per `everyMs` of presentation time (all keyframes when
     * the container has no timing; every frame when it has no keyframe

@@ -110,6 +110,7 @@ object QueryPack
     "q83_cross_dedup"       -> (crossCorpusDedup _),
     "q84_semdedup"          -> (semanticDedupStats _),
     "q85_prototypes"        -> (prototypePruneStats _),
+    "q86_image_dhash"       -> (imageDHashPairs _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

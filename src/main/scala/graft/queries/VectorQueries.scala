@@ -217,6 +217,46 @@ private[queries] trait VectorQueries {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
 
+  /** Image near-duplicate detection via perceptual hash (dHash),
+    * end to end through REAL pixels: each document synthesizes a 9×8
+    * grayscale BMP whose pixel values are closed-form (FNV-mixed by
+    * doc GROUP, so every 4 consecutive docs share a base image, plus a
+    * tiny per-doc perturbation — planted near-dups), the engine WRITES
+    * the bitmap, DECODES it back through javax.imageio
+    * ([[graft.operators.Media.dHash64]]), hashes the gradient signs,
+    * and joins hashes through the blocked-hamming machinery
+    * ([[graft.operators.Dedup.hammingNearDups]], exact recall ≤ 7).
+    * The oracle replays pixels → bits → brute-force hamming join in
+    * SQL, so a decode/writer/hash/join bug anywhere flips the gate.
+    * Scale shape: pixels never shuffle — only 16 B (id, hash) rows.
+    */
+  def imageDHashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+      .select(col("doc_id")).as[Long]
+    val sigs = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val px = Array.tabulate(72) { idx =>
+          // base from FNV bits 16–23 (low byte is a weak mod-256
+          // multiplicative chain; the ":gfx" suffix gives the varying
+          // digits the extra multiply rounds FNV needs to avalanche
+          // into these bits) — same arithmetic restated in the oracle
+          val h = org.apache.spark.sql.graft.TextHashOps.fnv64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"${id / 4}:$idx:gfx"))
+          val base = ((h >>> 16) & 0xffL).toInt
+          val pert = if ((idx * 7 + id % 4) % 36 == 0) 64 else 0
+          (base + pert) % 256
+        }
+        val bmp = graft.operators.Media.grayBmp(px, 9, 8)
+        val hash = graft.operators.Media.dHash64(bmp)
+          .getOrElse(sys.error(s"synthesized BMP for doc $id failed to decode"))
+        (id, hash)
+      }
+    }.toDF("doc_id", "dhash")
+    Dedup.hammingNearDups(sigs, "doc_id", "dhash", maxHamming = 7)
+  }
+
   private[queries] def vectorOracles: Map[String, String] = Map(
     "q23_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
@@ -377,6 +417,31 @@ private[queries] trait VectorQueries {
          |SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
          |FROM pr WHERE rk > (n * 300) // 1000
          |GROUP BY label""".stripMargin
+    },
+    // dHash replay: same FNV pixel arithmetic (bits 16–23 of the hash
+    // of "group:idx:gfx" + the per-doc perturbation), same gradient-
+    // sign bit packing (bit k compares row-major pixels k//8*9+k%8 and
+    // its right neighbor — DuckDB lists are 1-based), brute-force
+    // hamming join over the packed hashes.
+    "q86_image_dhash" -> {
+      val pixStr = "CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(idx AS VARCHAR) || ':gfx'"
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+         |px AS (SELECT doc_id, idx,
+         |  (CAST((${fnvSql(s"($pixStr)")} >> 16) & 255 AS BIGINT)
+         |    + CASE WHEN (idx * 7 + doc_id % 4) % 36 = 0 THEN 64 ELSE 0 END) % 256 AS p
+         | FROM d, range(0, 72) t(idx)),
+         |pl AS (SELECT doc_id, list(p ORDER BY idx) AS p FROM px GROUP BY doc_id),
+         |h AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 64), k ->
+         |    CASE WHEN p[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+         |            > p[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+         |    THEN CAST(power(2, k) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))
+         |   AS UBIGINT) AS us
+         | FROM pl)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.us, b.us)) AS INT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.us, b.us)) <= 7""".stripMargin
     },
     "q64_emb_quantize" ->
       """WITH e AS (

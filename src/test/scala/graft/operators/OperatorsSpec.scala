@@ -1138,6 +1138,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .collect() // must not throw
   }
 
+  test("image dHash: decode→downscale→gradient bits, stable under perturbation") {
+    val rnd = new scala.util.Random(7)
+    // a 90×80 "photo" with smooth structure (so dHash bits are driven
+    // by real gradients, not noise): value = smooth ramp + texture
+    def basePixels: Array[Int] = Array.tabulate(90 * 80) { i =>
+      val x = i % 90; val y = i / 90
+      (x * 2 + y + 40 * math.sin(x / 9.0).toInt + (rnd.nextInt(7) - 3)) & 0xff
+    }
+    val base = basePixels
+    // mild perturbation: small additive noise — same image perceptually
+    val perturbed = base.map(v => (v + rnd.nextInt(5) - 2) & 0xff)
+    // a genuinely different image
+    val other = Array.tabulate(90 * 80) { i => ((i * 2654435761L) >>> 13).toInt & 0xff }
+    def hash(px: Array[Int]) =
+      Media.dHash64(Media.grayBmp(px, 90, 80)).get
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hb, hp, ho) = (hash(base), hash(perturbed), hash(other))
+    assert(hamming(hb, hp) <= 7, s"perturbed copy drifted ${hamming(hb, hp)} bits")
+    assert(hamming(hb, ho) > 7, s"unrelated image landed ${hamming(hb, ho)} bits away")
+    // identity case: a 9×8 bitmap round-trips through write→decode to
+    // exactly the closed-form gradient bits (the q86 oracle's contract)
+    val small = Array.tabulate(72)(idx => (idx * 31 + 7) % 256)
+    val direct = (0 until 64).foldLeft(0L) { (h, k) =>
+      if (small((k / 8) * 9 + k % 8) > small((k / 8) * 9 + k % 8 + 1)) h | (1L << k) else h
+    }
+    assert(hash2(small) == direct)
+    def hash2(px: Array[Int]) = Media.dHash64(Media.grayBmp(px, 9, 8)).get
+    // end to end: the blocked hamming join surfaces the planted pair
+    // and not the unrelated one
+    val sigs = Seq((1L, hb), (2L, hp), (3L, ho)).toDF("doc_id", "dhash")
+    val pairs = Dedup.hammingNearDups(sigs, "doc_id", "dhash", maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // undecodable blobs drop out rather than fake a signature
+    assert(Media.dHash64("not an image".getBytes).isEmpty)
+  }
+
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
     val media = Media.attachBlob(docs.limit(10))
     val frames = Media.sampleFrames(media, frameBytes = 100).collect()
