@@ -47,6 +47,71 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Embedded subword vocabulary for [[bpeTokenCount]] — the multi-char
+    * pieces a greedy longest-match tokenizer may consume in one step
+    * (single characters are always implicitly in-vocab as the fallback).
+    * Deterministic and small on purpose: the SAME literal list embeds in
+    * the DuckDB oracle, so token accounting is cross-engine replayable.
+    * A production build swaps in a real learned merge table behind the
+    * identical column signature.
+    */
+  val BpeVocab: Seq[String] = Seq(
+    "able", "ream", "ilt", "ata", "ble", "rge", "ter", "the", "row",
+    "dow", "umn", "ine", "ash", "oin", "val", "an", "in", "st", "re",
+    "er", "or", "al", "ow", "sc", "ta", "sm", "ue", "ey")
+
+  /** Greedy longest-match subword count for ONE word: walk the word
+    * left to right, at each position consuming the longest [[BpeVocab]]
+    * piece that matches (else one character), and count the consumed
+    * pieces — WordPiece-style segmentation, the accounting an actual
+    * training pipeline's tokenizer produces (unlike the
+    * [[subwordCount]] regex proxy, kept as the cheap path).
+    *
+    * The sequential scan is expressed as one `aggregate` over character
+    * positions with the cursor state BIT-PACKED into the accumulator
+    * (pos in the high 32 bits, count in the low 32): positions the
+    * greedy cursor already consumed are skipped by the `i < pos` guard.
+    * Pure codegen'd built-ins — no UDF — and the identical fold
+    * restates in DuckDB as `list_reduce` with the same shift/mask
+    * arithmetic, which is what makes a full hash oracle possible for a
+    * tokenizer.
+    */
+  def bpeWordTokens(w: Column): Column = bind(w) { wb =>
+    val step = (acc: Column, i: Column) => {
+      val pos = shiftrightunsigned(acc, 32)
+      val cnt = acc.bitwiseAND(lit(0xFFFFFFFFL))
+      val matchLen = greatest(
+        lit(1) +: BpeVocab.map(p =>
+          when(wb.substr(i, lit(p.length)) === lit(p), lit(p.length))
+            .otherwise(lit(1))): _*)
+      when(i.cast("long") < pos, acc)
+        .otherwise(shiftleft((i + matchLen).cast("long"), 32)
+          .bitwiseOR(cnt + lit(1L)))
+    }
+    when(length(wb) === 0, lit(0L))
+      .otherwise(
+        aggregate(sequence(lit(1), length(wb)), lit(1L << 32), step)
+          .bitwiseAND(lit(0xFFFFFFFFL)))
+  }
+
+  /** Greedy-BPE subword count over a whole text: Σ per-word counts. */
+  def bpeTokenCount(text: Column): Column = bind(tokens(text)) { toks =>
+    aggregate(toks, lit(0L), (acc, w) => acc + bpeWordTokens(w))
+  }
+
+  /** DuckDB twin of [[bpeWordTokens]] over an in-scope word expression
+    * `w`: the same bit-packed greedy fold via list_reduce. */
+  def bpeWordTokensSql(w: String): String = {
+    val pieces = BpeVocab.map(p =>
+      s"CASE WHEN substr($w, CAST(i AS INT), ${p.length}) = '$p' THEN ${p.length} ELSE 1 END")
+      .mkString(", ")
+    s"""CASE WHEN length($w) = 0 THEN 0 ELSE
+       | list_reduce(list_prepend(CAST(4294967296 AS BIGINT), range(1, length($w) + 1)),
+       |  (acc, i) -> CASE WHEN i < (acc >> 32) THEN acc
+       |   ELSE ((i + GREATEST(1, $pieces)) << 32) | ((acc & 4294967295) + 1) END)
+       | & 4294967295 END""".stripMargin.replace("\n", " ")
+  }
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))

@@ -111,6 +111,7 @@ object QueryPack
     "q84_semdedup"          -> (semanticDedupStats _),
     "q85_prototypes"        -> (prototypePruneStats _),
     "q86_image_dhash"       -> (imageDHashPairs _),
+    "q87_bpe_tokens"        -> (bpeTokenStats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -255,6 +255,23 @@ private[queries] trait TextQueries {
            count(when(col("splits") > 0, 1)).as("n_boundary_docs"))
   }
 
+  /** Real subword-tokenizer accounting: greedy longest-match BPE over
+    * the embedded merge vocab ([[TextFunctions.bpeTokenCount]] — a
+    * WordPiece-style fold, not the regex proxy), per language, next to
+    * the whitespace-token count for compression-ratio context. This is
+    * the token arithmetic a training pipeline budgets with; the oracle
+    * replays the identical greedy fold in SQL (list_reduce with the
+    * same bit-packed cursor), so the gate pins every consumed piece.
+    */
+  def bpeTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_bpe", TextFunctions.bpeTokenCount(col("text")))
+      .withColumn("n_ws", TextFunctions.tokenCount(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bpe")).as("total_subword_tokens"),
+           sum(col("n_ws")).as("total_ws_tokens"))
+
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
     * whose tokens are ALL short (the per-row any/all quantifiers the
@@ -451,6 +468,19 @@ private[queries] trait TextQueries {
          | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
          | CAST((SUM(n_tok) + 2047) // 2048 AS BIGINT) AS n_bins,
          | COUNT(CASE WHEN splits > 0 THEN 1 END) AS n_boundary_docs
+         |FROM f GROUP BY lang""".stripMargin
+    },
+    "q87_bpe_tokens" -> {
+      val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w,
+         |  CAST($nTok AS BIGINT) AS n_ws FROM documents),
+         |f AS (SELECT lang, n_ws,
+         |  COALESCE(list_sum(list_transform(w, x -> ${TextFunctions.bpeWordTokensSql("x")})), 0) AS n_bpe
+         | FROM t)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_bpe) AS BIGINT) AS total_subword_tokens,
+         | CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens
          |FROM f GROUP BY lang""".stripMargin
     },
     "q78_quantifiers" ->

@@ -52,6 +52,32 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(one[Int](TextFunctions.subwordCount($"text"), "a1b") == 3)
   }
 
+  test("greedy BPE tokenizer: hand-verified segmentations and invariants") {
+    def bpe(t: String): Long = one[Long](TextFunctions.bpeTokenCount($"text"), t)
+    // hand-walked greedy longest-match over BpeVocab:
+    assert(bpe("table") == 2)   // ta|ble
+    assert(bpe("stream") == 2)  // st|ream
+    assert(bpe("window") == 3)  // w|in|dow
+    assert(bpe("value") == 2)   // val|ue
+    assert(bpe("scan") == 2)    // sc|an
+    assert(bpe("a") == 1)       // single-char fallback
+    assert(bpe("xyzq") == 4)    // nothing matches: all 1-char pieces
+    assert(bpe("") == 0)
+    assert(bpe("   ") == 0)
+    assert(bpe("table stream") == 4) // per-word sums
+    // greedy is position-committed: "ta" consumes positions 1–2, so the
+    // "an" piece at position 2 is never considered
+    assert(bpe("tangent") == 6) // ta|n|g|e|n|t
+    // invariants: ≥ word count (every word yields ≥1), ≤ char count
+    val texts = Seq("the quick brown fox", "data table stream scan scan",
+      "merge order value window column")
+    for (t <- texts) {
+      val n = bpe(t)
+      val words = t.trim.split("\\s+").length
+      assert(n >= words && n <= t.replace(" ", "").length, s"bounds on '$t'")
+    }
+  }
+
   test("quality score stays in [0,1] and rewards clean prose") {
     val clean = "the quick brown fox jumps over the lazy dog and runs on for a while longer"
     val junk = "!!! ??? ### $$$ %%%"
