@@ -22,8 +22,19 @@ import org.apache.spark.sql.functions._
   * corpus and threshold, so the two builds' survivor counts and walls
   * sit side by side in SCALING.md.
   *
+  * Mode `planted` / `plantedtwo` measures recall in semantic dedup's
+  * DESIGNED regime (near-identical duplicates, the published SemDeDup
+  * use case): every 10th corpus vector gets an ε-perturbed copy
+  * (alternating-sign offset scaled to ~cosine 0.97, spreading
+  * 0.95–0.99 with the vector's own geometry), the TRUTH set is the
+  * planted pairs whose exact cosine clears the threshold, and recall
+  * is the fraction of those whose copy the operator actually drops.
+  * This complements the τ=0.4 background-level table (which measures
+  * the cross-cluster loss SemDeDup trades away) with the number that
+  * matters in production: near-identical recall.
+  *
   * Usage: runMain graft.tools.SemDedupScale <sfDir> [threshold]
-  *        [targetCellSize] [bruteMaxN] [mode: single|twolevel]
+  *        [targetCellSize] [bruteMaxN] [mode: single|twolevel|planted|plantedtwo]
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
@@ -48,6 +59,53 @@ object SemDedupScale {
     val n = corpus.count()
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val k = math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+
+    if (mode == "planted" || mode == "plantedtwo") {
+      import graft.functions.VectorFunctions
+      val offset = 100000000L
+      // ε-perturbed copies of every 10th vector: v' = v + 0.25·|v|·u/|u|
+      // with u the alternating ±1 pattern (|u| = √dim) → cosine ≈
+      // 1/√(1+0.25²) ≈ 0.970 when u ⊥ v, spreading 0.95–0.99 as u·v
+      // varies with each vector's geometry
+      // arg 6 = perturbation scale s (cosine ≈ 1/√(1+s²)): 0.10 → 0.995
+      // (near-identical, the designed regime), 0.25 → 0.970 (stress —
+      // exposes the quantizer's boundary-split miss rate)
+      val epsScale = if (args.length > 5) args(5).toDouble else 0.10
+      val eps = epsScale / math.sqrt(dim.toDouble)
+      def perturb(v: org.apache.spark.sql.Column) =
+        graft.functions.TextFunctions.bind(VectorFunctions.norm(v)) { nm =>
+          zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) =>
+            x + lit(eps) * nm * when(i % 2 === 0, 1.0).otherwise(-1.0))
+        }
+      val base = corpus.filter(col("vec_id") % 10 === 0)
+      val planted = base.select((col("vec_id") + offset).as("vec_id"),
+        perturb(col("embedding")).as("embedding"))
+      val full = corpus.unionByName(planted)
+      // truth: planted pairs whose EXACT cosine clears the threshold
+      val pairCos = base.select(col("vec_id"),
+          VectorFunctions.normalize(col("embedding")).as("e1"))
+        .join(planted.select((col("vec_id") - offset).as("vec_id"),
+          VectorFunctions.normalize(col("embedding")).as("e2")), Seq("vec_id"))
+        .select(col("vec_id"), VectorFunctions.dot(col("e1"), col("e2")).as("cos"))
+        .cache()
+      val truth = pairCos.filter(col("cos") >= threshold)
+        .select((col("vec_id") + offset).as("vec_id")).cache()
+      val nTruth = truth.count()
+      val t0 = System.nanoTime()
+      val survivors =
+        (if (mode == "plantedtwo")
+           Similarity.semanticDedupTwoLevel(full, dim, threshold, targetCell)
+         else Similarity.semanticDedupAuto(full, dim, threshold, targetCell))
+          .select("vec_id").cache()
+      val nSurv = survivors.count()
+      val tWall = (System.nanoTime() - t0) / 1e9
+      val droppedTruth = nTruth - truth.join(survivors, Seq("vec_id")).count()
+      val recall = if (nTruth == 0) 0.0 else droppedTruth.toDouble / nTruth
+      println(
+        s"""{"metric":"semdedup_planted","mode":"$mode","n":$n,"n_planted":${planted.count()},"eps_scale":$epsScale,"threshold":$threshold,"truth_pairs":$nTruth,"dropped":$droppedTruth,"recall":${f"$recall%.4f"},"survivors":$nSurv,"wall_sec":${f"$tWall%.2f"}}""")
+      spark.stop()
+      return
+    }
 
     if (mode == "twolevel") {
       val t0 = System.nanoTime()

@@ -146,6 +146,52 @@ class SemanticPruneSpec extends AnyFunSuite with SparkTest {
     assert(kept.size <= n)
   }
 
+  test("planted near-identical dups: designed-regime recall for both builds") {
+    // SemDeDup's DESIGNED regime is near-identical duplicates (ε-copies
+    // at cosine 0.9–0.99), not the background-τ setting the scale table
+    // measures. Plant an ε-perturbed copy of every 10th vector, take as
+    // TRUTH the planted pairs whose exact cosine clears τ = 0.95, and
+    // require both build paths to drop (almost) all of them — a miss
+    // can only come from the quantizer splitting a near-identical pair
+    // across cells, which bounded-size k-means should essentially never
+    // do at these distances. Mirrors the q80 planted-pair pattern and
+    // the SemDedupScale `planted` mode run at 200k/2M in SCALING.md.
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val dim = 64
+    val offset = 100000L
+    val eps = 0.10 / math.sqrt(dim.toDouble) // cosine ≈ 0.995 per pair
+    def perturb(v: org.apache.spark.sql.Column) =
+      TextFunctions.bind(VectorFunctions.norm(v)) { nm =>
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x + lit(eps) * nm * when(i % 2 === 0, 1.0).otherwise(-1.0))
+      }
+    val base = corpus.filter($"vec_id" % 10 === 0)
+    val planted = base.select(($"vec_id" + offset).as("vec_id"),
+      perturb($"embedding").as("embedding"))
+    val full = corpus.unionByName(planted)
+    val threshold = 0.95
+    val truth = base.select($"vec_id",
+        VectorFunctions.normalize($"embedding").as("e1"))
+      .join(planted.select(($"vec_id" - offset).as("vec_id"),
+        VectorFunctions.normalize($"embedding").as("e2")), Seq("vec_id"))
+      .filter(VectorFunctions.dot($"e1", $"e2") >= threshold)
+      .select(($"vec_id" + offset).as("vec_id"))
+      .as[Long].collect().toSet
+    // sf0.001 has 500 embeddings → 50 planted copies; the ε dial lands
+    // all of them in [0.95, 0.99] (measured: 0.968–0.970)
+    assert(truth.size >= 45, s"perturbation left only ${truth.size} truthful pairs")
+    for ((name, df) <- Seq(
+        "auto" -> Similarity.semanticDedupAuto(full, dim, threshold),
+        "twoLevel" -> Similarity.semanticDedupTwoLevel(full, dim, threshold))) {
+      val survivors = df.select("vec_id").as[Long].collect().toSet
+      val dropped = truth.count(id => !survivors.contains(id))
+      val recall = dropped.toDouble / truth.size
+      assert(recall >= 0.95, s"$name planted recall $recall (${truth.size} truth pairs)")
+    }
+  }
+
   test("prototypePrune drops the integer 30% cut, most-prototypical first") {
     // centroid = mean(raw) = (0.7, 0.3375); cosines to it: v3 0.989,
     // v2 0.943, v1 0.901, v4 0.522 — floor(4*300/1000) = 1, so exactly
