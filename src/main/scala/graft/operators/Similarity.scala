@@ -638,7 +638,20 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, clusterCol: String,
                     threshold: Double,
-                    clusterCountHint: Long = 0L): DataFrame = {
+                    clusterCountHint: Long = 0L): DataFrame =
+    corpus.join(
+      semanticDropped(corpus, clusterCol, threshold, clusterCountHint),
+      Seq("vec_id"), "left_anti")
+
+  /** The DROPPED-id set behind [[semanticDedup]] — factored out so
+    * multi-assignment callers (a corpus row exploded into several
+    * candidate cells) can anti-join the drop set against the ORIGINAL
+    * corpus rather than the exploded relation. Input may carry
+    * duplicate (vec_id, cell) rows; the output is distinct ids.
+    */
+  private def semanticDropped(corpus: DataFrame, clusterCol: String,
+                              threshold: Double,
+                              clusterCountHint: Long): DataFrame = {
     // Zero-norm contract: an all-zero embedding has no direction, so it
     // neither drops anything nor can be dropped — it is excluded from the
     // prune join entirely (and therefore always survives). Without this
@@ -676,11 +689,10 @@ object Similarity {
         b.withColumn("_slice",
           explode(array((0 until slices).map(lit(_)): _*))),
         Seq("_cell", "_slice"))
-    val dropped = aS.join(bS, joinKeys)
+    aS.join(bS, joinKeys)
       .filter(col("_id_a") < col("_id_b") &&
         VectorFunctions.dot(col("_emb_a"), col("_emb_b")) >= threshold)
       .select(col("_id_b").as("vec_id")).distinct()
-    corpus.join(dropped, Seq("vec_id"), "left_anti")
   }
 
   /** Semantic dedup on the production BUILD path: a k-means coarse
@@ -693,18 +705,51 @@ object Similarity {
     * centroids to a broadcast centroid table — the join shape of the
     * prune itself is unchanged.
     */
+  /** `assignProbes = 2` multi-assigns every vector to its TWO nearest
+    * cells (native [[org.apache.spark.sql.graft.VectorExpressions
+    * .cellTop2]] — still one map-side pass): the recall repair for
+    * boundary-split pairs. Measured at 200k vectors (SCALING.md round
+    * 11): single assignment misses 11–13% of planted cosine-0.995
+    * near-identical pairs — two points within ε of each other and of a
+    * cell boundary land in different cells; with both of each point's
+    * top-2 cells in play the pair meets unless BOTH disagree on both —
+    * at the cost of ~2× rows into the prune join (≈4× verify
+    * arithmetic), the standard multi-probe trade. Survivor semantics
+    * stay deterministic: dropped iff ANY lower-id vector shares ANY
+    * assigned cell within the threshold.
+    */
   def semanticDedupAuto(corpus: DataFrame, dim: Int, threshold: Double,
                         targetCellSize: Int = 512,
-                        iterations: Int = 3): DataFrame = {
+                        iterations: Int = 3,
+                        assignProbes: Int = 1): DataFrame = {
+    require(assignProbes == 1 || assignProbes == 2,
+      "assignProbes: 1 (nearest cell) or 2 (top-2 multi-assignment)")
     val n = corpus.count()
     val k = math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
     if (k > MaxLiteralCells)
-      semanticDedupTwoLevel(corpus, dim, threshold, targetCellSize, iterations)
+      semanticDedupTwoLevel(corpus, dim, threshold, targetCellSize, iterations,
+        assignProbes = assignProbes)
     else {
-      val (assign, _) = kMeans(corpus, "vec_id", "embedding", k, dim, iterations)
-      semanticDedup(corpus.join(assign, Seq("vec_id")), "cell", threshold,
+      val (assign, cents) = kMeans(corpus, "vec_id", "embedding", k, dim, iterations)
+      if (assignProbes == 1)
+        semanticDedup(corpus.join(assign, Seq("vec_id")), "cell", threshold,
+            clusterCountHint = k)
+          .drop("cell")
+      else {
+        val packed = org.apache.spark.sql.graft.VectorExpressions.cellTop2(
+          VectorFunctions.normalize(col("embedding")),
+          typedlit(cents.map(_.toSeq).toSeq))
+        val exploded = corpus
+          .withColumn("_t2", packed)
+          .filter(col("_t2").isNotNull)
+          .withColumn("cell", explode(array_distinct(array(
+            shiftrightunsigned(col("_t2"), 32).cast("int"),
+            col("_t2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+          .drop("_t2")
+        val dropped = semanticDropped(exploded, "cell", threshold,
           clusterCountHint = k)
-        .drop("cell")
+        corpus.join(dropped, Seq("vec_id"), "left_anti")
+      }
     }
   }
 
@@ -751,14 +796,17 @@ object Similarity {
   def semanticDedupTwoLevel(corpus: DataFrame, dim: Int, threshold: Double,
                             targetCellSize: Int = 512,
                             iterations: Int = 3,
-                            k1Override: Int = 0): DataFrame = {
+                            k1Override: Int = 0,
+                            assignProbes: Int = 1): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(assignProbes == 1 || assignProbes == 2,
+      "assignProbes: 1 (nearest cell) or 2 (top-2 at both levels)")
     val n = corpus.count()
     val k = math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
     val k1 = if (k1Override > 0) k1Override
       else math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
     val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
-    val (assign1, _) = kMeans(corpus, "vec_id", "embedding", k1, dim, iterations)
+    val (assign1, cents1) = kMeans(corpus, "vec_id", "embedding", k1, dim, iterations)
     // fixed-width working set for the level-2 iterations: (cell, id, unit
     // vector). The malformed-vector guard matches kMeans — such rows got
     // no level-1 cell, so the inner join drops them here too (same
@@ -781,17 +829,16 @@ object Similarity {
     // candidate rows per iteration (~126 GB/iteration at 2M vectors,
     // measured before this shape); here the only wide op left in an
     // iteration is the k-row vectorAvg update.
-    def assignSub(cents: DataFrame): DataFrame = {
-      val bundled = cents
-        .groupBy(col("cell"))
-        .agg(collect_list(struct(col("sub"), col("_c"))).as("_subs"))
-        .select(col("cell"),
-          transform(array_sort(col("_subs")), s => s.getField("_c")).as("_subs"))
-      pts.join(broadcast(bundled), Seq("cell"))
+    def bundle(cents: DataFrame): DataFrame = cents
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("sub"), col("_c"))).as("_subs"))
+      .select(col("cell"),
+        transform(array_sort(col("_subs")), s => s.getField("_c")).as("_subs"))
+    def assignSub(cents: DataFrame): DataFrame =
+      pts.join(broadcast(bundle(cents)), Seq("cell"))
         .select(col("cell"), col("vec_id"), col("_v"),
           org.apache.spark.sql.graft.VectorExpressions
             .cellArgmax(col("_v"), col("_subs")).as("sub"))
-    }
     // seeds: the k2 lowest-id members of each coarse cell (kMeans seeds
     // with the k lowest-id vectors globally — same rule, per cell)
     val seedW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
@@ -823,16 +870,44 @@ object Similarity {
     }
     // composite fine-cell id, then the one-shuffle prune. The assignment
     // is materialized (fixed-width (id, long) rows) so the working sets
-    // can be released before the caller's action runs.
-    val finalAssign = assignSub(subcents)
-      .select(col("vec_id"),
-        (col("cell").cast("long") * k2 + col("sub")).as("_cell2"))
-      .localCheckpoint(true)
+    // can be released before the caller's action runs. With
+    // assignProbes = 2 the final assignment multi-probes BOTH levels —
+    // top-2 coarse cells (against the level-1 literal centroids), and
+    // within each, top-2 sub-cells — up to 4 fine cells per point, so a
+    // near-identical pair split at either boundary still meets; the
+    // BUILD iterations stay single-assignment (multi-probe is an
+    // inference-time repair, not a training change).
+    val finalAssign = (
+      if (assignProbes == 1)
+        assignSub(subcents)
+          .select(col("vec_id"),
+            (col("cell").cast("long") * k2 + col("sub")).as("_cell2"))
+      else {
+        val t2 = org.apache.spark.sql.graft.VectorExpressions.cellTop2(
+          col("_v"), typedlit(cents1.map(_.toSeq).toSeq))
+        val coarse2 = pts.select(col("vec_id"), col("_v"))
+          .withColumn("_t2", t2)
+          .filter(col("_t2").isNotNull)
+          .withColumn("cell", explode(array_distinct(array(
+            shiftrightunsigned(col("_t2"), 32).cast("int"),
+            col("_t2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+          .drop("_t2")
+        coarse2.join(broadcast(bundle(subcents)), Seq("cell"))
+          .withColumn("_s2", org.apache.spark.sql.graft.VectorExpressions
+            .cellTop2(col("_v"), col("_subs")))
+          .filter(col("_s2").isNotNull)
+          .withColumn("sub", explode(array_distinct(array(
+            shiftrightunsigned(col("_s2"), 32).cast("int"),
+            col("_s2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+          .select(col("vec_id"),
+            (col("cell").cast("long") * k2 + col("sub")).as("_cell2"))
+          .distinct()
+      }).localCheckpoint(true)
     pts.unpersist(false)
     subcents.unpersist(false)
-    semanticDedup(corpus.join(finalAssign, Seq("vec_id")), "_cell2",
-        threshold, clusterCountHint = k1.toLong * k2)
-      .drop("_cell2")
+    val dropped = semanticDropped(corpus.join(finalAssign, Seq("vec_id")),
+      "_cell2", threshold, clusterCountHint = k1.toLong * k2)
+    corpus.join(dropped, Seq("vec_id"), "left_anti")
   }
 
   /** Prototypicality pruning (after Sorscher et al., NeurIPS'22 "Beyond

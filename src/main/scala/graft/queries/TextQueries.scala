@@ -255,6 +255,45 @@ private[queries] trait TextQueries {
            count(when(col("splits") > 0, 1)).as("n_boundary_docs"))
   }
 
+  /** [[sequencePack]]'s SCALE mode: packing runs per (lang, shard) with
+    * shard = content-hash mod nShards, so the per-stratum cumulative
+    * window — whose parallelism is otherwise bounded by the number of
+    * languages (5 cores busy on a 5-language corpus regardless of
+    * cluster size) — fans out across nShards × languages partitions.
+    * Bins never span shards, so the packing stays embarrassingly
+    * parallel BY CONSTRUCTION and per-shard bin counts simply add; the
+    * price is ≤ nShards−1 extra partially-filled bins per language
+    * (the boundary waste every sharded packer pays). nShards = 1 is
+    * spec'd identical to [[sequencePack]].
+    */
+  def sequencePackSharded(s: SparkSession, dir: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val binTokens = 2048L
+    val shard =
+      if (nShards <= 1) lit(0L)
+      else pmod(TextHashExpressions.fnv64(col("text")), lit(nShards.toLong))
+    val w = Window.partitionBy(col("lang"), col("_shard"))
+      .orderBy(TextHashExpressions.fnv64(col("text")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("_shard", shard)
+      .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("splits", when(col("n_tok") > 0,
+        expr(s"(cum_before + n_tok - 1) div $binTokens - cum_before div $binTokens"))
+        .otherwise(lit(0L)))
+      .groupBy(col("lang"), col("_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           expr(s"(sum(n_tok) + ${binTokens - 1}) div $binTokens").as("n_bins"),
+           count(when(col("splits") > 0, 1)).as("n_boundary_docs"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+           sum(col("total_tokens")).as("total_tokens"),
+           sum(col("n_bins")).as("n_bins"),
+           sum(col("n_boundary_docs")).as("n_boundary_docs"))
+  }
+
   /** Real subword-tokenizer accounting: greedy longest-match BPE over
     * the embedded merge vocab ([[TextFunctions.bpeTokenCount]] — a
     * WordPiece-style fold, not the regex proxy), per language, next to

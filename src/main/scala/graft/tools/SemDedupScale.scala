@@ -71,6 +71,8 @@ object SemDedupScale {
       // (near-identical, the designed regime), 0.25 → 0.970 (stress —
       // exposes the quantizer's boundary-split miss rate)
       val epsScale = if (args.length > 5) args(5).toDouble else 0.10
+      // arg 7 = assignProbes (1 = nearest cell, 2 = top-2 multi-assign)
+      val probes = if (args.length > 6) args(6).toInt else 1
       val eps = epsScale / math.sqrt(dim.toDouble)
       def perturb(v: org.apache.spark.sql.Column) =
         graft.functions.TextFunctions.bind(VectorFunctions.norm(v)) { nm =>
@@ -94,15 +96,17 @@ object SemDedupScale {
       val t0 = System.nanoTime()
       val survivors =
         (if (mode == "plantedtwo")
-           Similarity.semanticDedupTwoLevel(full, dim, threshold, targetCell)
-         else Similarity.semanticDedupAuto(full, dim, threshold, targetCell))
+           Similarity.semanticDedupTwoLevel(full, dim, threshold, targetCell,
+             assignProbes = probes)
+         else Similarity.semanticDedupAuto(full, dim, threshold, targetCell,
+           assignProbes = probes))
           .select("vec_id").cache()
       val nSurv = survivors.count()
       val tWall = (System.nanoTime() - t0) / 1e9
       val droppedTruth = nTruth - truth.join(survivors, Seq("vec_id")).count()
       val recall = if (nTruth == 0) 0.0 else droppedTruth.toDouble / nTruth
       println(
-        s"""{"metric":"semdedup_planted","mode":"$mode","n":$n,"n_planted":${planted.count()},"eps_scale":$epsScale,"threshold":$threshold,"truth_pairs":$nTruth,"dropped":$droppedTruth,"recall":${f"$recall%.4f"},"survivors":$nSurv,"wall_sec":${f"$tWall%.2f"}}""")
+        s"""{"metric":"semdedup_planted","mode":"$mode","n":$n,"n_planted":${planted.count()},"eps_scale":$epsScale,"probes":$probes,"threshold":$threshold,"truth_pairs":$nTruth,"dropped":$droppedTruth,"recall":${f"$recall%.4f"},"survivors":$nSurv,"wall_sec":${f"$tWall%.2f"}}""")
       spark.stop()
       return
     }

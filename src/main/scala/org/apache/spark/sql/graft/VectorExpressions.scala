@@ -352,6 +352,130 @@ case class CellArgmax(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd TOP-2 argmax of dot(vec, row) over a centroid
+  * matrix — [[CellArgmax]]'s sibling for MULTI-ASSIGNMENT: returns the
+  * best and second-best cell ids packed as (best << 32) | second.
+  * Multi-assigning each point to its two nearest cells is the recall
+  * repair for boundary-split near-duplicate pairs in cluster-local
+  * dedup (measured: 11–13% of planted cosine-0.995 pairs at 200k
+  * vectors land across a cell boundary under single assignment —
+  * SCALING.md round 11); two points within ε of each other AND of a
+  * cell boundary almost surely share at least one of their two cells.
+  *
+  * Tie/ordering contract matches [[CellArgmax]] exactly: best is the
+  * lowest cell id among maxima (strict `>` scan), second is the lowest
+  * id among the remaining maxima; with k == 1 second == best (callers
+  * dedupe). Null/malformed inputs poison to null.
+  */
+case class CellTop2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_top2"
+
+  private def vecElementType: Option[DataType] = left.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  private def matrixOk: Boolean = right.dataType match {
+    case ArrayType(ArrayType(DoubleType, _), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecElementType.isDefined && matrixOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cell_top2 expects (array<float|double>, array<array<double>>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val m = r.asInstanceOf[ArrayData]
+    val isFloat = vecElementType.get == FloatType
+    val n = v.numElements()
+    val k = m.numElements()
+    if (k == 0) return null
+    var best = Double.NegativeInfinity
+    var bestCell = -1
+    var second = Double.NegativeInfinity
+    var secondCell = -1
+    var c = 0
+    while (c < k) {
+      if (m.isNullAt(c)) return null
+      val row = m.getArray(c)
+      if (row.numElements() != n) return null
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i) || row.isNullAt(i)) return null
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        sum += x * row.getDouble(i)
+        i += 1
+      }
+      if (sum > best) {
+        second = best; secondCell = bestCell
+        best = sum; bestCell = c
+      } else if (sum > second) { second = sum; secondCell = c }
+      c += 1
+    }
+    if (bestCell == -1) null
+    else {
+      val s = if (secondCell == -1) bestCell else secondCell
+      (bestCell.toLong << 32) | (s.toLong & 0xFFFFFFFFL)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = vecElementType.get match {
+      case FloatType => (v: String, i: String) => s"(double) $v.getFloat($i)"
+      case _         => (v: String, i: String) => s"$v.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val row = ctx.freshName("row"); val sum = ctx.freshName("sum")
+      val best = ctx.freshName("best"); val bestCell = ctx.freshName("bestCell")
+      val second = ctx.freshName("second"); val secondCell = ctx.freshName("secondCell")
+      s"""
+         |int $n = $v.numElements();
+         |int $k = $m.numElements();
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestCell = -1;
+         |double $second = Double.NEGATIVE_INFINITY;
+         |int $secondCell = -1;
+         |if ($k == 0) { ${ev.isNull} = true; }
+         |for (int $c = 0; !${ev.isNull} && $c < $k; $c++) {
+         |  if ($m.isNullAt($c)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $m.getArray($c);
+         |  if ($row.numElements() != $n) { ${ev.isNull} = true; break; }
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i) || $row.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += (${getX(v, i)}) * $row.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($sum > $best) {
+         |      $second = $best; $secondCell = $bestCell;
+         |      $best = $sum; $bestCell = $c;
+         |    } else if ($sum > $second) { $second = $sum; $secondCell = $c; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  if ($bestCell == -1) { ${ev.isNull} = true; }
+         |  else {
+         |    int ${c}s = $secondCell == -1 ? $bestCell : $secondCell;
+         |    ${ev.value} = (((long) $bestCell) << 32) | (((long) ${c}s) & 0xFFFFFFFFL);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -364,4 +488,8 @@ object VectorExpressions {
   def cellArgmax(v: Column, centroids: Column): Column =
     ExpressionUtils.column(
       CellArgmax(ExpressionUtils.expression(v), ExpressionUtils.expression(centroids)))
+
+  def cellTop2(v: Column, centroids: Column): Column =
+    ExpressionUtils.column(
+      CellTop2(ExpressionUtils.expression(v), ExpressionUtils.expression(centroids)))
 }

@@ -1175,6 +1175,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(Media.dHash64("not an image".getBytes).isEmpty)
   }
 
+  test("sharded sequence packing: shard=1 is identical, shards only add boundary bins") {
+    import graft.queries.QueryPack
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "n_docs", "total_tokens", "n_bins", "n_boundary_docs")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val unsharded = rows(QueryPack.sequencePack(spark, sfDir))
+    val one = rows(QueryPack.sequencePackSharded(spark, sfDir, 1))
+    assert(one == unsharded)
+    val sharded = rows(QueryPack.sequencePackSharded(spark, sfDir, 8))
+    assert(sharded.keySet == unsharded.keySet)
+    for ((lang, (nd, tt, bins, _)) <- sharded) {
+      val (nd0, tt0, bins0, _) = unsharded(lang)
+      assert(nd == nd0 && tt == tt0, s"$lang doc/token totals must not change")
+      // bins never span shards: per-shard ceils sum to ≥ the global
+      // ceil, within nShards−1 extra partially-filled bins
+      assert(bins >= bins0 && bins <= bins0 + 7, s"$lang bins $bins0 -> $bins")
+    }
+  }
+
   test("media frame sampling amplifies rows by ceil(bytes/frameSize)") {
     val media = Media.attachBlob(docs.limit(10))
     val frames = Media.sampleFrames(media, frameBytes = 100).collect()

@@ -184,12 +184,68 @@ class SemanticPruneSpec extends AnyFunSuite with SparkTest {
     assert(truth.size >= 45, s"perturbation left only ${truth.size} truthful pairs")
     for ((name, df) <- Seq(
         "auto" -> Similarity.semanticDedupAuto(full, dim, threshold),
-        "twoLevel" -> Similarity.semanticDedupTwoLevel(full, dim, threshold))) {
+        "twoLevel" -> Similarity.semanticDedupTwoLevel(full, dim, threshold),
+        "auto+top2" -> Similarity.semanticDedupAuto(full, dim, threshold,
+          assignProbes = 2),
+        "twoLevel+top2" -> Similarity.semanticDedupTwoLevel(full, dim, threshold,
+          assignProbes = 2))) {
       val survivors = df.select("vec_id").as[Long].collect().toSet
       val dropped = truth.count(id => !survivors.contains(id))
       val recall = dropped.toDouble / truth.size
       assert(recall >= 0.95, s"$name planted recall $recall (${truth.size} truth pairs)")
     }
+  }
+
+  test("top-2 multi-assignment: monotone drops, never beyond the global truth") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val threshold = 0.4
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val s1 = ids(Similarity.semanticDedupAuto(corpus, 64, threshold))
+    val s2 = ids(Similarity.semanticDedupAuto(corpus, 64, threshold, assignProbes = 2))
+    // each point's top-2 cell set contains its top-1 cell, so every pair
+    // that met under single assignment still meets: drops only grow
+    assert(s2.subsetOf(s1), "top-2 must never resurrect a dropped vector")
+    // and the exact in-join cosine verify means multi-assignment can
+    // never drop a vector the global (single-cluster) prune keeps
+    val brute = ids(Similarity.semanticDedup(
+      corpus.withColumn("one", lit(0)), "one", threshold, clusterCountHint = 1))
+    assert(brute.subsetOf(s2), "drops must stay within the global truth")
+    assert(s1.size > s2.size || s1 == s2)
+  }
+
+  test("cellTop2 packs (argmax, second-best) with cellArgmax's tie contract") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.8, 0.6), Seq(0.0, 1.0))
+    def top2(v: Seq[Double]): (Int, Int) = {
+      val packed = Seq(v).toDF("v")
+        .select(VectorExpressions.cellTop2($"v",
+          typedlit(cents)).as("p"))
+        .head().getLong(0)
+      ((packed >>> 32).toInt, (packed & 0xFFFFFFFFL).toInt)
+    }
+    assert(top2(Seq(1.0, 0.0)) == (0, 1))   // dots: 1.0, 0.8, 0.0
+    assert(top2(Seq(0.0, 1.0)) == (2, 1))   // dots: 0.0, 0.6, 1.0
+    assert(top2(Seq(0.6, 0.8)) == (1, 2))   // dots: 0.6, 0.96, 0.8
+    // best always matches cellArgmax on real data
+    val rows = graft.Tables.embeddings(spark, sfDir).limit(100)
+      .select(
+        VectorExpressions.cellArgmax(
+          graft.functions.VectorFunctions.normalize($"embedding"),
+          typedlit(cents.map(c => c ++ Seq.fill(62)(0.0)))).as("a"),
+        VectorExpressions.cellTop2(
+          graft.functions.VectorFunctions.normalize($"embedding"),
+          typedlit(cents.map(c => c ++ Seq.fill(62)(0.0)))).as("p"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == (r.getLong(1) >>> 32).toInt)
+    }
+    // k = 1: second collapses to best
+    val single = Seq(Seq(1.0, 0.0)).toDF("v")
+      .select(VectorExpressions.cellTop2($"v",
+        typedlit(Seq(Seq(0.5, 0.5)))).as("p")).head().getLong(0)
+    assert(((single >>> 32).toInt, (single & 0xFFFFFFFFL).toInt) == (0, 0))
   }
 
   test("prototypePrune drops the integer 30% cut, most-prototypical first") {
