@@ -649,9 +649,9 @@ object Similarity {
     * corpus rather than the exploded relation. Input may carry
     * duplicate (vec_id, cell) rows; the output is distinct ids.
     */
-  private def semanticDropped(corpus: DataFrame, clusterCol: String,
-                              threshold: Double,
-                              clusterCountHint: Long): DataFrame = {
+  def semanticDropped(corpus: DataFrame, clusterCol: String,
+                      threshold: Double,
+                      clusterCountHint: Long): DataFrame = {
     // Zero-norm contract: an all-zero embedding has no direction, so it
     // neither drops anything nor can be dropped — it is excluded from the
     // prune join entirely (and therefore always survives). Without this

@@ -112,6 +112,8 @@ object QueryPack
     "q85_prototypes"        -> (prototypePruneStats _),
     "q86_image_dhash"       -> (imageDHashPairs _),
     "q87_bpe_tokens"        -> (bpeTokenStats _),
+    "q88_emb_neardup_ids"   -> (embNearDupIdsOnly _),
+    "q89_semdedup_top2"     -> (semanticDedupTop2Stats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -217,6 +217,49 @@ private[queries] trait VectorQueries {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
 
+  /** q28's candidate rule on the IDS-ONLY row layout
+    * ([[graft.operators.Similarity.cosineNearDupLshIdsOnly]] — the
+    * high-dim bytes-routing twin the budget dispatcher picks when
+    * vector-carrying rows dominate the exchange): same buckets, same
+    * probes, same exact-cosine verify, so the SAME oracle replays it —
+    * the gate proves layout choice is invisible in results, cross-
+    * engine and not just against itself.
+    */
+  def embNearDupIdsOnly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupLshIdsOnly(
+      Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 4, nTables = 2)
+      .select(col("id_a"), col("id_b"))
+
+  /** Semantic dedup under TOP-2 multi-assignment (the round-11
+    * boundary-split recall repair), oracle-gated: per-label mean
+    * centroids (q38's quantizer twin), each vector assigned to its two
+    * nearest centroids by the native `cell_top2` (dot on the unit
+    * sphere, ties to the lower label), dropped iff ANY lower-id vector
+    * shares EITHER assigned cell within cosine 0.4. The oracle replays
+    * centroid means → normalized-dot top-2 ranking → pair rule in SQL,
+    * pinning cell_top2's packed argmax arithmetic cross-engine.
+    */
+  def semanticDedupTop2Stats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 4000)
+    val cents = Similarity.centroidVectors(emb, 64)
+      .orderBy(col("label")).collect()
+      .map(_.getSeq[Double](1).toSeq)
+    val packed = VectorExpressions.cellTop2(
+      VectorFunctions.normalize(col("embedding")), typedlit(cents.toSeq))
+    val assigned = emb
+      .withColumn("_t2", packed).filter(col("_t2").isNotNull)
+      .withColumn("_cell", explode(array_distinct(array(
+        shiftrightunsigned(col("_t2"), 32).cast("int"),
+        col("_t2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+      .drop("_t2")
+    val dropped = Similarity.semanticDropped(assigned, "_cell",
+      threshold = 0.4, clusterCountHint = cents.length.toLong)
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
+  }
+
   /** Image near-duplicate detection via perceptual hash (dHash),
     * end to end through REAL pixels: each document synthesizes a 9×8
     * grayscale BMP whose pixel values are closed-form (FNV-mixed by
@@ -255,6 +298,19 @@ private[queries] trait VectorQueries {
       }
     }.toDF("doc_id", "dhash")
     Dedup.hammingNearDups(sigs, "doc_id", "dhash", maxHamming = 7)
+  }
+
+  /** Shared q28/q88 oracle: the 2-table × 4-plane multi-probe candidate
+    * rule + exact cosine ≥ 0.35 — both row layouts must reproduce it. */
+  private lazy val lshNearDup2x4OracleSql: String = {
+    val buckets = (0 until 2).map(t => s"${bucketSql("emb", t, 4)} AS b$t").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, emb, $buckets FROM e)
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |FROM b a JOIN b c ON a.vec_id < c.vec_id
+       | AND ${anyTableCollidesSql("a.b", "c.b", 2)}
+       |WHERE list_cosine_similarity(a.emb, c.emb) >= 0.35""".stripMargin
   }
 
   private[queries] def vectorOracles: Map[String, String] = Map(
@@ -302,15 +358,34 @@ private[queries] trait VectorQueries {
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
     // LSH near-dup replay: bucket predicate (hamming ≤ 1 in either
     // 4-plane table) + the exact cosine threshold over candidates,
-    "q28_emb_neardup_lsh" -> {
-      val buckets = (0 until 2).map(t => s"${bucketSql("emb", t, 4)} AS b$t").mkString(", ")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, emb, $buckets FROM e)
-         |SELECT a.vec_id AS id_a, c.vec_id AS id_b
-         |FROM b a JOIN b c ON a.vec_id < c.vec_id
-         | AND ${anyTableCollidesSql("a.b", "c.b", 2)}
-         |WHERE list_cosine_similarity(a.emb, c.emb) >= 0.35""".stripMargin
+    "q28_emb_neardup_lsh" -> lshNearDup2x4OracleSql,
+    // identical replay for the ids-only layout: same candidate rule,
+    // same verify — the layout must be invisible in results
+    "q88_emb_neardup_ids" -> lshNearDup2x4OracleSql,
+    // top-2 semantic dedup replay: per-label mean centroids, rank
+    // cells by dot(unit vector, centroid) with the label tie-break,
+    // keep ranks 1–2, drop on any shared cell within cosine 0.4
+    "q89_semdedup_top2" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id < 4000),
+         |cent AS (SELECT label, $centroid AS c FROM e GROUP BY label),
+         |nrm AS (SELECT vec_id,
+         |  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS ne
+         | FROM e),
+         |r AS (SELECT nrm.vec_id, cent.label AS cell,
+         |  ROW_NUMBER() OVER (PARTITION BY nrm.vec_id
+         |    ORDER BY list_dot_product(nrm.ne, cent.c) DESC, cent.label) AS rk
+         | FROM nrm CROSS JOIN cent),
+         |a AS (SELECT DISTINCT vec_id, cell FROM r WHERE rk <= 2),
+         |dropped AS (SELECT DISTINCT y.vec_id
+         | FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         | JOIN e ex ON ex.vec_id = x.vec_id
+         | JOIN e ey ON ey.vec_id = y.vec_id
+         | WHERE list_cosine_similarity(ex.emb, ey.emb) >= 0.4)
+         |SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+         |FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |GROUP BY label""".stripMargin
     },
     "q29_media_decode" ->
       """WITH m AS (

@@ -302,6 +302,26 @@ class SemanticPruneSpec extends AnyFunSuite with SparkTest {
       s"intra-label cosine margin $minMargin too close to the 0.4 threshold")
   }
 
+  test("q89 margin: the top-2 cell cut sits far above cross-engine noise") {
+    // q89's oracle replays cell_top2 by ranking dot(unit v, centroid);
+    // the replay is only safe if no vector's rank-2 vs rank-3 dots (or
+    // rank-1 vs rank-2 — the pack order) sit within float-summation
+    // noise of each other. Same argument as the q84/q85 margin pins.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = Similarity.centroidVectors(emb, 64)
+      .orderBy($"label").collect().map(_.getSeq[Double](1).toArray)
+    val vecs = emb.select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var minGap = Double.MaxValue
+    for (v <- vecs) {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = v.map(_ / n)
+      val dots = cents.map(c => u.zip(c).map { case (a, b) => a * b }.sum).sorted.reverse
+      minGap = math.min(minGap, math.min(dots(0) - dots(1), dots(1) - dots(2)))
+    }
+    assert(minGap > 1e-9, s"top-2/3 centroid-dot gap $minGap inside the noise band")
+  }
+
   test("q85 margin: adjacent prototypicality scores are separated") {
     val corpus = graft.Tables.embeddings(spark, sfDir)
     val cents = Similarity.centroidVectors(corpus, 64)
