@@ -33,6 +33,52 @@ object ScaleUp {
       perReplica: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(i => perReplica(df, i)).reduce(_ unionByName _)
 
+  /** Embeddings replication as ONE plan with the replica index as a
+    * COLUMN: `replicate`'s factor-way union puts factor × dim × ~15
+    * expression nodes in front of Catalyst — measured: factor 10000
+    * (the 20M-vector corpus) pins one core in analysis indefinitely,
+    * which makes the scale TOOL itself the scale bottleneck. Here the
+    * base corpus explodes against `sequence(0, factor−1)` once and the
+    * per-replica transform — key shift, rotation by (rep mod d), the
+    * splitmix-style ±1 sign pattern — evaluates as expressions of the
+    * replica column, so plan size is O(dim) regardless of factor and
+    * the row amplification happens at execution, fully parallel.
+    * Arithmetic is bit-identical to the union form ([[signAt]] restated
+    * over Spark long ops, which wrap like Java with ANSI off; the
+    * rotation index is the same (j + rep mod d) mod d); an equivalence
+    * spec pins wide ≡ union at a small factor.
+    */
+  def replicateEmbeddings(emb: DataFrame, factor: Int, d: Int): DataFrame = {
+    val rep = col("_rep")
+    // signAt(rep, j) as expressions: x0 = (rep·K1) ^ (j·K2);
+    // x1 = (x0 ^ x0>>>30)·K3; x2 = (x1 ^ x1>>>27)·K4; bit = (x2 ^ x2>>>31) & 1
+    def signExpr(j: Int): org.apache.spark.sql.Column = {
+      val x0 = (rep * lit(0x9e3779b97f4a7c15L))
+        .bitwiseXOR(lit(j.toLong * 0xbf58476d1ce4e5b9L))
+      val x1 = graft.functions.TextFunctions.bind(x0) { x =>
+        x.bitwiseXOR(shiftrightunsigned(x, 30)) * lit(0xbf58476d1ce4e5b9L)
+      }
+      val x2 = graft.functions.TextFunctions.bind(x1) { x =>
+        x.bitwiseXOR(shiftrightunsigned(x, 27)) * lit(0x94d049bb133111ebL)
+      }
+      graft.functions.TextFunctions.bind(x2) { x =>
+        when(x.bitwiseXOR(shiftrightunsigned(x, 31)).bitwiseAND(lit(1L)) === 0L,
+          lit(1.0f)).otherwise(lit(-1.0f))
+      }
+    }
+    val rot = (0 until d).map { j =>
+      element_at(col("embedding"),
+        (pmod(lit(j.toLong) + pmod(rep, lit(d.toLong)), lit(d.toLong)) + 1)
+          .cast("int")) * signExpr(j)
+    }
+    emb
+      .withColumn("_rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("vec_id", col("vec_id") + rep * lit(Strides("vec_id")))
+      .withColumn("embedding",
+        when(rep === 0L, col("embedding")).otherwise(array(rot: _*)))
+      .drop("_rep")
+  }
+
   private def shiftKeys(df: DataFrame, i: Int): DataFrame =
     df.columns.foldLeft(df) { (d, c) =>
       Strides.get(c) match {
@@ -137,27 +183,15 @@ object ScaleUp {
     val mixedDims = emb.filter(size(col("embedding")) =!= d).count()
     require(mixedDims == 0,
       s"$mixedDims embedding rows have dim != $d; rotation would null-pad them")
-    def signAt(seed: Long, j: Int): Double = {
-      var x = (seed * 0x9e3779b97f4a7c15L) ^ (j.toLong * 0xbf58476d1ce4e5b9L)
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
-    }
-    write("embeddings", replicate(emb, factor) { (df, i) =>
-      val shifted = shiftKeys(df, i)
-      if (i == 0) shifted
-      else {
-        val rot = (0 until d).map { j =>
-          val e = element_at(col("embedding"), (j + i % d) % d + 1)
-          // ±1 as a FLOAT literal: exact in either element type, and it
-          // keeps array<float> corpora float (a double literal would
-          // silently promote the whole column)
-          e * lit(signAt(i.toLong, j).toFloat)
-        }
-        shifted.withColumn("embedding", array(rot: _*))
-      }
-    })
+    write("embeddings", replicateEmbeddings(emb, factor, d))
     println(s"""{"scaled":"$outDir","factor":$factor}""")
     spark.stop()
+  }
+
+  private[graft] def signAt(seed: Long, j: Int): Double = {
+    var x = (seed * 0x9e3779b97f4a7c15L) ^ (j.toLong * 0xbf58476d1ce4e5b9L)
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
   }
 }
