@@ -109,7 +109,11 @@ object ScaleUp {
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
-    def write(t: String, df: DataFrame): Unit =
+    // BY-NAME df: constructing a skipped table's factor-way union is
+    // itself O(factor²) analyzer work (unionByName resolves eagerly) —
+    // at factor 10000 the "skipped" lineitem replica pinned a core
+    // before the embeddings job ever started
+    def write(t: String, df: => DataFrame): Unit =
       if (only.isEmpty || only(t))
         df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
