@@ -181,7 +181,66 @@ private[queries] trait DedupQueries {
       "doc_id", "text", shingleSize = 2, threshold = 0.5)
   }
 
+  /** Exact duplicated-SPAN detection (the Lee et al. "Deduplicating
+    * Training Data" exact-substring pass, windowed): a document's
+    * 15-token windows that also occur verbatim in ANY other document
+    * are duplicated spans; per source this reports the docs whose span
+    * overlap crosses the drop threshold and the average duplicated
+    * fraction. Catches the boilerplate/quotation duplication that
+    * whole-document dedup (q15/q20) misses.
+    *
+    * Engine shape: windows travel as native 64-bit
+    * [[TextFunctions.shingleHashes]] (ids-only — no window STRING ever
+    * shuffles), one exchange on the window hash with a count-only
+    * window aggregate (hot boilerplate keys stream through a single
+    * count, no per-key buffering), then a per-doc rollup. The oracle
+    * replays windows as strings — set identity agrees with the hash
+    * path barring a 64-bit collision (~1e-7 at 3M windows, and the
+    * corpus is fixed; DupSpansSpec pins hash-path ≡ string-path on the
+    * test corpus).
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    spanDupFractions(Tables.documents(s, dir), 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("dup_frac") >= 0.5, 1)).as("n_flagged"),
+           davg(col("dup_frac")).as("avg_dup_frac"))
+
+  /** Per-document duplicated-span fraction at window size `w` tokens —
+    * exposed for the spec's planted-duplicate and hash≡string checks. */
+  private[graft] def spanDupFractions(docs: DataFrame, w: Int): DataFrame = {
+    val wins = docs.select(col("doc_id"),
+      explode(TextFunctions.shingleHashes(col("text"), w)).as("h"))
+    val perDoc = wins
+      .withColumn("n_with", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           count(when(col("n_with") >= 2, 1)).as("n_shared_windows"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_frac", when(col("n_windows").isNull, lit(0.0))
+        .otherwise(floor(col("n_shared_windows").cast("double") / col("n_windows") * 1e6) / 1e6))
+  }
+
   private[queries] def dedupOracles: Map[String, String] = Map(
+    "q92_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS w FROM documents),
+         |wins AS (SELECT doc_id, unnest(list_distinct(
+         |   [array_to_string(w[i:i+14], ' ') for i in range(1, len(w) - 13)])) AS win
+         | FROM t),
+         |sh AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) AS n_with FROM wins),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
+         |        COUNT(CASE WHEN n_with >= 2 THEN 1 END) AS n_shared_windows
+         |       FROM sh GROUP BY doc_id),
+         |f AS (SELECT d.source,
+         |  CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |       ELSE FLOOR(CAST(n_shared_windows AS DOUBLE) / n_windows * 1e6) / 1e6
+         |  END AS dup_frac
+         | FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN dup_frac >= 0.5 THEN 1 END) AS n_flagged,
+         | ${davgSql("dup_frac")} AS avg_dup_frac
+         |FROM f GROUP BY source""".stripMargin,
     "q83_cross_dedup" ->
       """WITH t AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -114,6 +114,10 @@ object QueryPack
     "q87_bpe_tokens"        -> (bpeTokenStats _),
     "q88_emb_neardup_ids"   -> (embNearDupIdsOnly _),
     "q89_semdedup_top2"     -> (semanticDedupTop2Stats _),
+    "q90_unigram_surprisal" -> (unigramSurprisal _),
+    "q91_bm25"              -> (bm25TopDocs _),
+    "q92_dup_spans"         -> (dupSpans _),
+    "q93_jl_project"        -> (jlProjection _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

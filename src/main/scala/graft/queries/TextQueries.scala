@@ -311,6 +311,112 @@ private[queries] trait TextQueries {
            sum(col("n_bpe")).as("total_subword_tokens"),
            sum(col("n_ws")).as("total_ws_tokens"))
 
+  /** Unigram-LM surprisal quality filter (the CCNet/KenLM-style
+    * perplexity gate, over a corpus-trained unigram model): token
+    * surprisal is −log₂ p(t) with add-one smoothing, quantized to HALF
+    * BITS through exact integer arithmetic — surprisal(t) =
+    * (bitlength(q²) − 1) / 2 where q = (N+V) div (c+1) — because libm
+    * log() differs across engines while binary digit counts (Spark
+    * `conv`, DuckDB `bin`) are exact integer functions both sides. q is
+    * clamped at 2³¹−1 (a ≥31.5-bit surprisal is beyond any filter
+    * threshold; the clamp keeps q² inside BIGINT at any corpus size).
+    * Per document: mean token surprisal, floor-quantized at 1e-6 (tie-free
+    * cross-engine); per language: docs, exact-decimal average, and the
+    * count over the filter threshold — the rows a quality gate drops.
+    *
+    * Scale shape: the model build is one token groupBy (map-side
+    * partial aggregation); the scoring join is vocab-sized and hint-free
+    * — AQE broadcasts it while it fits and falls back to a shuffle
+    * equi-join when the vocabulary outgrows broadcast range (same
+    * designed flip as q55's decontamination index).
+    */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    unigramSurprisalPerDoc(Tables.documents(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           davg(col("surprisal")).as("avg_surprisal"),
+           count(when(col("surprisal") > 4.6, 1)).as("n_flagged"))
+
+  /** Per-document mean token surprisal over the corpus-trained unigram
+    * model (see [[unigramSurprisal]] for the arithmetic contract) —
+    * exposed for the spec's hand-walked values. */
+  private[graft] def unigramSurprisalPerDoc(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_vocab"))
+    val bits = vocab.crossJoin(broadcast(totals))
+      .withColumn("q", least(expr("(n_total + n_vocab) div (c + 1)"), lit(2147483647L)))
+      .withColumn("hb",
+        (length(conv((col("q") * col("q")).cast("string"), 10, 2)) - 1).cast("long"))
+      .select(col("t"), col("hb"))
+    val perDoc = toks.join(bits, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("hb")).as("sum_hb"), count(lit(1)).as("n_tok"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("surprisal", when(col("n_tok").isNull, lit(0.0))
+        .otherwise(floor(col("sum_hb").cast("double") / (col("n_tok") * 2) * 1e6) / 1e6))
+  }
+
+  /** BM25 full-text retrieval: top-10 documents per query for an
+    * embedded query set — the lexical leg of a retrieval/RAG pipeline
+    * next to the embedding ANN family (q23/q24/q38). Standard BM25
+    * (k₁=1.2, b=0.75) with the LOG-FREE BM25+ idf: ln(1+(N−df+0.5)/
+    * (df+0.5)) is monotone in (N+1)/(df+0.5), so ranking is unchanged
+    * while every term score stays a fixed dag of IEEE double ops that
+    * both engines evaluate bit-identically (ln is libm-dependent — the
+    * q47 tf-idf precedent). Per-(query,doc) scores sum order-independently
+    * via [[ExactNum.fsum]]; ranking orders by that exact score with
+    * doc_id as tie-break.
+    *
+    * Scale shape: the corpus-sized work is ONE (doc,term) groupBy; the
+    * query-term join broadcasts (query sets are human-sized), so
+    * per-query cost is independent of how many queries batch together.
+    */
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame =
+    bm25Rank(Tables.documents(s, dir),
+      s.createDataFrame(Bm25Queries).toDF("query_id", "t"))
+
+  /** BM25 ranking core over an arbitrary (doc_id, text) corpus and
+    * (query_id, t) term set — exposed for the spec's planted-relevance
+    * checks. See [[bm25TopDocs]] for the scoring contract. */
+  private[graft] def bm25Rank(docs: DataFrame, termsDf: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    // tf rows are unique per (doc, term), so a plain count IS df
+    val dfreq = tf.join(broadcast(termsDf.select(col("t")).distinct()), Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tok"))
+    val scored = tf.join(broadcast(termsDf), Seq("t"))
+      .join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // operation order mirrors the oracle SQL exactly (IEEE determinism)
+      .withColumn("tscore",
+        (col("n_docs").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(0.5)) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl") / (col("total_tok").cast("double") / col("n_docs"))))))
+    val perQD = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(fsum(col("tscore")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perQD.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** The embedded BM25 query set — shared between the Spark form and the
+    * oracle's VALUES literal. */
+  private[queries] val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "stream"), (1L, "join"),
+    (2L, "fast"), (2L, "table"), (2L, "scan"),
+    (3L, "vector"), (3L, "hash"), (3L, "window"))
+
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
     * whose tokens are ALL short (the per-row any/all quantifiers the
@@ -521,6 +627,52 @@ private[queries] trait TextQueries {
          | CAST(SUM(n_bpe) AS BIGINT) AS total_subword_tokens,
          | CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens
          |FROM f GROUP BY lang""".stripMargin
+    },
+    "q90_unigram_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+         |vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS n_vocab FROM vocab),
+         |qv AS (SELECT t, CAST(LEAST((n_total + n_vocab) // (c + 1), 2147483647) AS BIGINT) AS q
+         |       FROM vocab CROSS JOIN tot),
+         |bits AS (SELECT t, CAST(length(bin(q * q)) - 1 AS BIGINT) AS hb FROM qv),
+         |pd AS (SELECT doc_id, CAST(SUM(hb) AS BIGINT) AS sum_hb, COUNT(*) AS n_tok
+         |       FROM tok JOIN bits USING (t) GROUP BY doc_id),
+         |f AS (SELECT d.lang,
+         |  CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |       ELSE FLOOR(CAST(sum_hb AS DOUBLE) / (n_tok * 2) * 1e6) / 1e6 END AS surprisal
+         | FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | ${davgSql("surprisal")} AS avg_surprisal,
+         | COUNT(CASE WHEN surprisal > 4.6 THEN 1 END) AS n_flagged
+         |FROM f GROUP BY lang""".stripMargin,
+    "q91_bm25" -> {
+      val values = Bm25Queries
+        .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+      val inList = Bm25Queries.map(t => s"'${t._2}'").distinct.mkString(", ")
+      val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"""WITH qt(query_id, t) AS (SELECT * FROM (VALUES $values)),
+         |tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, COUNT(*) AS df FROM tf WHERE t IN ($inList) GROUP BY t),
+         |dl AS (SELECT doc_id, CAST($nTok AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM($nTok) AS BIGINT) AS total_tok
+         |          FROM documents),
+         |scored AS (SELECT query_id, tf.doc_id AS doc_id,
+         |  (CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 0.5) *
+         |    (CAST(tf AS DOUBLE) * 2.2) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (0.25 + 0.75 * (dl / (CAST(total_tok AS DOUBLE) / n_docs)))) AS ts
+         | FROM tf JOIN qt ON tf.t = qt.t JOIN dfreq ON tf.t = dfreq.t
+         |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+         |s AS (SELECT query_id, doc_id, ${fsumSql("ts")} AS score
+         |      FROM scored GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rank FROM (
+         | SELECT query_id, doc_id, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS INT) AS rank
+         | FROM s) r
+         |WHERE rank <= 10""".stripMargin
     },
     "q78_quantifiers" ->
       s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents)

@@ -300,6 +300,42 @@ private[queries] trait VectorQueries {
     Dedup.hammingNearDups(sigs, "doc_id", "dhash", maxHamming = 7)
   }
 
+  /** Johnson-Lindenstrauss random projection 64 → 16 dims — the
+    * dimensionality-reduction pass a 100 TB embedding pipeline runs
+    * before indexing (ANN over 4× fewer bytes; recall re-checked in the
+    * full space). The projection matrix is the engine's deterministic
+    * splitmix64 hyperplane family (global planes 0–15 of
+    * [[org.apache.spark.sql.graft.VectorHashOps]] — the SAME weights the
+    * q24 LSH buckets sign, so the projection is replayable as literals),
+    * uniform on [-1,1] ⇒ E‖Pv‖² = k·‖v‖²/3, making 3‖Pv‖²/(k‖v‖²) an
+    * unbiased norm-distortion estimate that the output carries per
+    * vector. Emits the first three projected coordinates + the
+    * distortion ratio as tie-free 1e-6 fixed-point longs: every dot
+    * product is a SEQUENTIAL left-to-right sum in both engines (native
+    * [[VectorFunctions.dot]] loop ↔ the oracle's list_reduce fold), so
+    * the doubles are bit-identical and floor introduces no rounding
+    * boundary at all. Pure map-side — zero exchanges (pinned in
+    * QueryPlanSpec).
+    */
+  def jlProjection(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorHashOps
+    val k = 16
+    val dim = 64
+    def wLit(j: Int): org.apache.spark.sql.Column =
+      array((0 until dim).map(d => lit(VectorHashOps.weight(d, j))): _*)
+    val projs = (0 until k).map(j => VectorFunctions.dot(col("embedding"), wLit(j)))
+    val pn2 = projs.map(p => p * p).reduceLeft(_ + _)
+    val vn2 = VectorFunctions.dot(col("embedding"), col("embedding"))
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      floor(projs(0) * 1e6).cast("long").as("p0_fp"),
+      floor(projs(1) * 1e6).cast("long").as("p1_fp"),
+      floor(projs(2) * 1e6).cast("long").as("p2_fp"),
+      when(vn2 === 0.0, lit(0L))
+        .otherwise(floor(lit(3.0) * pn2 / (lit(16.0) * vn2) * 1e6).cast("long"))
+        .as("ratio_fp"))
+  }
+
   /** Shared q28/q88 oracle: the 2-table × 4-plane multi-probe candidate
     * rule + exact cosine ≥ 0.35 — both row layouts must reproduce it. */
   private lazy val lshNearDup2x4OracleSql: String = {
@@ -314,6 +350,30 @@ private[queries] trait VectorQueries {
   }
 
   private[queries] def vectorOracles: Map[String, String] = Map(
+    "q93_jl_project" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS emb, ${weightMatrixSql(16)} AS wm
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, emb,
+         |  list_transform(range(0, 16), j ->
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), range(1, 65)),
+         |      (acc, i) -> acc + CAST(emb[CAST(i AS BIGINT)] AS DOUBLE)
+         |                        * wm[j+1][CAST(i AS BIGINT)])) AS pr
+         | FROM e),
+         |f AS (SELECT vec_id, pr,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), range(1, 17)),
+         |    (acc, j) -> acc + pr[CAST(j AS BIGINT)] * pr[CAST(j AS BIGINT)]) AS pn2,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), range(1, 65)),
+         |    (acc, i) -> acc + CAST(emb[CAST(i AS BIGINT)] AS DOUBLE)
+         |                      * CAST(emb[CAST(i AS BIGINT)] AS DOUBLE)) AS vn2
+         | FROM p)
+         |SELECT vec_id,
+         | CAST(FLOOR(pr[1] * 1e6) AS BIGINT) AS p0_fp,
+         | CAST(FLOOR(pr[2] * 1e6) AS BIGINT) AS p1_fp,
+         | CAST(FLOOR(pr[3] * 1e6) AS BIGINT) AS p2_fp,
+         | CASE WHEN vn2 = 0.0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(FLOOR(3.0 * pn2 / (16.0 * vn2) * 1e6) AS BIGINT)
+         | END AS ratio_fp
+         |FROM f""".stripMargin,
     "q23_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
         |SELECT query_id, neighbor_id, rank FROM (

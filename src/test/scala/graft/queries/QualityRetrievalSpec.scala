@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.SparkTest
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the round-11 quality/retrieval additions:
+  * unigram-LM surprisal (q90), BM25 ranking (q91), duplicated-span
+  * detection (q92), and JL random projection (q93). The DuckDB oracles
+  * pin the full numeric outputs; these specs pin the SEMANTICS on
+  * hand-walked and planted inputs, plus the hash-path ≡ string-path
+  * equivalence q92's oracle relies on.
+  */
+class QualityRetrievalSpec extends AnyFunSuite with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("unigram surprisal: hand-walked half-bit values, empty doc scores 0") {
+    import spark.implicits._
+    // corpus: c(a)=6, c(rare)=1, N=7, V=2 → N+V=9
+    //   q(a)    = 9 div 7 = 1 → 1²  → bitlen 1 → 0 half-bits
+    //   q(rare) = 9 div 2 = 4 → 16 → bitlen 5 → 4 half-bits
+    val docs = Seq(
+      (1L, "a a a a a", "en"), // 5·0 / (2·5)        = 0.0
+      (2L, "a rare", "en"),    // (0+4) / (2·2)      = 1.0
+      (3L, "", "en")           // no tokens           = 0.0
+    ).toDF("doc_id", "text", "lang")
+    val got = QueryPack.unigramSurprisalPerDoc(docs)
+      .select(col("doc_id"), col("surprisal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
+  test("unigram surprisal: rarer tokens strictly raise a document's score") {
+    import spark.implicits._
+    // common×18 vs two docs: all-common scores below half-rare
+    val docs = (Seq((1L, "common rare", "en"), (2L, "common common", "en")) ++
+      (3L to 10L).map(i => (i, "common common", "en"))).toDF("doc_id", "text", "lang")
+    val got = QueryPack.unigramSurprisalPerDoc(docs)
+      .select(col("doc_id"), col("surprisal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L),
+      s"doc with the rare token must score higher: ${got(1L)} vs ${got(2L)}")
+  }
+
+  test("BM25: higher tf in a shorter doc ranks first; term-free docs never rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark", "en"),
+      (2L, "spark alpha beta gamma", "en"),
+      (3L, "alpha beta gamma delta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val terms = Seq((1L, "spark")).toDF("query_id", "t")
+    val rows = QueryPack.bm25Rank(docs, terms)
+      .orderBy(col("rank")).collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L), // doc 3 absent
+      s"expected docs 1,2 ranked; got ${rows.mkString(", ")}")
+    assert(rows.forall(_.getDouble(2) > 0.0), "BM25+ scores must be positive")
+    assert(rows.head.getDouble(2) > rows(1).getDouble(2),
+      "tf=4 in dl=4 must outscore tf=1 in dl=4")
+  }
+
+  test("BM25: length normalization — same tf scores lower in a longer document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark alpha", "en"),
+      (2L, "spark alpha beta gamma delta epsilon zeta eta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val terms = Seq((1L, "spark")).toDF("query_id", "t")
+    val byDoc = QueryPack.bm25Rank(docs, terms)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byDoc(1L) > byDoc(2L),
+      s"shorter doc must score higher at equal tf: $byDoc")
+  }
+
+  test("dup spans: identical planted docs share every window; unique doc shares none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w v", "s0"),
+      (2L, "x y z w v", "s0"),
+      (3L, "p q r s t u", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = QueryPack.spanDupFractions(docs, 3)
+      .select(col("doc_id"), col("dup_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 1.0 && got(2L) === 1.0, s"identical docs must be fully shared: $got")
+    assert(got(3L) === 0.0, s"unique doc must share nothing: $got")
+  }
+
+  test("dup spans: partial overlap — shared prefix window only") {
+    import spark.implicits._
+    // docs share exactly the window "a b c"; doc 1 has 2 windows, doc 2 has 3
+    val docs = Seq(
+      (1L, "a b c d", "s0"),   // windows: "a b c", "b c d"   → 1/2 shared
+      (2L, "a b c x y", "s0")  // windows: "a b c", "b c x", "c x y" → 1/3
+    ).toDF("doc_id", "text", "source")
+    val got = QueryPack.spanDupFractions(docs, 3)
+      .select(col("doc_id"), col("dup_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.5 && got(2L) === 0.333333, s"expected 1/2 and 1/3 floored: $got")
+  }
+
+  test("dup spans: native hash path ≡ string-window path on the real corpus") {
+    // q92's oracle replays windows as STRINGS while the engine shuffles
+    // 64-bit shingle hashes; this pins that the two give identical
+    // per-document window counts on the full test corpus (hash
+    // collisions would break the oracle's premise).
+    val docs = graft.Tables.documents(spark, dir)
+    val viaHash = QueryPack.spanDupFractions(docs, 15)
+      .select(col("doc_id"), col("dup_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wins = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(col("text"), 15))).as("h"))
+    val perDoc = wins
+      .withColumn("n_with", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"),
+           count(when(col("n_with") >= 2, 1)).as("ns"))
+    val viaString = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_frac", when(col("nw").isNull, lit(0.0))
+        .otherwise(floor(col("ns").cast("double") / col("nw") * 1e6) / 1e6))
+      .select(col("doc_id"), col("dup_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaHash === viaString)
+  }
+
+  test("JL projection: engine projection matches a sequential Scala recompute") {
+    import org.apache.spark.sql.graft.VectorHashOps
+    val row = QueryPack.jlProjection(spark, dir)
+      .orderBy(col("vec_id")).limit(1).collect().head
+    val emb = graft.Tables.embeddings(spark, dir)
+      .orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    var acc = 0.0
+    emb.indices.foreach(d => acc += emb(d).toDouble * VectorHashOps.weight(d, 0))
+    assert(row.getAs[Long]("p0_fp") === math.floor(acc * 1e6).toLong,
+      s"p0 mismatch: engine ${row.getAs[Long]("p0_fp")} vs recompute $acc")
+  }
+
+  test("JL projection: norm-distortion ratio concentrates around 1 (unbiased estimate)") {
+    val ratios = QueryPack.jlProjection(spark, dir)
+      .select(col("ratio_fp")).collect().map(_.getLong(0))
+    assert(ratios.nonEmpty)
+    // k=16 → sd ≈ 0.35 per vector; the shared projection matrix shifts
+    // the corpus mean by its own concentration (~±0.09). Deterministic
+    // data: measured mean 1.010e6, range [0.227e6, 2.436e6].
+    assert(ratios.forall(r => r > 50000L && r < 4000000L),
+      s"individual distortion out of range: ${ratios.min}..${ratios.max}")
+    val mean = ratios.sum.toDouble / ratios.length
+    assert(mean > 800000 && mean < 1200000, s"mean distortion $mean drifted from 1e6")
+  }
+
+  test("JL projection is deterministic across runs") {
+    val a = QueryPack.jlProjection(spark, dir).orderBy(col("vec_id")).collect()
+    val b = QueryPack.jlProjection(spark, dir).orderBy(col("vec_id")).collect()
+    assert(a.sameElements(b))
+  }
+}

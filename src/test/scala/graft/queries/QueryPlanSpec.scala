@@ -83,7 +83,8 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
     // (q36 global avg, q47 corpus total), and the probed-query broadcast
     // (q38). Everything else must plan equi-joins.
     val bnljAllowed = Set("q23_knn_brute", "q27_emb_neardup",
-      "q36_above_avg", "q38_knn_ivf", "q47_tfidf_terms")
+      "q36_above_avg", "q38_knn_ivf", "q47_tfidf_terms",
+      "q90_unigram_surprisal", "q91_bm25") // 1-row (N,V)/(N,avgdl) scalars
     QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // physical planning only — no execution (q45 excepted: its
       // component loop runs at construction)
@@ -240,6 +241,44 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       l.contains("Join") && l.contains("array_dot"))
     assert(joinLineHasDot,
       s"cosine verify should sit in the join condition, not after a shuffle:\n$plan")
+  }
+
+  test("q91: BM25 joins broadcast and the rank filter plans map-side WindowGroupLimit") {
+    val plan = executedPlan(QueryPack.bm25TopDocs(spark, dir))
+    // query terms / df / corpus stats are all human- or vocab-sized —
+    // the corpus-sized side must never shuffle for them
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the term/df joins to broadcast in:\n$plan")
+    // rank <= 10 becomes per-partition top-k BEFORE the exchange
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown on the rank filter in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"BM25 must not plan a data-sized cartesian:\n$plan")
+  }
+
+  test("q92: span windows shuffle as 64-bit hashes — no text column past the explode") {
+    val df = QueryPack.dupSpans(spark, dir)
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected the window-hash explode in:\n$plan")
+    assert(plan.contains("Window"), s"expected the per-hash count window in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span sharing must stay keyed exchanges/equi-joins:\n$plan")
+    // ids-only contract: every exchange carries hashes/ids/counts, never
+    // the document text — no exchange line mentions the text column
+    val badExchange = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("text"))
+    assert(badExchange.isEmpty,
+      s"window shuffle must not carry text:\n${badExchange.mkString("\n")}")
+  }
+
+  test("q93: JL projection is pure map-side — zero exchanges") {
+    val plan = executedPlan(QueryPack.jlProjection(spark, dir))
+    assert(!plan.contains("Exchange"),
+      s"projection must not shuffle (scan → project only):\n$plan")
+    assert(plan.contains("array_dot"),
+      s"expected the native dot-product expression in:\n$plan")
   }
 
   test("q85: prototype pruning broadcasts the centroid table and shuffles by label once") {
