@@ -794,4 +794,51 @@ object Dedup {
       p
     } else pairsLazy
   }
+
+  /** Bloom-prefiltered benchmark decontamination — the 100 TB route for
+    * the q55 n-gram-overlap check. q55's hint-free AQE join is the right
+    * plan while the eval n-gram index fits broadcast range and degrades
+    * to shuffling the WHOLE corpus shingle stream when it doesn't; this
+    * variant compresses the eval index to a FIXED-size Bloom filter
+    * (bytes = f(eval n-grams, fpp) — independent of corpus size), probes
+    * it inside whole-stage codegen where the corpus scan runs, and only
+    * the survivors (true matches + fpp of the corpus stream) ever reach
+    * an exchange. The exact verify join after the prefilter removes
+    * Bloom false positives, so the OUTPUT is exactly the q55 contract
+    * (Bloom filters have no false negatives) — fpp only tunes shuffle
+    * volume (~fpp × corpus distinct shingles), never results.
+    *
+    * Build: partial filters fold executor-side and merge associatively
+    * (`treeAggregate`); the driver holds one fixed-size filter, never
+    * the hash set. The eval side is scanned twice (count for sizing +
+    * build) — persist it upstream if that scan is itself expensive.
+    * Shingles travel as 64-bit [[TextFunctions.shingleHashes]] (already
+    * distinct per doc), so counts are distinct-shingle counts and
+    * nothing string-sized shuffles.
+    */
+  def bloomDecontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minShared: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val evalSh = eval
+      .select(explode(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("h"))
+      .distinct()
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.select(col("h")).rdd.map(_.getLong(0))
+      .treeAggregate(BloomFilter.create(nEval, fpp))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    train
+      .select(col(idCol), explode(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("h"))
+      .filter(org.apache.spark.sql.graft.BloomExpressions.mightContainLong(col("h"), bytes))
+      .join(evalSh, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -222,7 +222,34 @@ private[queries] trait DedupQueries {
         .otherwise(floor(col("n_shared_windows").cast("double") / col("n_windows") * 1e6) / 1e6))
   }
 
+  /** Bloom-prefiltered decontamination ([[Dedup.bloomDecontaminate]]):
+    * the q55 check with the eval n-gram index compressed to a
+    * fixed-size Bloom filter probed map-side, exact-verified after —
+    * identical output contract (no false negatives), shuffle volume
+    * capped at ~fpp × corpus shingles instead of the whole stream.
+    * Same eval split as q55 (doc_id % 100), so the oracle is q55's SQL
+    * replayed on hash-identity shingles.
+    */
+  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.bloomDecontaminate(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0),
+      "doc_id", "text")
+  }
+
   private[queries] def dedupOracles: Map[String, String] = Map(
+    "q94_bloom_decontam" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+         |d AS (SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         | FROM t),
+         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM d WHERE doc_id % 100 = 0),
+         |tr AS (SELECT doc_id, unnest(s) AS shingle FROM d WHERE doc_id % 100 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY doc_id HAVING COUNT(*) >= 3""".stripMargin,
     "q92_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS w FROM documents),
          |wins AS (SELECT doc_id, unnest(list_distinct(

@@ -118,6 +118,7 @@ object QueryPack
     "q91_bm25"              -> (bm25TopDocs _),
     "q92_dup_spans"         -> (dupSpans _),
     "q93_jl_project"        -> (jlProjection _),
+    "q94_bloom_decontam"    -> (bloomDecontam _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */
