@@ -841,4 +841,70 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  final case class SpanWindow(doc_id: Long, h: Long, ts: java.sql.Timestamp)
+  final case class SpanSeen(firstDoc: Long, lastMs: Long)
+  final case class SpanDupEvent(
+      doc_id: Long, h: Long, first_doc_id: Long, ts: java.sql.Timestamp)
+
+  /** Streaming twin of the duplicated-span detector (q92's
+    * [[graft.queries.QueryPack.spanDupFractions]] batch form): as
+    * documents ARRIVE, every `windowTokens`-token window whose 64-bit
+    * shingle hash was already seen in the stream is emitted as a
+    * duplicated-span event carrying the first-seen document — the
+    * ingest-time signal a crawl pipeline uses to drop boilerplate
+    * before it lands. State is one (firstDoc, lastMs) pair PER DISTINCT
+    * WINDOW HASH still inside the retention horizon: event-time timeout
+    * evicts a window `retentionSeconds` after its last sighting, so
+    * state is bounded by the distinct-window rate × retention — the
+    * same finiteness contract as [[streamingDedup]] — not by stream
+    * length. First-seen is deterministic per batch ((ts, doc_id)
+    * order); shingle hashes are distinct per document, so a document
+    * never flags against itself.
+    */
+  def streamingSpanDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      windowTokens: Int,
+      watermarkDelay: String = "10 seconds",
+      retentionSeconds: Long = 3600L): org.apache.spark.sql.Dataset[SpanDupEvent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val wins = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.shingleHashes(col(textCol), windowTokens)).as("h"),
+        col(tsCol).as("ts"))
+      .as[SpanWindow]
+
+    def update(h: Long, rows: Iterator[SpanWindow],
+               state: GroupState[SpanSeen]): Iterator[SpanDupEvent] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+        var seen = state.getOption
+        val out = Seq.newBuilder[SpanDupEvent]
+        sorted.foreach { r =>
+          val t = r.ts.getTime
+          seen match {
+            case Some(s) =>
+              out += SpanDupEvent(r.doc_id, h, s.firstDoc, r.ts)
+              seen = Some(s.copy(lastMs = math.max(s.lastMs, t)))
+            case None =>
+              seen = Some(SpanSeen(r.doc_id, t))
+          }
+        }
+        seen.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + retentionSeconds * 1000L)
+        }
+        out.result().iterator
+      }
+    }
+
+    wins.groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

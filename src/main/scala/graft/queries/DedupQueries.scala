@@ -238,7 +238,71 @@ private[queries] trait DedupQueries {
       "doc_id", "text")
   }
 
+  /** Duplicated-span EXTENTS — the actionable output of exact-substring
+    * dedup (Lee et al. apply it by CUTTING the duplicated ranges, not
+    * dropping documents): q92 reports which documents carry shared
+    * 15-token windows; this emits the merged token ranges themselves —
+    * per document, maximal runs of tokens covered by windows that also
+    * occur verbatim elsewhere (gaps-and-islands over window positions),
+    * ready for a removal pass. Positional windows hash map-side
+    * (fnv64 of the window string — the oracle replays the identical
+    * arithmetic, so identity is exact, not collision-caveated relative
+    * to the replay); only (doc_id, pos, hash) rows ever shuffle.
+    */
+  def dupSpanExtents(s: SparkSession, dir: String): DataFrame =
+    spanExtents(Tables.documents(s, dir), 15)
+
+  /** [[dupSpanExtents]]'s core at window size `w` — exposed for the
+    * spec's planted-span geometry checks. */
+  private[graft] def spanExtents(docs: DataFrame, w: Int): DataFrame = {
+    val wins = docs.select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("text"), w)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        org.apache.spark.sql.graft.TextHashExpressions.fnv64(col("win")).as("h"))
+    val docsPerH = wins.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
+    val shared = wins.join(docsPerH, Seq("h")).filter(col("n_docs_with") >= 2)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = shared
+      .withColumn("prev_max_end", max(col("pos") + lit(w - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      // a window starting past prev covered end + 1 opens a new span
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+           max(col("pos") + lit(w - 1)).as("span_end"),
+           count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   private[queries] def dedupOracles: Map[String, String] = Map(
+    "q95_dup_span_extents" ->
+      // the window-position alias must avoid `i` — fnvSql's per-character
+      // list_transform lambda binds `i` and would capture it
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+         |wins AS (SELECT doc_id, unnest(range(1, len(w) - 13)) AS wp, w FROM t),
+         |h AS (SELECT doc_id, CAST(wp - 1 AS BIGINT) AS pos,
+         |       ${fnvSql("array_to_string(w[CAST(wp AS INT):CAST(wp+14 AS INT)], ' ')")} AS hh
+         |      FROM wins),
+         |dph AS (SELECT hh, COUNT(DISTINCT doc_id) AS n_docs_with FROM h GROUP BY hh),
+         |s AS (SELECT doc_id, pos FROM h JOIN dph USING (hh) WHERE n_docs_with >= 2),
+         |m AS (SELECT doc_id, pos,
+         |  MAX(pos + 14) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+         | FROM s),
+         |i AS (SELECT doc_id, pos,
+         |  SUM(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+         |           THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         | FROM m)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         | CAST(MAX(pos + 14) AS BIGINT) AS span_end, COUNT(*) AS n_windows
+         |FROM i GROUP BY doc_id, island""".stripMargin,
     "q94_bloom_decontam" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
          |d AS (SELECT doc_id,

@@ -119,6 +119,7 @@ object QueryPack
     "q92_dup_spans"         -> (dupSpans _),
     "q93_jl_project"        -> (jlProjection _),
     "q94_bloom_decontam"    -> (bloomDecontam _),
+    "q95_dup_span_extents"  -> (dupSpanExtents _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

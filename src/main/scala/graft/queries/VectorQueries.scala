@@ -223,11 +223,18 @@ private[queries] trait VectorQueries {
     * vector-carrying rows dominate the exchange): same buckets, same
     * probes, same exact-cosine verify, so the SAME oracle replays it —
     * the gate proves layout choice is invisible in results, cross-
-    * engine and not just against itself.
+    * engine and not just against itself. Bounded to the deterministic
+    * id slice the exact twins use (q22/q27 precedent): the 4-plane dial
+    * here is q28's documented hand-dial replay, and ONE full-corpus
+    * quadratic replay in the sweep (q28 itself) is enough — the
+    * full-corpus layout equality is additionally spec'd engine-side
+    * (OperatorsSpec's vec≡ids pairs-equality), so the slice costs no
+    * coverage.
     */
   def embNearDupIdsOnly(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupLshIdsOnly(
-      Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 4, nTables = 2)
+      Tables.embeddings(s, dir).filter(col("vec_id") < 3000),
+      threshold = 0.35, nPlanes = 4, nTables = 2)
       .select(col("id_a"), col("id_b"))
 
   /** Semantic dedup under TOP-2 multi-assignment (the round-11
@@ -338,10 +345,12 @@ private[queries] trait VectorQueries {
 
   /** Shared q28/q88 oracle: the 2-table × 4-plane multi-probe candidate
     * rule + exact cosine ≥ 0.35 — both row layouts must reproduce it. */
-  private lazy val lshNearDup2x4OracleSql: String = {
+  /** Shared q28/q88 oracle builder: the 2-table × 4-plane multi-probe
+    * candidate rule + exact cosine ≥ 0.35, over an optional id slice. */
+  private def lshNearDup2x4OracleSql(where: String): String = {
     val buckets = (0 until 2).map(t => s"${bucketSql("emb", t, 4)} AS b$t").mkString(", ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings),
+       |  FROM embeddings$where),
        |b AS (SELECT vec_id, emb, $buckets FROM e)
        |SELECT a.vec_id AS id_a, c.vec_id AS id_b
        |FROM b a JOIN b c ON a.vec_id < c.vec_id
@@ -418,10 +427,10 @@ private[queries] trait VectorQueries {
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
     // LSH near-dup replay: bucket predicate (hamming ≤ 1 in either
     // 4-plane table) + the exact cosine threshold over candidates,
-    "q28_emb_neardup_lsh" -> lshNearDup2x4OracleSql,
+    "q28_emb_neardup_lsh" -> lshNearDup2x4OracleSql(""),
     // identical replay for the ids-only layout: same candidate rule,
     // same verify — the layout must be invisible in results
-    "q88_emb_neardup_ids" -> lshNearDup2x4OracleSql,
+    "q88_emb_neardup_ids" -> lshNearDup2x4OracleSql(" WHERE vec_id < 3000"),
     // top-2 semantic dedup replay: per-label mean centroids, rank
     // cells by dot(unit vector, centroid) with the label tie-break,
     // keep ranks 1–2, drop on any shared cell within cosine 0.4

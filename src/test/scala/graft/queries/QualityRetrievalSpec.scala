@@ -127,6 +127,34 @@ class QualityRetrievalSpec extends AnyFunSuite with SparkTest {
     assert(viaHash === viaString)
   }
 
+  test("dup span extents: shared prefix and suffix merge into two separate islands") {
+    import spark.implicits._
+    // w=3: docs share tokens 0-4 and 8-12; the middles differ, so the
+    // shared window positions {0,1,2} and {8,9,10} merge into exactly
+    // two token ranges per doc: [0,4] and [8,12], 3 windows each
+    val docs = Seq(
+      (1L, "a b c d e u1 u2 u3 p q r s t", "en"),
+      (2L, "a b c d e v1 v2 v3 p q r s t", "en"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = QueryPack.spanExtents(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 0L, 4L, 3L), (1L, 8L, 12L, 3L),
+      (2L, 0L, 4L, 3L), (2L, 8L, 12L, 3L)))
+  }
+
+  test("dup span extents and dup-span fractions agree on WHICH documents share spans") {
+    val docs = graft.Tables.documents(spark, dir)
+    val withExtents = QueryPack.spanExtents(docs, 15)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val withShared = QueryPack.spanDupFractions(docs, 15)
+      .filter(col("dup_frac") > 0.0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(withExtents === withShared)
+  }
+
   test("JL projection: engine projection matches a sequential Scala recompute") {
     import org.apache.spark.sql.graft.VectorHashOps
     val row = QueryPack.jlProjection(spark, dir)
