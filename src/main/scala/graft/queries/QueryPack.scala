@@ -120,6 +120,7 @@ object QueryPack
     "q93_jl_project"        -> (jlProjection _),
     "q94_bloom_decontam"    -> (bloomDecontam _),
     "q95_dup_span_extents"  -> (dupSpanExtents _),
+    "q96_bigram_surprisal"  -> (bigramSurprisal _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -358,6 +358,70 @@ private[queries] trait TextQueries {
         .otherwise(floor(col("sum_hb").cast("double") / (col("n_tok") * 2) * 1e6) / 1e6))
   }
 
+  /** Bigram-conditional surprisal — the stronger LM quality gate next
+    * to [[unigramSurprisal]]'s unigram model: token surprisal is
+    * −log₂ p(t|u) for each adjacent pair (u,t), add-one smoothed over
+    * the UNIGRAM vocabulary — p(t|u) = (c(u,t)+1)/(c(u)+V) — so unseen
+    * continuations cost ~log₂(c(u)+V) bits and formulaic text (high
+    * c(u,t)/c(u)) scores low. A conditional model separates fluent
+    * common-word documents from shuffled ones the unigram gate scores
+    * identically (unigram surprisal is permutation-invariant; bigram
+    * surprisal is exactly what detects scrambled or templated text).
+    *
+    * Same exact-integer half-bit quantization as q90: surprisal(u,t) =
+    * (bitlength(q²)−1)/2 with q = (c(u)+V) div (c(u,t)+1) clamped at
+    * 2³¹−1 — binary digit counts are exact on both engines where libm
+    * log is not. Context counts c(u) sum the bigram counts per context
+    * (so both counts come off ONE bigram aggregate, and the last token
+    * of each document — which conditions nothing — is consistently
+    * excluded). Per document: mean over its n_tok−1 bigrams, floor-
+    * quantized at 1e-6; docs with <2 tokens surprise 0.
+    *
+    * Scale shape: the model build is one bigram groupBy (map-side
+    * partial agg — bigram vocab ≪ corpus bigram mass); the context
+    * re-aggregate and the bits table are model-sized; the scoring join
+    * is corpus-bigrams ⋈ bigram-vocab, hint-free — AQE broadcasts the
+    * model while it fits and flips to a shuffle equi-join when the
+    * bigram vocabulary outgrows broadcast range (the q55/q90 designed
+    * flip).
+    */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    bigramSurprisalPerDoc(Tables.documents(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           davg(col("surprisal")).as("avg_surprisal"),
+           count(when(col("surprisal") > 4.75, 1)).as("n_flagged"))
+
+  /** Per-document mean bigram surprisal (see [[bigramSurprisal]] for
+    * the arithmetic contract) — exposed for the spec's hand-walked
+    * values. Tokens are whitespace-split so the space-joined bigram
+    * key splits back unambiguously (`substring_index(b, ' ', 1)` IS
+    * the context token). */
+  private[graft] def bigramSurprisalPerDoc(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), 2)).as("b"))
+    val cb = bi.groupBy(col("b")).agg(count(lit(1)).as("c_ut"))
+    val cu = cb.groupBy(substring_index(col("b"), " ", 1).as("u"))
+      .agg(sum(col("c_ut")).as("c_u"))
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val bits = cb.withColumn("u", substring_index(col("b"), " ", 1))
+      .join(cu, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("q", least(expr("(c_u + v) div (c_ut + 1)"), lit(2147483647L)))
+      .withColumn("hb",
+        (length(conv((col("q") * col("q")).cast("string"), 10, 2)) - 1).cast("long"))
+      .select(col("b"), col("hb"))
+    val perDoc = bi.join(bits, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("hb")).as("sum_hb"), count(lit(1)).as("n_bi"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("surprisal", when(col("n_bi").isNull, lit(0.0))
+        .otherwise(floor(col("sum_hb").cast("double") / (col("n_bi") * 2) * 1e6) / 1e6))
+  }
+
   /** BM25 full-text retrieval: top-10 documents per query for an
     * embedded query set — the lexical leg of a retrieval/RAG pipeline
     * next to the embedding ANN family (q23/q24/q38). Standard BM25
@@ -644,6 +708,28 @@ private[queries] trait TextQueries {
          |SELECT lang, COUNT(*) AS n_docs,
          | ${davgSql("surprisal")} AS avg_surprisal,
          | COUNT(CASE WHEN surprisal > 4.6 THEN 1 END) AS n_flagged
+         |FROM f GROUP BY lang""".stripMargin,
+    "q96_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS w FROM documents),
+         |bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+         |       FROM t),
+         |cb AS (SELECT b, COUNT(*) AS c_ut FROM bi GROUP BY b),
+         |vocab AS (SELECT COUNT(DISTINCT tok) AS v
+         |          FROM (SELECT unnest(w) AS tok FROM t)),
+         |cu AS (SELECT split_part(b, ' ', 1) AS u, CAST(SUM(c_ut) AS BIGINT) AS c_u
+         |       FROM cb GROUP BY u),
+         |qv AS (SELECT b, CAST(LEAST((c_u + v) // (c_ut + 1), 2147483647) AS BIGINT) AS q
+         |       FROM cb JOIN cu ON split_part(cb.b, ' ', 1) = cu.u CROSS JOIN vocab),
+         |bits AS (SELECT b, CAST(length(bin(q * q)) - 1 AS BIGINT) AS hb FROM qv),
+         |pd AS (SELECT doc_id, CAST(SUM(hb) AS BIGINT) AS sum_hb, COUNT(*) AS n_bi
+         |       FROM bi JOIN bits USING (b) GROUP BY doc_id),
+         |f AS (SELECT d.lang,
+         |  CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |       ELSE FLOOR(CAST(sum_hb AS DOUBLE) / (n_bi * 2) * 1e6) / 1e6 END AS surprisal
+         | FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | ${davgSql("surprisal")} AS avg_surprisal,
+         | COUNT(CASE WHEN surprisal > 4.75 THEN 1 END) AS n_flagged
          |FROM f GROUP BY lang""".stripMargin,
     "q91_bm25" -> {
       val values = Bm25Queries

@@ -44,6 +44,43 @@ class QualityRetrievalSpec extends AnyFunSuite with SparkTest {
       s"doc with the rare token must score higher: ${got(1L)} vs ${got(2L)}")
   }
 
+  test("bigram surprisal: hand-walked half-bit values; <2-token docs score 0") {
+    import spark.implicits._
+    // bigram counts: c("x y")=2, c("y x")=2, c("x z")=1; contexts:
+    // c(x)=3, c(y)=2; V=3 (distinct unigrams x,y,z)
+    //   q("x y") = (3+3) div 3 = 2 → 4  → bitlen 3 → 2 hb → 1.0 bits
+    //   q("y x") = (2+3) div 3 = 1 → 1  → bitlen 1 → 0 hb → 0.0 bits
+    //   q("x z") = (3+3) div 2 = 3 → 9  → bitlen 4 → 3 hb → 1.5 bits
+    val docs = Seq(
+      (1L, "x y x y x", "en"), // (2+0+2+0)/(4·2) = 0.5
+      (2L, "x z", "en"),       // 3/(1·2)          = 1.5
+      (3L, "x", "en"),         // single token → no bigram → 0.0
+      (4L, "", "en")           // empty → 0.0
+    ).toDF("doc_id", "text", "lang")
+    val got = QueryPack.bigramSurprisalPerDoc(docs)
+      .select(col("doc_id"), col("surprisal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 0.5, 2L -> 1.5, 3L -> 0.0, 4L -> 0.0))
+  }
+
+  test("bigram surprisal separates scrambled text the unigram gate cannot") {
+    import spark.implicits._
+    // every doc has the same unigram profile (each token once), so the
+    // unigram model scores them identically — but the scrambled doc's
+    // bigrams are corpus singletons while the fluent phrasing repeats
+    val docs = ((1L to 5L).map(i => (i, "the quick brown fox", "en")) :+
+      (6L, "quick the fox brown", "en")).toDF("doc_id", "text", "lang")
+    val uni = QueryPack.unigramSurprisalPerDoc(docs)
+      .select(col("doc_id"), col("surprisal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(6L) === uni(1L), "unigram surprisal is permutation-invariant")
+    val bi = QueryPack.bigramSurprisalPerDoc(docs)
+      .select(col("doc_id"), col("surprisal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(6L) > bi(1L),
+      s"scrambled doc must out-surprise fluent ones: ${bi(6L)} vs ${bi(1L)}")
+  }
+
   test("BM25: higher tf in a shorter doc ranks first; term-free docs never rank") {
     import spark.implicits._
     val docs = Seq(
