@@ -279,7 +279,73 @@ private[queries] trait DedupQueries {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Span SCRUB — the final step of exact-substring dedup: actually
+    * CUT [[dupSpanExtents]]'s duplicated token ranges out of each
+    * affected document and emit the cleaned text's fingerprint (Lee et
+    * al. remove the duplicated bytes; the document survives with its
+    * unique content). Output per affected doc: token count, removed
+    * count, and the md5 of the space-rejoined kept tokens — the md5
+    * makes the reconstruction itself oracle-checkable, not just the
+    * arithmetic around it.
+    *
+    * Engine shape: extents come from [[spanExtents]] (ids-only
+    * shuffles); the token explode is PRUNED to affected documents by a
+    * semi-join before it pays anything (at 100 TB the scrub cost scales
+    * with the duplicated subset, not the corpus), and the extent join
+    * is an equi-join on doc_id with the range predicate riding along —
+    * extents are disjoint islands per doc, so the left join cannot
+    * duplicate token rows. Reassembly is one per-doc sort of kept
+    * (pos, tok) pairs — document-sized state, never corpus-sized.
+    */
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    scrubSpans(Tables.documents(s, dir), 15)
+
+  /** [[spanScrub]]'s core at window size `w` — exposed for the spec's
+    * planted-geometry reconstruction checks. */
+  private[graft] def scrubSpans(docs: DataFrame, w: Int): DataFrame = {
+    // the extent side re-derives from `docs`, so its key is renamed to
+    // keep the equi-join condition unambiguous under shared lineage
+    val ext = spanExtents(docs, w).withColumnRenamed("doc_id", "ext_doc_id")
+    val affected = ext.select(col("ext_doc_id").as("doc_id")).distinct()
+    val toks = docs.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val flagged = toks.join(ext,
+        col("doc_id") === col("ext_doc_id") &&
+          col("pos").between(col("span_start"), col("span_end")), "left")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        col("span_start").isNotNull.as("covered"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+           count(when(col("covered"), 1)).as("n_removed"),
+           md5(concat_ws(" ", transform(
+             array_sort(collect_list(when(!col("covered"),
+               struct(col("pos"), col("tok"))))),
+             x => x.getField("tok")))).as("scrub_md5"))
+  }
+
   private[queries] def dedupOracles: Map[String, String] = Map(
+    "q97_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+         |wins AS (SELECT doc_id, unnest(range(1, len(w) - 13)) AS wp, w FROM t),
+         |h AS (SELECT doc_id, CAST(wp - 1 AS BIGINT) AS pos,
+         |       ${fnvSql("array_to_string(w[CAST(wp AS INT):CAST(wp+14 AS INT)], ' ')")} AS hh
+         |      FROM wins),
+         |dph AS (SELECT hh, COUNT(DISTINCT doc_id) AS n_docs_with FROM h GROUP BY hh),
+         |s AS (SELECT doc_id, pos FROM h JOIN dph USING (hh) WHERE n_docs_with >= 2),
+         |cov AS (SELECT DISTINCT doc_id, p
+         |        FROM (SELECT doc_id, unnest(range(pos, pos + 15)) AS p FROM s)),
+         |tok AS (SELECT t.doc_id, unnest(range(0, len(w))) AS p, w FROM t
+         |        JOIN (SELECT DISTINCT doc_id FROM s) a USING (doc_id)),
+         |k AS (SELECT tok.doc_id, tok.p, w[CAST(tok.p + 1 AS INT)] AS tk,
+         |        cov.p IS NOT NULL AS covered
+         |      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p)
+         |SELECT doc_id, COUNT(*) AS n_tok,
+         | COUNT(CASE WHEN covered THEN 1 END) AS n_removed,
+         | md5(COALESCE(array_to_string(
+         |   list(tk ORDER BY p) FILTER (WHERE NOT covered), ' '), '')) AS scrub_md5
+         |FROM k GROUP BY doc_id""".stripMargin,
     "q95_dup_span_extents" ->
       // the window-position alias must avoid `i` — fnvSql's per-character
       // list_transform lambda binds `i` and would capture it

@@ -121,6 +121,8 @@ object QueryPack
     "q94_bloom_decontam"    -> (bloomDecontam _),
     "q95_dup_span_extents"  -> (dupSpanExtents _),
     "q96_bigram_surprisal"  -> (bigramSurprisal _),
+    "q97_span_scrub"        -> (spanScrub _),
+    "q98_alpha_sample"      -> (alphaSample _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -204,6 +204,55 @@ private[queries] trait TextQueries {
       .select(col("lang"), col("doc_id"), col("rn"))
   }
 
+  /** Temperature-based language rebalancing (the mC4/XLM-R α-sampling
+    * scheme): sample language l with probability ∝ n_l^α so
+    * low-resource languages are UP-weighted relative to their corpus
+    * share — the knob multilingual pretraining turns so English doesn't
+    * drown everything else. α = 0.5 keeps the arithmetic exact across
+    * engines (IEEE sqrt is correctly rounded; a libm pow is not), and
+    * the normalizer Σ√n_l folds in LANG-SORTED order on both sides, so
+    * per-language acceptance thresholds are bit-identical doubles
+    * floored to integers. Documents accept by content-independent
+    * doc-id hash against the integer threshold — reproducible across
+    * runs, engines, and partitionings.
+    *
+    * Per language: corpus count, sampled count (target corpus = half
+    * the input), and the ppm threshold. Unlike [[weightedMix]] (fixed
+    * per-source tiers) the rate here is SELF-CALIBRATING — it derives
+    * from the measured language distribution, so the same call
+    * rebalances any corpus. Engine shape: one tiny counts aggregate →
+    * 1-row model → broadcast threshold join → map-side accept; the
+    * corpus-sized pass shuffles only for the final per-language rollup.
+    */
+  def alphaSample(s: SparkSession, dir: String): DataFrame =
+    alphaSampleStats(Tables.documents(s, dir))
+
+  /** [[alphaSample]]'s core — exposed for the spec's planted-skew and
+    * exact-threshold checks. */
+  private[graft] def alphaSampleStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val model = counts.agg(
+      expr("sum(n_l) div 2").as("t"),
+      aggregate(array_sort(collect_list(struct(col("lang"), col("n_l")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_l").cast("double"))).as("s_sum"))
+    val thr = counts.crossJoin(broadcast(model))
+      .withColumn("threshold",
+        floor(least(lit(1.0),
+          col("t").cast("double") * sqrt(col("n_l").cast("double"))
+            / col("s_sum") / col("n_l").cast("double")) * 1e6).cast("long"))
+      .select(col("lang"), col("threshold"))
+    docs.join(broadcast(thr), Seq("lang"))
+      .withColumn("accept",
+        pmod(TextHashExpressions.fnv64(col("doc_id").cast("string")),
+          lit(1000000L)) < col("threshold"))
+      .groupBy(col("lang"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("accept"), 1)).as("n_sampled"))
+      .select(col("lang"), col("n_docs"), col("n_sampled"), col("threshold"))
+  }
+
   /** Token-budget truncation: the "clip every document to its first N
     * tokens" pass a pretraining pipeline runs when packing sequences.
     * Per language: docs over budget, tokens kept, characters kept —
@@ -508,6 +557,24 @@ private[queries] trait TextQueries {
         md5(col("chunk_text").cast("binary")).as("chunk_md5"))
 
   private[queries] def textOracles: Map[String, String] = Map(
+    "q98_alpha_sample" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+         |m AS (SELECT CAST(SUM(n_l) AS BIGINT) // 2 AS t,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(list(n_l ORDER BY lang), x -> sqrt(CAST(x AS DOUBLE)))),
+         |    (a, b) -> a + b) AS s_sum
+         |  FROM c),
+         |thr AS (SELECT lang,
+         |  CAST(FLOOR(LEAST(1.0, CAST(t AS DOUBLE) * sqrt(CAST(n_l AS DOUBLE))
+         |    / s_sum / CAST(n_l AS DOUBLE)) * 1e6) AS BIGINT) AS threshold
+         |  FROM c CROSS JOIN m),
+         |u AS (SELECT lang, ${fnvSql("CAST(doc_id AS VARCHAR)")} AS uh FROM documents),
+         |acc AS (SELECT u.lang, thr.threshold,
+         |  ((${signedSql("uh")} % 1000000) + 1000000) % 1000000 < threshold AS accept
+         |  FROM u JOIN thr USING (lang))
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN accept THEN 1 END) AS n_sampled, threshold
+         |FROM acc GROUP BY lang, threshold""".stripMargin,
     "q81_chunking" ->
       """WITH n AS (
         | SELECT doc_id, text,

@@ -192,6 +192,62 @@ class QualityRetrievalSpec extends AnyFunSuite with SparkTest {
     assert(withExtents === withShared)
   }
 
+  test("span scrub: cuts exactly the planted extents and rebuilds the kept text") {
+    import spark.implicits._
+    // same two-island geometry as the extents spec (w=3): docs 1/2 share
+    // tokens 0-4 and 8-12, middles are unique → scrub keeps the middle
+    val docs = Seq(
+      (1L, "a b c d e u1 u2 u3 p q r s t", "en"),
+      (2L, "a b c d e v1 v2 v3 p q r s t", "en"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = QueryPack.scrubSpans(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got === Set(
+      (1L, 13L, 10L, m("u1 u2 u3")),
+      (2L, 13L, 10L, m("v1 v2 v3"))), s"unexpected scrub output: $got")
+  }
+
+  test("span scrub: removed-token counts equal the extent lengths on the real corpus") {
+    val docs = graft.Tables.documents(spark, dir)
+    val fromExtents = QueryPack.spanExtents(docs, 15)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromScrub = QueryPack.scrubSpans(docs, 15)
+      .select(col("doc_id"), col("n_removed"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromScrub === fromExtents,
+      "scrub must remove exactly the tokens the extents cover")
+  }
+
+  test("alpha sampling: thresholds match a sequential recompute; low-resource lang is up-weighted") {
+    import spark.implicits._
+    // 90 hi-resource docs vs 10 lo-resource: α=0.5 gives lo an
+    // acceptance rate of min(1, 50·√10/S/10) = 1.25 → capped at 1 —
+    // every lo doc survives — while hi keeps ~42%
+    val docs = ((1L to 90L).map(i => (i, s"hi doc $i", "hi")) ++
+      (91L to 100L).map(i => (i, s"lo doc $i", "lo"))).toDF("doc_id", "text", "lang")
+    val got = QueryPack.alphaSampleStats(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // mirror the engine's fold order exactly: langs ascending
+    val s = 0.0 + math.sqrt(90.0) + math.sqrt(10.0)
+    def thr(n: Long): Long =
+      math.floor(math.min(1.0, 50.0 * math.sqrt(n.toDouble) / s / n.toDouble) * 1e6).toLong
+    assert(got("hi")._1 === 90L && got("lo")._1 === 10L)
+    assert(got("hi")._3 === thr(90) && got("lo")._3 === thr(10),
+      s"thresholds drifted from the sequential recompute: $got")
+    assert(got("lo")._3 === 1000000L && got("lo")._2 === 10L,
+      "capped low-resource language must keep every document")
+    assert(got("lo")._2.toDouble / 10 > got("hi")._2.toDouble / 90,
+      s"α-sampling must up-weight the low-resource language: $got")
+  }
+
   test("JL projection: engine projection matches a sequential Scala recompute") {
     import org.apache.spark.sql.graft.VectorHashOps
     val row = QueryPack.jlProjection(spark, dir)
