@@ -289,13 +289,17 @@ private[queries] trait DedupQueries {
     * arithmetic around it.
     *
     * Engine shape: extents come from [[spanExtents]] (ids-only
-    * shuffles); the token explode is PRUNED to affected documents by a
-    * semi-join before it pays anything (at 100 TB the scrub cost scales
-    * with the duplicated subset, not the corpus), and the extent join
-    * is an equi-join on doc_id with the range predicate riding along —
-    * extents are disjoint islands per doc, so the left join cannot
-    * duplicate token rows. Reassembly is one per-doc sort of kept
-    * (pos, tok) pairs — document-sized state, never corpus-sized.
+    * shuffles) and collapse to ONE small row per affected document (a
+    * doc has few disjoint extents), so the only join is doc ⋈
+    * extent-list on doc_id — inner, so it also prunes the scrub to the
+    * duplicated subset — and the cut itself is a map-side
+    * positional-array filter over the token array. No (doc_id, pos,
+    * tok) row ever shuffles: the text stream stays where the scan put
+    * it, which is the difference between "linear in the duplicated
+    * subset" and "re-shuffling the corpus" at 100 TB. (A first cut of
+    * this operator exploded and shuffled every affected token for a
+    * per-doc sort-reassembly; at 10× data it ran 7.1× — the rewrite is
+    * the fix, not a tweak. SCALING.md records both.)
     */
   def spanScrub(s: SparkSession, dir: String): DataFrame =
     scrubSpans(Tables.documents(s, dir), 15)
@@ -303,26 +307,22 @@ private[queries] trait DedupQueries {
   /** [[spanScrub]]'s core at window size `w` — exposed for the spec's
     * planted-geometry reconstruction checks. */
   private[graft] def scrubSpans(docs: DataFrame, w: Int): DataFrame = {
-    // the extent side re-derives from `docs`, so its key is renamed to
-    // keep the equi-join condition unambiguous under shared lineage
-    val ext = spanExtents(docs, w).withColumnRenamed("doc_id", "ext_doc_id")
-    val affected = ext.select(col("ext_doc_id").as("doc_id")).distinct()
-    val toks = docs.join(affected, Seq("doc_id"), "left_semi")
+    val ext = spanExtents(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+             col("span_end").as("e"))).as("spans"),
+           sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    docs.join(ext, Seq("doc_id"))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      // extents are disjoint and in-bounds, so dropping covered
+      // positions removes exactly n_removed tokens
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(col("spans"), sp => i.cast("long").between(
+          sp.getField("s"), sp.getField("e")))))
       .select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val flagged = toks.join(ext,
-        col("doc_id") === col("ext_doc_id") &&
-          col("pos").between(col("span_start"), col("span_end")), "left")
-      .select(col("doc_id"), col("pos"), col("tok"),
-        col("span_start").isNotNull.as("covered"))
-    flagged.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-           count(when(col("covered"), 1)).as("n_removed"),
-           md5(concat_ws(" ", transform(
-             array_sort(collect_list(when(!col("covered"),
-               struct(col("pos"), col("tok"))))),
-             x => x.getField("tok")))).as("scrub_md5"))
+        size(col("toks")).cast("long").as("n_tok"),
+        col("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
   }
 
   private[queries] def dedupOracles: Map[String, String] = Map(

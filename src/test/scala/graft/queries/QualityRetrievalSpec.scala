@@ -212,16 +212,26 @@ class QualityRetrievalSpec extends AnyFunSuite with SparkTest {
       (2L, 13L, 10L, m("v1 v2 v3"))), s"unexpected scrub output: $got")
   }
 
-  test("span scrub: removed-token counts equal the extent lengths on the real corpus") {
+  test("span scrub: removal counts match an explode-and-range-join recount on the real corpus") {
+    // the scrub derives n_removed from extent lengths and cuts with a
+    // map-side positional filter; this recounts covered TOKENS the
+    // heavyweight way (posexplode + range join) — divergence would mean
+    // an extent escaping the document's token range or overlapping
+    // another
     val docs = graft.Tables.documents(spark, dir)
-    val fromExtents = QueryPack.spanExtents(docs, 15)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
+    val ext = QueryPack.spanExtents(docs, 15)
+      .withColumnRenamed("doc_id", "ext_doc_id")
+    val recount = docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(ext, col("doc_id") === col("ext_doc_id") &&
+        col("pos").cast("long").between(col("span_start"), col("span_end")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fromScrub = QueryPack.scrubSpans(docs, 15)
       .select(col("doc_id"), col("n_removed"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(fromScrub === fromExtents,
+    assert(fromScrub === recount,
       "scrub must remove exactly the tokens the extents cover")
   }
 
