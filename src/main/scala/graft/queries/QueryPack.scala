@@ -123,6 +123,8 @@ object QueryPack
     "q96_bigram_surprisal"  -> (bigramSurprisal _),
     "q97_span_scrub"        -> (spanScrub _),
     "q98_alpha_sample"      -> (alphaSample _),
+    "q99_c4_filter"         -> (c4Filter _),
+    "q100_pii_redact"       -> (piiRedact _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

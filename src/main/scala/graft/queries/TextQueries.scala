@@ -204,6 +204,88 @@ private[queries] trait TextQueries {
       .select(col("lang"), col("doc_id"), col("rn"))
   }
 
+  /** C4/Gopher-style quality-rule bundle — the canonical "clean the
+    * crawl" pass: five document-level rules evaluated in ONE map-side
+    * projection (no per-rule pass, no shuffle before the per-language
+    * rollup), with per-rule failure counts so the gate is explainable,
+    * not just a keep bit. Rules (thresholds sit inside this corpus's
+    * measured distribution so both branches are exercised):
+    * length ≥ 25 tokens; duplicate-token ratio ≤ 0.6; stopword ratio
+    * ≥ 0.02; mean word length in [3.0, 5.0]; punctuation ratio ≤ 0.05.
+    * Every ratio is an integer-over-integer IEEE division compared
+    * against a literal, and the oracle restates the identical
+    * expression tree — boundary documents decide the same way in both
+    * engines. Failure counts are non-exclusive (a doc can fail several
+    * rules); `n_kept` counts docs failing none.
+    */
+  def c4Filter(s: SparkSession, dir: String): DataFrame =
+    c4FilterStats(Tables.documents(s, dir))
+
+  /** [[c4Filter]]'s core — exposed for the spec's per-rule planted
+    * documents. */
+  private[graft] def c4FilterStats(docs: DataFrame): DataFrame = {
+    val flagged = docs.select(col("lang"), col("text"))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("dup_ratio", when(col("n_tok") === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(col("toks"))).cast("double") / col("n_tok")))
+      .withColumn("stop_ratio", when(col("n_tok") === 0, lit(0.0))
+        .otherwise(size(filter(col("toks"),
+          t => t.isin(TextFunctions.Stopwords.map(x => x: Any): _*)))
+          .cast("double") / col("n_tok")))
+      .withColumn("mean_wl", when(col("n_tok") === 0, lit(0.0))
+        .otherwise(aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + length(t)).cast("double") / col("n_tok")))
+      .withColumn("punct_ratio", TextFunctions.punctRatio(col("text")))
+      .withColumn("f_len", col("n_tok") < 25)
+      .withColumn("f_rep", col("dup_ratio") > 0.6)
+      .withColumn("f_stop", col("stop_ratio") < 0.02)
+      .withColumn("f_wl", col("mean_wl") < 3.0 || col("mean_wl") > 5.0)
+      .withColumn("f_punct", col("punct_ratio") > 0.05)
+    flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(!col("f_len") && !col("f_rep") && !col("f_stop") &&
+             !col("f_wl") && !col("f_punct"), 1)).as("n_kept"),
+           count(when(col("f_len"), 1)).as("n_fail_len"),
+           count(when(col("f_rep"), 1)).as("n_fail_rep"),
+           count(when(col("f_stop"), 1)).as("n_fail_stop"),
+           count(when(col("f_wl"), 1)).as("n_fail_wordlen"),
+           count(when(col("f_punct"), 1)).as("n_fail_punct"))
+  }
+
+  /** PII redaction — the APPLY step of [[piiScan]]'s triage (scan tells
+    * you what's there; this one rewrites it): emails → `<EMAIL>`, URLs
+    * → `<URL>`, then 8+-letter runs → `<LW>`, applied in that order so
+    * a placeholder never re-matches a later pattern. Per affected doc:
+    * redaction count and the md5 of the redacted text — the rewrite
+    * itself is hash-checked cross-engine, mirroring q97's
+    * reconstruction contract. (As with q53, the synthetic corpus has no
+    * emails/URLs — those legs gate the plumbing at zero and the
+    * long-word leg keeps the oracle non-vacuous; the spec plants real
+    * emails/URLs to exercise all three.) Pure map-side: three
+    * codegen'd regex rewrites, no shuffle at all before the output.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactDocs(Tables.documents(s, dir))
+
+  /** [[piiRedact]]'s core — exposed for the spec's planted-PII docs. */
+  private[graft] def piiRedactDocs(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[A-Za-z0-9./_-]+"
+    val longWord = "[A-Za-z]{8,}"
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("t1", regexp_replace(col("text"), email, "<EMAIL>"))
+      .withColumn("t2", regexp_replace(col("t1"), url, "<URL>"))
+      .withColumn("n_redacted",
+        (size(regexp_extract_all(col("text"), lit(email), lit(0))) +
+         size(regexp_extract_all(col("t1"), lit(url), lit(0))) +
+         size(regexp_extract_all(col("t2"), lit(longWord), lit(0)))).cast("long"))
+      .filter(col("n_redacted") > 0)
+      .select(col("doc_id"), col("n_redacted"),
+        md5(regexp_replace(col("t2"), longWord, "<LW>")).as("redacted_md5"))
+  }
+
   /** Temperature-based language rebalancing (the mC4/XLM-R α-sampling
     * scheme): sample language l with probability ∝ n_l^α so
     * low-resource languages are UP-weighted relative to their corpus
@@ -557,6 +639,50 @@ private[queries] trait TextQueries {
         md5(col("chunk_text").cast("binary")).as("chunk_md5"))
 
   private[queries] def textOracles: Map[String, String] = Map(
+    "q99_c4_filter" -> {
+      val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT lang, text, ${toksSql("text")} AS w FROM documents),
+         |f AS (SELECT lang, len(w) AS n_tok,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS dup_ratio,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(w, t -> t IN ($stops))) AS DOUBLE) / len(w) END AS stop_ratio,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) END AS mean_wl,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |            / length(text) END AS punct_ratio
+         | FROM t),
+         |g AS (SELECT lang, n_tok < 25 AS f_len, dup_ratio > 0.6 AS f_rep,
+         |  stop_ratio < 0.02 AS f_stop, (mean_wl < 3.0 OR mean_wl > 5.0) AS f_wl,
+         |  punct_ratio > 0.05 AS f_punct FROM f)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN NOT f_len AND NOT f_rep AND NOT f_stop
+         |            AND NOT f_wl AND NOT f_punct THEN 1 END) AS n_kept,
+         | COUNT(CASE WHEN f_len THEN 1 END) AS n_fail_len,
+         | COUNT(CASE WHEN f_rep THEN 1 END) AS n_fail_rep,
+         | COUNT(CASE WHEN f_stop THEN 1 END) AS n_fail_stop,
+         | COUNT(CASE WHEN f_wl THEN 1 END) AS n_fail_wordlen,
+         | COUNT(CASE WHEN f_punct THEN 1 END) AS n_fail_punct
+         |FROM g GROUP BY lang""".stripMargin
+    },
+    "q100_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[A-Za-z0-9./_-]+"
+      val longWord = "[A-Za-z]{8,}"
+      s"""WITH r AS (SELECT doc_id, text,
+         |  regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1 FROM documents),
+         |r2 AS (SELECT doc_id, text, t1,
+         |  regexp_replace(t1, '$url', '<URL>', 'g') AS t2 FROM r),
+         |n AS (SELECT doc_id, t2,
+         |  CAST(len(regexp_extract_all(text, '$email'))
+         |   + len(regexp_extract_all(t1, '$url'))
+         |   + len(regexp_extract_all(t2, '$longWord')) AS BIGINT) AS n_redacted
+         | FROM r2)
+         |SELECT doc_id, n_redacted,
+         | md5(regexp_replace(t2, '$longWord', '<LW>', 'g')) AS redacted_md5
+         |FROM n WHERE n_redacted > 0""".stripMargin
+    },
     "q98_alpha_sample" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
          |m AS (SELECT CAST(SUM(n_l) AS BIGINT) // 2 AS t,

@@ -258,6 +258,54 @@ class QualityRetrievalSpec extends AnyFunSuite with SparkTest {
       s"α-sampling must up-weight the low-resource language: $got")
   }
 
+  test("C4 filter: each rule trips on exactly its planted violator") {
+    import spark.implicits._
+    // one clean doc + one violator per rule; filler words are 4-5 chars
+    // so mean word length stays inside [3,5] except for the planted
+    // long-word doc (which also trips the repetition rule — dup ×28)
+    val docs = Seq(
+      (1L, "the of " + (1 to 28).map(i => s"wrd$i").mkString(" "), "en"), // passes all
+      (2L, "the of " + (1 to 10).map(i => s"wrd$i").mkString(" "), "en"), // <25 toks
+      (3L, "the of " + Seq.fill(28)("dupl").mkString(" "), "en"), // dup_ratio 0.9 > 0.6
+      (4L, (1 to 30).map(i => s"wrd$i").mkString(" "), "en"),     // no stopwords
+      (5L, "the of " + Seq.fill(28)("hippopotamus").mkString(" "), "en"), // mean_wl 11.4 (also dup)
+      (6L, "the of " + (1 to 28).map(i => s"w$i.,").mkString(" "), "en")  // punct 0.34
+    ).toDF("doc_id", "text", "lang")
+    val r = QueryPack.c4FilterStats(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 6L)
+    assert(r.getAs[Long]("n_kept") === 1L, s"only the clean doc passes: $r")
+    assert(r.getAs[Long]("n_fail_len") === 1L, s"$r")
+    assert(r.getAs[Long]("n_fail_rep") === 2L, s"$r")     // docs 3 and 5
+    assert(r.getAs[Long]("n_fail_stop") === 1L, s"$r")
+    assert(r.getAs[Long]("n_fail_wordlen") === 1L, s"$r") // doc 5
+    assert(r.getAs[Long]("n_fail_punct") === 1L, s"$r")
+  }
+
+  test("C4 filter: empty document fails the length rule with zeroed ratios") {
+    import spark.implicits._
+    val docs = Seq((1L, "", "en")).toDF("doc_id", "text", "lang")
+    val r = QueryPack.c4FilterStats(docs).collect().head
+    assert(r.getAs[Long]("n_kept") === 0L && r.getAs[Long]("n_fail_len") === 1L &&
+      r.getAs[Long]("n_fail_rep") === 0L && r.getAs[Long]("n_fail_punct") === 0L)
+  }
+
+  test("PII redaction: planted email/url/long-word all rewrite; md5 matches the expected text") {
+    import spark.implicits._
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = Seq(
+      (1L, "mail bob.smith@example.com or see https://example.com/a_b and telemetry data", "en"),
+      (2L, "short toks only here", "en") // nothing 8+ letters, no PII → absent
+    ).toDF("doc_id", "text", "lang")
+    val got = QueryPack.piiRedactDocs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === 1)
+    // email first, then url, then the 8+-letter "telemetry"
+    assert(got.head === ((1L, 3L, m("mail <EMAIL> or see <URL> and <LW> data"))))
+  }
+
   test("JL projection: engine projection matches a sequential Scala recompute") {
     import org.apache.spark.sql.graft.VectorHashOps
     val row = QueryPack.jlProjection(spark, dir)
