@@ -282,6 +282,31 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"expected the native dot-product expression in:\n$plan")
   }
 
+  test("q97: span scrub never shuffles the text — the cut is map-side after the extent join") {
+    val df = QueryPack.spanScrub(spark, dir)
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"doc ⋈ extent-list must stay an equi-join:\n$plan")
+    // the whole point of the rewrite: extents move to the text, the
+    // text never moves to the extents — no exchange row carries `text`
+    val badExchange = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("text"))
+    assert(badExchange.isEmpty,
+      s"scrub must not shuffle document text:\n${badExchange.mkString("\n")}")
+  }
+
+  test("q99/q100: the filter bundle and redaction are map-side — at most the rollup exchanges") {
+    val p99 = executedPlan(QueryPack.c4Filter(spark, dir))
+    // one partial/final aggregate pair → exactly one exchange
+    assert(p99.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"five rules must ride one projection + one rollup exchange:\n$p99")
+    val p100 = executedPlan(QueryPack.piiRedact(spark, dir))
+    assert(!p100.contains("Exchange"),
+      s"redaction must not shuffle (scan → project → filter only):\n$p100")
+  }
+
   test("q85: prototype pruning broadcasts the centroid table and shuffles by label once") {
     val df = QueryPack.prototypePruneStats(spark, dir)
     df.write.mode("overwrite").format("noop").save()
