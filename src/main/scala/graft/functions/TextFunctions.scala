@@ -77,13 +77,19 @@ object TextFunctions {
     * tokenizer.
     */
   def bpeWordTokens(w: Column): Column = bind(w) { wb =>
+    // longest-match = first hit over DESCENDING length classes: one
+    // substr + one hash-set membership (Catalyst InSet) per class
+    // instead of a substr+compare per vocab piece — same greedy
+    // semantics, ~|lengths| work per position instead of ~|vocab|
+    val byLen = BpeVocab.groupBy(_.length)
+    val lens = byLen.keys.toSeq.sorted(Ordering[Int].reverse)
     val step = (acc: Column, i: Column) => {
       val pos = shiftrightunsigned(acc, 32)
       val cnt = acc.bitwiseAND(lit(0xFFFFFFFFL))
-      val matchLen = greatest(
-        lit(1) +: BpeVocab.map(p =>
-          when(wb.substr(i, lit(p.length)) === lit(p), lit(p.length))
-            .otherwise(lit(1))): _*)
+      val matchLen = lens.foldRight(lit(1): Column) { (n, fallback) =>
+        when(wb.substr(i, lit(n)).isin(byLen(n).map(x => x: Any): _*), lit(n))
+          .otherwise(fallback)
+      }
       when(i.cast("long") < pos, acc)
         .otherwise(shiftleft((i + matchLen).cast("long"), 32)
           .bitwiseOR(cnt + lit(1L)))
