@@ -108,6 +108,75 @@ object ShingleOps {
     }
     new GenericArrayData(if (w == outLen) trimmed else Arrays.copyOf(trimmed, w))
   }
+
+  /** Positional window hashes: for each n-token window starting at
+    * 0-based token position p, the FNV-1a-64 of the window's tokens
+    * joined by a single space — EXACTLY the value `fnv64` returns for
+    * `concat_ws(" ", slice(tokens, p+1, n))`, so oracles written
+    * against the string path keep holding verbatim — computed in one
+    * pass without materializing any token or window string (the
+    * Column formulation allocates a window string per position and
+    * re-runs the regex split per document). Output: (pos, hash)
+    * structs in position order; fewer than n tokens ⇒ empty array.
+    * Same split-FIELD tokenization as [[shingleHashes]].
+    */
+  def positionalWindowHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    // field boundaries under tokens()'s split-FIELD semantics: fields
+    // separated by `\s+` runs, empty edge fields kept
+    var fFrom = new Array[Int](16)
+    var fUntil = new Array[Int](16)
+    var nf = 0
+    def addField(a: Int, b: Int): Unit = {
+      if (nf == fFrom.length) {
+        fFrom = Arrays.copyOf(fFrom, nf * 2)
+        fUntil = Arrays.copyOf(fUntil, nf * 2)
+      }
+      fFrom(nf) = a; fUntil(nf) = b; nf += 1
+    }
+    if (start < end) {
+      var i = start
+      var fieldStart = start
+      var emittedTrailing = false
+      while (i < end) {
+        if (isWs(s.charAt(i))) {
+          addField(fieldStart, i)
+          while (i < end && isWs(s.charAt(i))) i += 1
+          fieldStart = i
+          if (i == end) { addField(end, end); emittedTrailing = true }
+        } else {
+          i += Character.charCount(s.codePointAt(i))
+        }
+      }
+      if (!emittedTrailing) addField(fieldStart, end)
+    }
+    if (nf < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nf - n + 1)
+    var k = 0
+    while (k <= nf - n) {
+      var h = TextHashOps.FnvOffset
+      var j = k
+      while (j < k + n) {
+        if (j > k) h = (h ^ 32) * TextHashOps.FnvPrime // the joining ' '
+        var ci = fFrom(j)
+        val cu = fUntil(j)
+        while (ci < cu) {
+          val cp = s.codePointAt(ci)
+          h = (h ^ cp) * TextHashOps.FnvPrime
+          ci += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](k.toLong, h))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `shingle_hashes(string) → array<bigint>` (ascending, distinct). */
@@ -134,7 +203,39 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `positional_window_hashes(string) → array<struct<pos:bigint, hash:bigint>>`
+  * (position order; hash = fnv64 of the space-joined window string). */
+case class PositionalWindowHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "window size must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("hash", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "positional_window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"positional_window_hashes expects a string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.positionalWindowHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ShingleOps.positionalWindowHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+
+  def positionalWindowHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(PositionalWindowHashes(ExpressionUtils.expression(text), n))
 }

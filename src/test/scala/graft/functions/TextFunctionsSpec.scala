@@ -19,6 +19,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(oneSeq(TextFunctions.tokens($"text"), "   ") == Nil)
   }
 
+  test("positional window hashes equal fnv64 of the string windows, position by position") {
+    import org.apache.spark.sql.graft.{ShingleExpressions, TextHashExpressions}
+    // edge zoo: multi-space runs, tab/newline separators (empty edge
+    // fields), non-BMP codepoints, short docs, whitespace-only
+    val cases = Seq("a b c d e", "a  b\tc\nd", "\ta b c", "a b c\t",
+      "héllo wörld again", "one two", "one", "", "   ", "x \t y z 𝄞clef w")
+    for (t <- cases; n <- Seq(2, 3)) {
+      val df = Seq(t).toDF("text")
+      val native = df.select(explode(
+          ShingleExpressions.positionalWindowHashes(col("text"), n)).as("wh"))
+        .select(col("wh.pos"), col("wh.hash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaString = df.select(posexplode(
+          TextFunctions.shingles(col("text"), n)).as(Seq("pos", "win")))
+        .select(col("pos").cast("long"),
+          TextHashExpressions.fnv64(col("win")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === viaString,
+        s"divergence on '${t.replace("\t", "\\t").replace("\n", "\\n")}' n=$n")
+    }
+  }
+
   test("native token_count equals size(split) on edge cases") {
     val cases = Seq("", "   ", "one", " a  b\tc\nd ", "ab\fc\rd",
       "héllo wörld", "a", "  leading", "trailing  ", "\t\n", "a.b,c d",
