@@ -556,7 +556,9 @@ object Media {
                 } else None
               val defSize =
                 if ((tfFlags & 0x10) != 0 && at + 4 <= e) {
-                  val v = be32(b, at); at += 4; Some(v)
+                  // size 0 cannot locate a sample (same filter trex
+                  // sizes get at parse time) — fall through to trex
+                  val v = be32(b, at); at += 4; Some(v).filter(_ > 0)
                 } else None
               val defFlags =
                 if ((tfFlags & 0x20) != 0 && at + 4 <= e) {
@@ -565,9 +567,17 @@ object Media {
               val base = baseOpt.getOrElse(
                 if ((tfFlags & 0x20000) != 0) moofStart.toLong else trafBaseDefault)
               val track = byTrackId.get(trackId)
-              val fallbackSize = defSize.orElse(track.flatMap(_.trexSize))
-              val fallbackDur = defDur.orElse(track.flatMap(_.trexDuration))
-              val fallbackFlags = defFlags.orElse(track.flatMap(_.trexFlags))
+              // trex defaults resolve by track_ID for EVERY traf — a
+              // non-video traf (audio, subtitles) must still advance
+              // the data cursor through its truns, or the implicit
+              // base offset of the NEXT traf (end of preceding traf's
+              // data, per spec) lands on this traf's bytes and the
+              // following video samples get wrong offsets; frames are
+              // still emitted only for video tracks (`track.foreach`)
+              val tx = trex.get(trackId)
+              val fallbackSize = defSize.orElse(tx.map(_._1).filter(_ > 0))
+              val fallbackDur = defDur.orElse(tx.map(_._2).filter(_ > 0))
+              val fallbackFlags = defFlags.orElse(tx.map(_._3))
               val tfdt = mp4Boxes(b, ts, te, "tfdt").headOption.flatMap {
                 case (tp, tend) =>
                   if (tp + 8 > tend) None
@@ -597,8 +607,14 @@ object Media {
                 var i = 0
                 // a trun whose sizes can't be resolved (no per-sample
                 // sizes, no tfhd/trex default) locates nothing — skip it
-                // rather than emit wrong offsets
-                while (haveSize && i < n && n >= 0 &&
+                // rather than emit wrong offsets. A fully-defaulted
+                // trun (perSample == 0) consumes no bytes per
+                // iteration, so the per-iteration bounds check can't
+                // bound a corrupt sample_count — refuse absurd counts
+                // outright (the moov path's tableCap, ~1M entries,
+                // applied in refusal form) before they OOM the builder
+                val defaultedCountOk = perSample > 0 || n <= (1 << 20)
+                while (haveSize && defaultedCountOk && i < n && n >= 0 &&
                     rat + 4L * perSample <= rend) {
                   val dur =
                     if ((trFlags & 0x100) != 0) { val v = be32(b, rat); rat += 4; v }

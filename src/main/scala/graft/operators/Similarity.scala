@@ -152,18 +152,8 @@ object Similarity {
     // duplicated vector rows through the exchange (`a` carries a row per
     // probe). The auto-dialed path already has keys ≫ partitions and
     // computes S=1 (plan untouched).
-    val keySpace = nTables.toLong << nPlanes
-    val parallelism =
-      corpus.sparkSession.sessionState.conf.numShufflePartitions.toLong
-    val slices =
-      math.min(64L, math.max(1L, (4L * parallelism) / math.max(1L, keySpace))).toInt
     val (aS, bS, joinKeys) =
-      if (slices <= 1) (a, b, Seq("table", "bucket"))
-      else (
-        a.withColumn("slice", pmod(hash(col("id_a")), lit(slices))),
-        b.withColumn("slice",
-          explode(array((0 until slices).map(lit(_)): _*))),
-        Seq("table", "bucket", "slice"))
+      slicedBucketJoin(a, b, "id_a", nTables.toLong << nPlanes, corpus)
     aS.join(bS, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.dot(col("emb_a"), col("emb_b")))
@@ -172,6 +162,30 @@ object Similarity {
       // survivors ≈ the answer set (×≤ tables·probes duplicates) — the
       // dedup shuffle is on thousands of rows, not the candidate stream
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Parallelism-guard slicing shared by [[cosineNearDupLsh]] and
+    * [[cosineNearDupLshIdsOnly]] (the two are spec'd pairs-identical, so
+    * the slice formula lives in one place): when the (table, bucket) key
+    * space is small relative to the cluster, the probe side keys by
+    * hash(probe id) % S and the unprobed side replicates to every slice
+    * — each pair still meets exactly once, at slice(probe id), so the
+    * output is invariant while the join key space grows S×. S = 1 (plan
+    * untouched) whenever keys already exceed ~4× the shuffle
+    * parallelism.
+    */
+  private def slicedBucketJoin(a: DataFrame, b: DataFrame, probeIdCol: String,
+      keySpace: Long, corpus: DataFrame): (DataFrame, DataFrame, Seq[String]) = {
+    val parallelism =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val slices =
+      math.min(64L, math.max(1L, (4L * parallelism) / math.max(1L, keySpace))).toInt
+    if (slices <= 1) (a, b, Seq("table", "bucket"))
+    else (
+      a.withColumn("slice", pmod(hash(col(probeIdCol)), lit(slices))),
+      b.withColumn("slice",
+        explode(array((0 until slices).map(lit(_)): _*))),
+      Seq("table", "bucket", "slice"))
   }
 
   /** Plane count that keeps expected bucket occupancy near
@@ -218,22 +232,11 @@ object Similarity {
     val a = keyed.select(col("vec_id").as("id_a"),
       col("table"), explode(probes).as("bucket"))
     val b = keyed.select(col("vec_id").as("id_b"), col("table"), col("bucket"))
-    // same parallelism guard as the vector-carrying path: small key
-    // spaces (hand dials) would otherwise bind the join to one core per
-    // bucket; slicing is output-invariant (each pair meets once, at
-    // slice(id_a))
-    val keySpace = nTables.toLong << nPlanes
-    val parallelism =
-      corpus.sparkSession.sessionState.conf.numShufflePartitions.toLong
-    val slices =
-      math.min(64L, math.max(1L, (4L * parallelism) / math.max(1L, keySpace))).toInt
+    // same parallelism guard as the vector-carrying path (shared
+    // helper — the two paths are spec'd pairs-identical, so the slice
+    // formula must stay pinned together)
     val (aS, bS, joinKeys) =
-      if (slices <= 1) (a, b, Seq("table", "bucket"))
-      else (
-        a.withColumn("slice", pmod(hash(col("id_a")), lit(slices))),
-        b.withColumn("slice",
-          explode(array((0 until slices).map(lit(_)): _*))),
-        Seq("table", "bucket", "slice"))
+      slicedBucketJoin(a, b, "id_a", nTables.toLong << nPlanes, corpus)
     val candidates = aS.join(bS, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -742,9 +745,8 @@ object Similarity {
         val exploded = corpus
           .withColumn("_t2", packed)
           .filter(col("_t2").isNotNull)
-          .withColumn("cell", explode(array_distinct(array(
-            shiftrightunsigned(col("_t2"), 32).cast("int"),
-            col("_t2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+          .withColumn("cell", explode(org.apache.spark.sql.graft
+            .VectorExpressions.top2Cells(col("_t2"))))
           .drop("_t2")
         val dropped = semanticDropped(exploded, "cell", threshold,
           clusterCountHint = k)
@@ -888,17 +890,15 @@ object Similarity {
         val coarse2 = pts.select(col("vec_id"), col("_v"))
           .withColumn("_t2", t2)
           .filter(col("_t2").isNotNull)
-          .withColumn("cell", explode(array_distinct(array(
-            shiftrightunsigned(col("_t2"), 32).cast("int"),
-            col("_t2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+          .withColumn("cell", explode(org.apache.spark.sql.graft
+            .VectorExpressions.top2Cells(col("_t2"))))
           .drop("_t2")
         coarse2.join(broadcast(bundle(subcents)), Seq("cell"))
           .withColumn("_s2", org.apache.spark.sql.graft.VectorExpressions
             .cellTop2(col("_v"), col("_subs")))
           .filter(col("_s2").isNotNull)
-          .withColumn("sub", explode(array_distinct(array(
-            shiftrightunsigned(col("_s2"), 32).cast("int"),
-            col("_s2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+          .withColumn("sub", explode(org.apache.spark.sql.graft
+            .VectorExpressions.top2Cells(col("_s2"))))
           .select(col("vec_id"),
             (col("cell").cast("long") * k2 + col("sub")).as("_cell2"))
           .distinct()

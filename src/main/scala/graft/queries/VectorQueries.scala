@@ -256,9 +256,7 @@ private[queries] trait VectorQueries {
       VectorFunctions.normalize(col("embedding")), typedlit(cents.toSeq))
     val assigned = emb
       .withColumn("_t2", packed).filter(col("_t2").isNotNull)
-      .withColumn("_cell", explode(array_distinct(array(
-        shiftrightunsigned(col("_t2"), 32).cast("int"),
-        col("_t2").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))))
+      .withColumn("_cell", explode(VectorExpressions.top2Cells(col("_t2"))))
       .drop("_t2")
     val dropped = Similarity.semanticDropped(assigned, "_cell",
       threshold = 0.4, clusterCountHint = cents.length.toLong)
@@ -343,10 +341,9 @@ private[queries] trait VectorQueries {
         .as("ratio_fp"))
   }
 
-  /** Shared q28/q88 oracle: the 2-table × 4-plane multi-probe candidate
-    * rule + exact cosine ≥ 0.35 — both row layouts must reproduce it. */
   /** Shared q28/q88 oracle builder: the 2-table × 4-plane multi-probe
-    * candidate rule + exact cosine ≥ 0.35, over an optional id slice. */
+    * candidate rule + exact cosine ≥ 0.35, over an optional id slice —
+    * both row layouts must reproduce it. */
   private def lshNearDup2x4OracleSql(where: String): String = {
     val buckets = (0 until 2).map(t => s"${bucketSql("emb", t, 4)} AS b$t").mkString(", ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

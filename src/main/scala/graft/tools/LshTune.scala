@@ -43,10 +43,15 @@ object LshTune {
     val planes =
       if (planesS.toInt == 0) Similarity.planesForCorpus(n) else planesS.toInt
     val t0 = System.nanoTime()
+    // in auto mode the dispatcher derives planes itself
+    // (planesForCorpus) — report THAT value, never a passed dial the
+    // run ignored, or the recorded evidence row misstates the config
+    var planesRan = planes
     val (mode, pairs) = tablesS match {
       case "auto" =>
         val budget = args.lift(4).map(_.toLong)
           .getOrElse(Similarity.DefaultLshShuffleBudgetBytes)
+        planesRan = Similarity.planesForCorpus(n)
         ("auto", Similarity.cosineNearDupLshAuto(corpus, threshold,
           shuffleByteBudget = budget).count())
       case s if s.startsWith("ids:") =>
@@ -56,7 +61,7 @@ object LshTune {
         ("vec", Similarity.cosineNearDupLsh(corpus, threshold, planes, s.toInt).count())
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"n":$n,"mode":"$mode","planes":$planes,"tables":"$tablesS","pairs":$pairs,"sec":${math.round(sec * 1000) / 1000.0},"shuffle_bytes":${shuffleBytes.get()}}""")
+    println(s"""{"n":$n,"mode":"$mode","planes":$planesRan,"tables":"$tablesS","pairs":$pairs,"sec":${math.round(sec * 1000) / 1000.0},"shuffle_bytes":${shuffleBytes.get()}}""")
     spark.stop()
   }
 }

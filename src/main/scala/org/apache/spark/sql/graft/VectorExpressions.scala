@@ -492,4 +492,16 @@ object VectorExpressions {
   def cellTop2(v: Column, centroids: Column): Column =
     ExpressionUtils.column(
       CellTop2(ExpressionUtils.expression(v), ExpressionUtils.expression(centroids)))
+
+  /** Unpack a [[cellTop2]] result into its (≤2) distinct cell ids, ready
+    * for `explode`. The bit layout (best in the high 32 bits, runner-up
+    * in the low 32, second == best when k == 1) lives HERE, next to the
+    * packer — callers must not restate the shift/mask arithmetic.
+    */
+  def top2Cells(packed: Column): Column = {
+    import org.apache.spark.sql.functions._
+    array_distinct(array(
+      shiftrightunsigned(packed, 32).cast("int"),
+      packed.bitwiseAND(lit(0xFFFFFFFFL)).cast("int")))
+  }
 }

@@ -108,6 +108,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
         moof1(d1) ++ box("mdat", (samples(0) ++ samples(1)).toArray) ++
         moof2(d2) ++ box("mdat", (samples(2) ++ samples(3)).toArray)
     }
+
+    /** Multi-track fragmented twin: ONE moof holding an AUDIO traf
+      * (track 8, sample sizes only via its trex default) followed by a
+      * VIDEO traf (track 7) with NO base-data-offset and NO
+      * default-base-is-moof — per spec its base is the END of the
+      * audio traf's data. Pins that non-video trafs advance the data
+      * cursor (via the all-track trex defaults) even though only video
+      * trafs emit frames.
+      */
+    lazy val multiTrackFragBlob: Array[Byte] = {
+      val ftyp = box("ftyp", "isom".getBytes ++ be(512))
+      val trakV = box("trak",
+        box("tkhd", be(0) ++ be(0) ++ be(0) ++ be(7)) ++
+        box("mdia",
+          box("hdlr", be(0) ++ be(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0)) ++
+          box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0)) ++
+          box("minf", box("stbl",
+            box("stsd", be(0) ++ be(1) ++ be(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)) ++
+            box("stsz", be(0) ++ be(0) ++ be(0)) ++
+            box("stsc", be(0) ++ be(0)) ++
+            box("stco", be(0) ++ be(0))))))
+      // trex: (ver/flags, track_ID, desc_index, duration, size, flags)
+      val mvex = box("mvex",
+        box("trex", be(0) ++ be(7) ++ be(1) ++ be(40) ++ be(0) ++ be(0)) ++
+        box("trex", be(0) ++ be(8) ++ be(1) ++ be(0) ++ be(6) ++ be(0x10000)))
+      val moov = box("moov", trakV ++ mvex)
+      val audio = Array.tabulate[Byte](12)(i => (i + 7).toByte) // 2 samples × 6 B
+      def moofM(d: Int) = box("moof",
+        box("mfhd", be(0) ++ be(1)) ++
+        box("traf", // audio: tfhd flags 0; trun carries ONLY a data
+                    // offset — sizes resolve from track 8's trex default
+          box("tfhd", be(0) ++ be(8)) ++
+          box("trun", be(0x000001) ++ be(2) ++ be(d))) ++
+        box("traf", // video: no base flags → base = end of audio data
+          box("tfhd", be(0) ++ be(7)) ++
+          box("tfdt", be(0) ++ be(0)) ++
+          box("trun", be(0x000200) ++ be(2) ++
+            be(samples(0).length) ++ be(samples(1).length))))
+      val d = moofM(0).length + 8
+      ftyp ++ moov ++ moofM(d) ++
+        box("mdat", (audio.toSeq ++ samples(0) ++ samples(1)).toArray)
+    }
   }
 
   test("exact dedup keeps the min-id row per content hash") {
@@ -1060,6 +1102,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .collect()
     assert(cutRows.forall(c => c.offset + c.size <= cut.length))
     assert(cutRows.length == 2, s"8-byte cut clips sample 4 and sample 3")
+  }
+
+  test("fragmented mp4: a non-video traf advances the data cursor for the traf after it") {
+    val samples = Mp4Fixture.samples
+    val blob = Mp4Fixture.multiTrackFragBlob
+    val rows = Media.frameChunkIndex(Seq((1L, blob)).toDF("doc_id", "blob"))
+      .collect().sortBy(_.frame_index)
+    assert(rows.length == 2, s"only the video traf emits frames: ${rows.toSeq}")
+    def slice(c: Media.FrameChunk) =
+      blob.slice(c.offset.toInt, (c.offset + c.size).toInt).toSeq
+    // byte-exact only if the audio traf's trex-default-sized run moved
+    // the implicit base: a cursor stuck at moofStart would slice moof
+    // header / audio bytes here
+    assert(slice(rows(0)) == samples(0).toSeq && slice(rows(1)) == samples(1).toSeq,
+      "video offsets must start at the END of the audio traf's data")
   }
 
   test("keyframe sampling picks one keyframe per interval and slices its bytes") {
