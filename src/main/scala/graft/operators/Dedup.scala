@@ -842,6 +842,75 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Maximal duplicated token ranges per document — the removal list of
+    * exact-substring dedup (Lee et al. cut duplicated ranges rather than
+    * dropping documents): every `windowTokens`-token window occurring
+    * verbatim in ≥2 documents has its covered positions merged into
+    * maximal per-document extents (gaps-and-islands over positional
+    * window hashes). Windows hash map-side via the native positional
+    * expression — fnv64 of the space-joined window string, so the
+    * arithmetic replays exactly in an external engine — and only
+    * (id, pos, hash) rows ever shuffle.
+    * Output: `idCol`, `span_start`/`span_end` (inclusive 0-based token
+    * positions), `n_windows` (shared windows merged into the extent).
+    */
+  def duplicatedSpanExtents(docs: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int): DataFrame = {
+    val w = windowTokens
+    val wins = docs.select(col(idCol),
+        explode(org.apache.spark.sql.graft.ShingleExpressions
+          .positionalWindowHashes(col(textCol), w)).as("wh"))
+      .select(col(idCol), col("wh").getField("pos").as("pos"),
+        col("wh").getField("hash").as("h"))
+    val docsPerH = wins.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
+    val shared = wins.join(docsPerH, Seq("h")).filter(col("n_docs_with") >= 2)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = shared
+      .withColumn("prev_max_end", max(col("pos") + lit(w - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      // a window starting past prev covered end + 1 opens a new span
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+           max(col("pos") + lit(w - 1)).as("span_end"),
+           count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Apply step of exact-substring dedup: CUT [[duplicatedSpanExtents]]'s
+    * ranges out of each affected document and return the cleaned text.
+    * Each doc's few disjoint extents collapse to one small row; the
+    * inner join prunes to the duplicated subset, and the cut is a
+    * map-side positional array filter — no token row ever shuffles, so
+    * the cost scales with the duplicated subset, not the corpus.
+    * Output: `idCol`, `scrubbed_text` (kept tokens re-joined with single
+    * spaces), `n_tok` (before), `n_removed`.
+    */
+  def scrubDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int): DataFrame = {
+    val ext = duplicatedSpanExtents(docs, idCol, textCol, windowTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+             col("span_end").as("e"))).as("spans"),
+           sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    docs.select(col(idCol), col(textCol)).join(ext, Seq(idCol))
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      // extents are disjoint and in-bounds, so dropping covered
+      // positions removes exactly n_removed tokens
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(col("spans"), sp => i.cast("long").between(
+          sp.getField("s"), sp.getField("e")))))
+      .select(col(idCol),
+        concat_ws(" ", col("kept")).as("scrubbed_text"),
+        size(col("toks")).cast("long").as("n_tok"),
+        col("n_removed"))
+  }
+
   final case class SpanWindow(doc_id: Long, h: Long, ts: java.sql.Timestamp)
   final case class SpanSeen(firstDoc: Long, lastMs: Long)
   final case class SpanDupEvent(

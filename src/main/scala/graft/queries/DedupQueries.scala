@@ -252,38 +252,14 @@ private[queries] trait DedupQueries {
   def dupSpanExtents(s: SparkSession, dir: String): DataFrame =
     spanExtents(Tables.documents(s, dir), 15)
 
-  /** [[dupSpanExtents]]'s core at window size `w` — exposed for the
-    * spec's planted-span geometry checks. */
-  private[graft] def spanExtents(docs: DataFrame, w: Int): DataFrame = {
-    // native one-pass (pos, fnv64-of-window-string) pairs — hash
-    // values identical to fnv64(concat_ws(" ", window)) by the
-    // expression's contract (spec'd against the string path), so the
-    // oracle's string replay keeps holding while the scan allocates no
-    // window strings (measured: q95 2.41 → 0.88 s at sf0.1)
-    val wins = docs.select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.ShingleExpressions
-          .positionalWindowHashes(col("text"), w)).as("wh"))
-      .select(col("doc_id"), col("wh").getField("pos").as("pos"),
-        col("wh").getField("hash").as("h"))
-    val docsPerH = wins.select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
-    val shared = wins.join(docsPerH, Seq("h")).filter(col("n_docs_with") >= 2)
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val islands = shared
-      .withColumn("prev_max_end", max(col("pos") + lit(w - 1))
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      // a window starting past prev covered end + 1 opens a new span
-      .withColumn("new_island",
-        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end") + 1, 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("new_island"))
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-    islands.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-           max(col("pos") + lit(w - 1)).as("span_end"),
-           count(lit(1)).as("n_windows"))
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
-  }
+  /** [[dupSpanExtents]]'s core at window size `w` — the library
+    * operator is [[Dedup.duplicatedSpanExtents]] (windows hash via the
+    * native positional expression, whose values equal
+    * fnv64(concat_ws(" ", window)) by spec'd contract, so the oracle's
+    * string replay holds verbatim; measured q95 2.41 → 0.88 s at
+    * sf0.1). Exposed for the spec's planted-span geometry checks. */
+  private[graft] def spanExtents(docs: DataFrame, w: Int): DataFrame =
+    Dedup.duplicatedSpanExtents(docs, "doc_id", "text", w)
 
   /** Span SCRUB — the final step of exact-substring dedup: actually
     * CUT [[dupSpanExtents]]'s duplicated token ranges out of each
@@ -310,26 +286,14 @@ private[queries] trait DedupQueries {
   def spanScrub(s: SparkSession, dir: String): DataFrame =
     scrubSpans(Tables.documents(s, dir), 15)
 
-  /** [[spanScrub]]'s core at window size `w` — exposed for the spec's
-    * planted-geometry reconstruction checks. */
-  private[graft] def scrubSpans(docs: DataFrame, w: Int): DataFrame = {
-    val ext = spanExtents(docs, w)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start").as("s"),
-             col("span_end").as("e"))).as("spans"),
-           sum(col("span_end") - col("span_start") + 1).as("n_removed"))
-    docs.join(ext, Seq("doc_id"))
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      // extents are disjoint and in-bounds, so dropping covered
-      // positions removes exactly n_removed tokens
-      .withColumn("kept", filter(col("toks"), (_, i) =>
-        !exists(col("spans"), sp => i.cast("long").between(
-          sp.getField("s"), sp.getField("e")))))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tok"),
-        col("n_removed"),
-        md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
-  }
+  /** [[spanScrub]]'s core at window size `w` — the library operator is
+    * [[Dedup.scrubDuplicatedSpans]] (which returns the scrubbed TEXT;
+    * the query md5s it so the reconstruction hash-checks cross-engine).
+    * Exposed for the spec's planted-geometry reconstruction checks. */
+  private[graft] def scrubSpans(docs: DataFrame, w: Int): DataFrame =
+    Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", w)
+      .select(col("doc_id"), col("n_tok"), col("n_removed"),
+        md5(col("scrubbed_text")).as("scrub_md5"))
 
   private[queries] def dedupOracles: Map[String, String] = Map(
     "q97_span_scrub" ->
