@@ -976,4 +976,38 @@ object Dedup {
     wins.groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Survivor selection by SCORE rather than id: given cluster membership
+    * (from [[connectedComponents]]) and a per-id score, keep the
+    * highest-scoring member of each cluster, minimum id on score ties —
+    * fully deterministic. A real curation pipeline keeps the BEST copy of
+    * a duplicate group (longest, highest quality, most recent), not an
+    * arbitrary canonical id; this is that selection step as a first-class
+    * operator. Output: one row per cluster —
+    * (cluster_id, kept_id, n_members, kept_score).
+    *
+    * Scale shape: membership rows (dup-involved ids only — a sliver of
+    * the corpus after near-dup detection) hash-exchange ONCE keyed by
+    * cluster_id; the count/max and the tie-broken argmax ride two Window
+    * aggregates over that same partitioning (no second exchange, no
+    * per-cluster collect, no sort beyond the partition grouping), and the
+    * membership⋈score join stays id-keyed upstream of it.
+    */
+  def bestScoreSurvivors(members: DataFrame, idCol: String, clusterCol: String,
+                         scores: DataFrame, scoreIdCol: String,
+                         scoreCol: String): DataFrame = {
+    val m = members.select(col(idCol).as("id"), col(clusterCol).as("cluster_id"))
+      .join(scores.select(col(scoreIdCol).as("id"), col(scoreCol).as("score")),
+        Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    m.withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("kept_score", max(col("score")).over(w))
+      // second Window pass over the SAME partitioning (no new exchange):
+      // the argmax needs kept_score, which the first pass just produced
+      .withColumn("kept_id",
+        min(when(col("score") === col("kept_score"), col("id"))).over(w))
+      .filter(col("id") === col("kept_id"))
+      .select(col("cluster_id"), col("kept_id"), col("n_members"),
+        col("kept_score"))
+  }
 }

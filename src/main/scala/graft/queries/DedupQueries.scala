@@ -138,6 +138,27 @@ private[queries] trait DedupQueries {
       .agg(count(lit(1)).as("n_survivors"))
   }
 
+  /** Quality-weighted survivor selection: the keep-the-BEST-copy variant
+    * of q54's keep-min-id dedup. Clusters near-duplicates (q45's
+    * connected components over exact-Jaccard pairs) and keeps, per
+    * cluster, the member with the highest composite quality score
+    * (q41's formula), minimum doc id on ties — what a real curation
+    * pipeline does with a duplicate group (keep the best copy), rather
+    * than an arbitrary canonical id. One row per cluster:
+    * (cluster_id, kept_doc_id, n_members, kept_score).
+    *
+    * Scale shape: [[Dedup.bestScoreSurvivors]] — the membership set
+    * (dup-involved ids only) exchanges once by cluster_id; the quality
+    * join is id-keyed upstream of it.
+    */
+  def qualitySurvivors(s: SparkSession, dir: String): DataFrame = {
+    val scores = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+    Dedup.bestScoreSurvivors(dupClusters(s, dir), "doc_id", "cluster_id",
+        scores, "doc_id", "q")
+      .withColumnRenamed("kept_id", "kept_doc_id")
+  }
+
   /** Asymmetric containment near-dup (doc-inside-doc): smaller shingle
     * set ≥80% contained in a larger one — the quote/concatenation case
     * Jaccard misses. Bounded to the same deterministic id slice as
@@ -477,6 +498,45 @@ private[queries] trait DedupQueries {
         |FROM documents
         |WHERE doc_id < 1000 AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang""".stripMargin,
+    "q101_quality_survivors" ->
+      s"""WITH RECURSIVE t AS (
+         | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         | FROM documents WHERE doc_id < 1000),
+         |d AS (
+         | SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+         | FROM t),
+         |p AS (
+         | SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM d a JOIN d b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+         |reach AS (
+         | SELECT u AS node, u AS r FROM e
+         | UNION
+         | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u),
+         |c AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |qt AS (SELECT doc_id, text, ${toksSql("text")} AS w
+         | FROM documents WHERE doc_id < 1000),
+         |q AS (
+         | SELECT doc_id, ROUND((
+         |  LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) +
+         |  GREATEST(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |         / length(text) END) * 5.0) +
+         |  LEAST((CASE WHEN len(w) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(w,
+         |           t -> t IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |         / len(w) END) * 4.0, 1.0)) / 3.0, 6) AS q
+         | FROM qt),
+         |m AS (SELECT c.cluster_id, c.doc_id, q.q FROM c JOIN q USING (doc_id)),
+         |mx AS (SELECT cluster_id, COUNT(*) AS n_members, MAX(q) AS kept_score
+         |       FROM m GROUP BY cluster_id)
+         |SELECT mx.cluster_id, MIN(m.doc_id) AS kept_doc_id, mx.n_members,
+         |       mx.kept_score
+         |FROM mx JOIN m ON m.cluster_id = mx.cluster_id AND m.q = mx.kept_score
+         |GROUP BY mx.cluster_id, mx.n_members, mx.kept_score""".stripMargin,
     "q55_decontam" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
          |d AS (SELECT doc_id,

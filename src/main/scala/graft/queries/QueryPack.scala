@@ -125,6 +125,7 @@ object QueryPack
     "q98_alpha_sample"      -> (alphaSample _),
     "q99_c4_filter"         -> (c4Filter _),
     "q100_pii_redact"       -> (piiRedact _),
+    "q101_quality_survivors" -> (qualitySurvivors _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -222,6 +222,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("bestScoreSurvivors keeps the highest score, min id on ties") {
+    // cluster 1: {1,2,3} — best score on the HIGHEST id (3), so min-id
+    // selection (q54 semantics) and best-score selection must differ;
+    // cluster 10: {10,11} — exact score tie, min id (10) must win
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.5), (3L, 0.9), (10L, 0.7), (11L, 0.7))
+      .toDF("doc_id", "s")
+    val got = Dedup.bestScoreSurvivors(members, "doc_id", "cluster_id",
+        scores, "doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set((1L, 3L, 3L, 0.9), (10L, 10L, 2L, 0.7)))
+  }
+
+  test("bestScoreSurvivors plans ONE cluster-keyed exchange (second Window pass reuses it)") {
+    val members = spark.range(1000)
+      .select($"id", ($"id" % 100).as("cluster_id"))
+    val scores = spark.range(1000)
+      .select($"id", ($"id" % 7).cast("double").as("s"))
+    val df = Dedup.bestScoreSurvivors(members, "id", "cluster_id", scores, "id", "s")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val clusterExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(cluster_id"))
+    assert(clusterExchanges == 1,
+      s"argmax-with-tiebreak must not re-shuffle between Window passes:\n$plan")
+  }
+
   test("star-contraction components: 1000-node chain converges in O(log n) rounds") {
     // the adversarial case for min-label propagation: a path graph of
     // diameter 1000 would need ~1000 label rounds; alternating
