@@ -150,6 +150,41 @@ object TextFunctions {
     round((lenScore + punctScore + stopScore) / 3.0, 6)
   }
 
+  /** Deterministic stand-in weight vector for [[hashedLinearScore]] —
+    * 64 values in [-1, 1), every one an exact multiple of 1e-3, so the
+    * SAME literals embed bit-for-bit in the DuckDB oracle. A trained
+    * model's weights slot in behind the identical column signature (the
+    * [[langIdMarkers]] / [[BpeVocab]] precedent).
+    */
+  val ClassifierWeights: IndexedSeq[Double] =
+    (0 until 64).map(k => ((k * 2654435761L + 99991L) % 2001L - 1000L) / 1000.0)
+
+  /** Hashed-feature linear classifier score — the fastText-style quality
+    * gate modern curation pipelines run over pretraining corpora: each
+    * token hashes into one of `weights.size` buckets (the hashing trick;
+    * size must be a power of two) and the document scores the MEAN
+    * bucket weight of its tokens. The fold is left-to-right, so the
+    * identical IEEE double dag replays in the oracle's `list_reduce` —
+    * exact cross-engine, no libm anywhere. Empty documents score 0.
+    * Map-side only: no shuffle, no model join — the weights ride the
+    * expression tree as literals.
+    */
+  def hashedLinearScore(text: Column,
+                        weights: Seq[Double] = ClassifierWeights): Column = {
+    require(weights.nonEmpty && (weights.size & (weights.size - 1)) == 0,
+      "weights.size must be a power of two")
+    val mask = lit((weights.size - 1).toLong)
+    val w = array(weights.map(lit): _*)
+    bind(tokens(text)) { toks =>
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(aggregate(
+          transform(toks, t => element_at(w,
+            (org.apache.spark.sql.graft.TextHashExpressions.fnv64(t)
+              .bitwiseAND(mask) + lit(1L)).cast("int"))),
+          lit(0.0), (acc, x) => acc + x) / size(toks))
+    }
+  }
+
   /** Marker-word language ID — deterministic first-match CASE chain, so the
     * exact rule is expressible in ANSI SQL for the oracle. A production
     * n-gram profile model slots in behind the same column signature.

@@ -126,6 +126,7 @@ object QueryPack
     "q99_c4_filter"         -> (c4Filter _),
     "q100_pii_redact"       -> (piiRedact _),
     "q101_quality_survivors" -> (qualitySurvivors _),
+    "q102_quality_classifier" -> (qualityClassifier _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -96,6 +96,12 @@ private[queries] object SqlTwins {
   def weightMatrixSql(nPlanes: Int): String =
     (0 until nPlanes).map(planeWeightsSql).mkString("[", ",", "]")
 
+  /** The hashed-classifier weight vector as a DuckDB double-list literal
+    * (mirrors TextFunctions.ClassifierWeights — exact 1e-3 multiples, so
+    * Double.toString round-trips bit-for-bit through DuckDB's parser). */
+  val classifierWeightsSql: String =
+    graft.functions.TextFunctions.ClassifierWeights.mkString("[", ",", "]")
+
   /** Packed bucket of table `t` with the plane count taken from an
     * in-scope SQL column `np` (MSB-first, mirroring VectorHashOps.buckets
     * — plane i of table t is global plane t·np+i). `wm` must bind a

@@ -254,6 +254,28 @@ private[queries] trait TextQueries {
            count(when(col("f_punct"), 1)).as("n_fail_punct"))
   }
 
+  /** Hashed-feature linear quality classifier — the fastText-style
+    * model gate next to q41's hand-crafted heuristics and q99's rule
+    * bundle: tokens hash into 64 weight buckets (the hashing trick) and
+    * the document scores the mean bucket weight
+    * ([[TextFunctions.hashedLinearScore]]). Scores floor-quantize at
+    * 1e-6 (tie-free cross-engine, the q90 pattern); per language: doc
+    * count, kept count at the −0.25 margin threshold, exact-decimal
+    * average score. The weights here are a deterministic stand-in — a
+    * trained model's vector slots in behind the same signature — but
+    * the EXECUTION SHAPE is the production one: entirely map-side, the
+    * model riding the expression tree as literals, one aggregate
+    * exchange for the rollup and nothing else.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("score",
+        floor(TextFunctions.hashedLinearScore(col("text")) * 1e6) / 1e6)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("score") >= -0.25, 1)).as("n_kept"),
+           davg(col("score")).as("avg_score"))
+
   /** PII redaction — the APPLY step of [[piiScan]]'s triage (scan tells
     * you what's there; this one rewrites it): emails → `<EMAIL>`, URLs
     * → `<URL>`, then 8+-letter runs → `<LW>`, applied in that order so
@@ -683,6 +705,18 @@ private[queries] trait TextQueries {
          | md5(regexp_replace(t2, '$longWord', '<LW>', 'g')) AS redacted_md5
          |FROM n WHERE n_redacted > 0""".stripMargin
     },
+    "q102_quality_classifier" ->
+      s"""WITH toks AS (SELECT lang, ${toksSql("text")} AS w FROM documents),
+         |sc AS (SELECT lang, FLOOR((CASE WHEN len(w) = 0 THEN 0.0
+         |  ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(w, t ->
+         |      $classifierWeightsSql[CAST(${fnvSql("t")} % 64 AS INT) + 1])),
+         |    (acc, x) -> acc + x) / len(w) END) * 1e6) / 1e6 AS score
+         | FROM toks)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN score >= -0.25 THEN 1 END) AS n_kept,
+         | ${davgSql("score")} AS avg_score
+         |FROM sc GROUP BY lang""".stripMargin,
     "q98_alpha_sample" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
          |m AS (SELECT CAST(SUM(n_l) AS BIGINT) // 2 AS t,

@@ -19,6 +19,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(oneSeq(TextFunctions.tokens($"text"), "   ") == Nil)
   }
 
+  test("hashedLinearScore: hand-walked mean bucket weight, empty doc scores 0") {
+    import org.apache.spark.sql.graft.TextHashOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = TextFunctions.ClassifierWeights
+    assert(w.size == 64 && w.forall(x => x >= -1.0 && x < 1.0))
+    assert(w.forall(x => (x * 1000).round / 1000.0 == x), "exact 1e-3 multiples")
+    // left-fold order pinned: ((0 + w[b1]) + w[b2]) + w[b3], then / 3
+    val toks = Seq("the", "quick", "fox")
+    val expected = toks.foldLeft(0.0)((acc, t) =>
+      acc + w((TextHashOps.fnv64(UTF8String.fromString(t)) & 63L).toInt)) / toks.size
+    assert(one[Double](TextFunctions.hashedLinearScore($"text"), toks.mkString(" "))
+      == expected)
+    assert(one[Double](TextFunctions.hashedLinearScore($"text"), "") == 0.0)
+    assert(one[Double](TextFunctions.hashedLinearScore($"text"), "   ") == 0.0)
+    // tab-padded text survives trim (space-only, both engines) and scores
+    // the empty-field token — pinned so the oracle twin stays honest
+    val emptyTokScore =
+      w((TextHashOps.fnv64(UTF8String.fromString("")) & 63L).toInt)
+    assert(one[Double](TextFunctions.hashedLinearScore($"text"), "  \t ")
+      == emptyTokScore)
+  }
+
   test("positional window hashes equal fnv64 of the string windows, position by position") {
     import org.apache.spark.sql.graft.{ShingleExpressions, TextHashExpressions}
     // edge zoo: multi-space runs, tab/newline separators (empty edge

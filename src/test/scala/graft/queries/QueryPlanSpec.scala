@@ -307,6 +307,14 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"redaction must not shuffle (scan → project → filter only):\n$p100")
   }
 
+  test("q102: the hashed classifier scores map-side — model as literals, one rollup exchange") {
+    val plan = executedPlan(QueryPack.qualityClassifier(spark, dir))
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"scoring must not shuffle and must not join a model table:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the weight vector rides the expression tree, not a join:\n$plan")
+  }
+
   test("q85: prototype pruning broadcasts the centroid table and shuffles by label once") {
     val df = QueryPack.prototypePruneStats(spark, dir)
     df.write.mode("overwrite").format("noop").save()
