@@ -56,4 +56,63 @@ object Chunking {
         col(textCol).substr(col("chunk_start").cast("int") + 1, lit(chunkChars)))
       .drop("__i", "__n_chunks")
   }
+
+  /** Content-defined chunking (CDC), token-level: a chunk boundary falls
+    * AFTER token p whenever fnv64(token_p) & (meanTokens−1) == 0 — the
+    * gear/rolling-cut rule storage dedup systems use, giving chunks of
+    * geometric mean length `meanTokens`. Unlike [[chunk]]'s fixed
+    * windows, cut points depend only on LOCAL content: inserting or
+    * deleting a token early in a document shifts that chunk's boundary
+    * but leaves every later cut in place, so shared suffixes/passages
+    * still hash to identical chunks — the property that makes
+    * chunk-level dedup find common content across edited copies where
+    * fixed-width chunking realigns everything downstream of one edit.
+    *
+    * Emits one row per chunk: input columns + (chunk_idx, chunk_hash =
+    * fnv64 of the space-joined chunk tokens, n_tok). Chunks partition
+    * the token sequence exactly; empty documents emit no rows.
+    *
+    * Scale shape: pure map-side, like [[chunk]] — cuts, bounds, and
+    * chunk hashes are array expressions inside one projection, the
+    * explode amplifies rows in place, and nothing shuffles until the
+    * caller aggregates (and then only fixed-width (id, hash, n) rows).
+    */
+  def contentDefinedChunks(
+      docs: DataFrame,
+      textCol: String,
+      meanTokens: Int = 8): DataFrame = {
+    require(meanTokens > 0 && (meanTokens & (meanTokens - 1)) == 0,
+      s"meanTokens must be a power of two, got $meanTokens")
+    val reserved = Seq("chunk_idx", "chunk_hash", "n_tok")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input already has ${clash.mkString(", ")}; rename before chunking")
+    import graft.functions.TextFunctions.bind
+    import org.apache.spark.sql.graft.TextHashExpressions.fnv64
+    val mask = lit((meanTokens - 1).toLong)
+    val chunks = bind(graft.functions.TextFunctions.tokens(col(textCol))) { toks =>
+      when(size(toks) === 0,
+        array().cast("array<struct<chunk_hash:bigint,n_tok:int>>"))
+        .otherwise(bind(filter(sequence(lit(1), size(toks)),
+          p => fnv64(element_at(toks, p)).bitwiseAND(mask) === lit(0L))) { cuts =>
+          // chunk i spans [starts(i), ends(i)]; the trailing pair is
+          // dropped when the last token is itself a cut (s > e)
+          val starts = concat(array(lit(1)), transform(cuts, c => c + lit(1)))
+          val ends = concat(cuts, array(size(toks)))
+          val bounds = filter(
+            transform(sequence(lit(1), size(cuts) + lit(1)), i =>
+              struct(element_at(starts, i).as("s"), element_at(ends, i).as("e"))),
+            b => b.getField("s") <= b.getField("e"))
+          transform(bounds, b => struct(
+            fnv64(concat_ws(" ",
+              slice(toks, b.getField("s"),
+                b.getField("e") - b.getField("s") + lit(1)))).as("chunk_hash"),
+            (b.getField("e") - b.getField("s") + lit(1)).as("n_tok")))
+        })
+    }
+    docs.select(col("*"), posexplode(chunks).as(Seq("chunk_idx", "__c")))
+      .withColumn("chunk_hash", col("__c.chunk_hash"))
+      .withColumn("n_tok", col("__c.n_tok"))
+      .drop("__c")
+  }
 }

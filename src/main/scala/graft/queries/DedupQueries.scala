@@ -169,6 +169,30 @@ private[queries] trait DedupQueries {
       Tables.documents(s, dir).filter(col("doc_id") < 1000),
       "doc_id", "text", shingleSize = 2, threshold = 0.8)
 
+  /** Chunk-level dedup over content-defined chunks
+    * ([[graft.operators.Chunking.contentDefinedChunks]]): per language,
+    * how much of the corpus is duplicated CHUNK mass — total chunks,
+    * distinct chunks, total tokens, and the tokens that chunk-level
+    * dedup would save (occurrences beyond each chunk's first). CDC cut
+    * points are content-local, so shared passages hash identically
+    * across edited copies — the sub-document dedup signal fixed-width
+    * chunking destroys after one insertion.
+    *
+    * Scale shape: chunking is map-side; the only corpus-sized exchange
+    * is fixed-width (lang, chunk_hash) partial-agg rows, and the final
+    * per-lang rollup re-aggregates unique-hash rows only.
+    */
+  def cdcChunkDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking
+      .contentDefinedChunks(Tables.documents(s, dir), "text", meanTokens = 8)
+      .groupBy(col("lang"), col("chunk_hash"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("nt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+           count(lit(1)).as("n_unique_chunks"),
+           sum(col("cnt") * col("nt")).as("total_tokens"),
+           sum((col("cnt") - 1) * col("nt")).as("dup_tokens"))
+
   /** The END-TO-END curation funnel as one oracle-checked query:
     * normalized exact dedup → near-dup cluster removal → quality floor →
     * benchmark decontamination → content-hash split, reported as
@@ -537,6 +561,25 @@ private[queries] trait DedupQueries {
          |       mx.kept_score
          |FROM mx JOIN m ON m.cluster_id = mx.cluster_id AND m.q = mx.kept_score
          |GROUP BY mx.cluster_id, mx.n_members, mx.kept_score""".stripMargin,
+    "q103_cdc_dedup" ->
+      s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents),
+         |c AS (SELECT lang, w,
+         |  [p for p in range(1, len(w) + 1)
+         |   if ${fnvSql("w[p]")} % 8 = 0] AS cuts FROM t),
+         |b AS (SELECT lang, w,
+         |  list_prepend(1, list_transform(cuts, x -> x + 1)) AS ss,
+         |  list_append(cuts, len(w)) AS ee, len(cuts) AS nc FROM c),
+         |ch AS (SELECT lang, unnest([
+         |   {'h': ${fnvSql("array_to_string(list_slice(w, ss[k], ee[k]), ' ')")},
+         |    'n': ee[k] - ss[k] + 1}
+         |   for k in range(1, nc + 2) if ss[k] <= ee[k]]) AS cc FROM b),
+         |g AS (SELECT lang, cc['h'] AS h, COUNT(*) AS cnt, MAX(cc['n']) AS nt
+         |      FROM ch GROUP BY 1, 2)
+         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         | COUNT(*) AS n_unique_chunks,
+         | CAST(SUM(cnt * nt) AS BIGINT) AS total_tokens,
+         | CAST(SUM((cnt - 1) * nt) AS BIGINT) AS dup_tokens
+         |FROM g GROUP BY lang""".stripMargin,
     "q55_decontam" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
          |d AS (SELECT doc_id,

@@ -127,6 +127,7 @@ object QueryPack
     "q100_pii_redact"       -> (piiRedact _),
     "q101_quality_survivors" -> (qualitySurvivors _),
     "q102_quality_classifier" -> (qualityClassifier _),
+    "q103_cdc_dedup"        -> (cdcChunkDedup _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -222,6 +222,52 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("content-defined chunks partition the tokens and cut exactly at the hash rule") {
+    import org.apache.spark.sql.graft.TextHashOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two", "solo", "")
+    val df = Chunking.contentDefinedChunks(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", meanTokens = 4)
+    val rows = df.select($"doc_id", $"chunk_idx", $"chunk_hash", $"n_tok")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // empty doc emits nothing; every other doc's chunks cover all tokens
+    assert(!rows.exists(_._1 == 3L))
+    for ((t, i) <- texts.zipWithIndex if t.nonEmpty) {
+      val toks = t.split(" ")
+      val got = rows.filter(_._1 == i.toLong).sortBy(_._2)
+      assert(got.map(_._4).sum == toks.length, s"doc $i must partition its tokens")
+      // reference segmentation: cut after token p iff fnv64(tok) & 3 == 0
+      val expected = {
+        val cuts = toks.indices.filter(p =>
+          (TextHashOps.fnv64(UTF8String.fromString(toks(p))) & 3L) == 0L)
+        val bounds = (-1 +: cuts).zip(cuts :+ (toks.length - 1))
+          .map { case (a, b) => (a + 1, b) }.filter { case (a, b) => a <= b }
+        bounds.map { case (a, b) =>
+          (TextHashOps.fnv64(UTF8String.fromString(
+            toks.slice(a, b + 1).mkString(" "))), b - a + 1) }
+      }
+      assert(got.map(r => (r._3, r._4)).toList == expected.toList, s"doc $i segmentation")
+    }
+  }
+
+  test("content-defined chunks are shift-resistant: a prepended token leaves later chunks intact") {
+    // kappa / nu / omicron / rho cut at mask 3 (fnv64 & 3 == 0), so the
+    // base text yields 5 chunks — enough structure for the suffix check
+    val base = "alpha beta kappa delta nu zeta omicron theta rho mu"
+    val shifted = "junk " + base
+    val hashes = (t: String) =>
+      Chunking.contentDefinedChunks(Seq((1L, t)).toDF("doc_id", "text"), "text", 4)
+        .orderBy($"chunk_idx").select($"chunk_hash").collect().map(_.getLong(0)).toList
+    val a = hashes(base)
+    val b = hashes(shifted)
+    assert(a.size > 2, "test corpus must produce several chunks")
+    // everything after the first cut is untouched by the edit
+    assert(b.takeRight(a.size - 1) == a.drop(1),
+      s"later chunks must survive a front edit: $a vs $b")
+  }
+
   test("bestScoreSurvivors keeps the highest score, min id on ties") {
     // cluster 1: {1,2,3} — best score on the HIGHEST id (3), so min-id
     // selection (q54 semantics) and best-score selection must differ;

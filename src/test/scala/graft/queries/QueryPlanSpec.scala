@@ -307,6 +307,14 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"redaction must not shuffle (scan → project → filter only):\n$p100")
   }
 
+  test("q103: CDC chunking is map-side — only the two fixed-width agg exchanges, no join") {
+    val plan = executedPlan(QueryPack.cdcChunkDedup(spark, dir))
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"chunk build must not shuffle; only (lang,hash) and lang rollups may:\n$plan")
+    assert(!plan.contains("Join"),
+      s"CDC dedup is aggregate-only, no join:\n$plan")
+  }
+
   test("q102: the hashed classifier scores map-side — model as literals, one rollup exchange") {
     val plan = executedPlan(QueryPack.qualityClassifier(spark, dir))
     assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
