@@ -268,6 +268,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       s"later chunks must survive a front edit: $a vs $b")
   }
 
+  test("content-defined chunks run unchanged on a stream (stateless map-side twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq((1L, "alpha beta kappa delta nu zeta"), (2L, "omicron theta rho mu"))
+    val input = MemoryStream[(Long, String)]
+    val q = Chunking.contentDefinedChunks(
+        input.toDF().toDF("doc_id", "text"), "text", meanTokens = 4)
+      .writeStream.format("memory").queryName("cdc_stream").outputMode("append").start()
+    try {
+      input.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_stream")
+        .select($"doc_id", $"chunk_idx", $"chunk_hash", $"n_tok")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      val batch = Chunking.contentDefinedChunks(
+          texts.toDF("doc_id", "text"), "text", meanTokens = 4)
+        .select($"doc_id", $"chunk_idx", $"chunk_hash", $"n_tok")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bestScoreSurvivors keeps the highest score, min id on ties") {
     // cluster 1: {1,2,3} — best score on the HIGHEST id (3), so min-id
     // selection (q54 semantics) and best-score selection must differ;
