@@ -128,6 +128,7 @@ object QueryPack
     "q101_quality_survivors" -> (qualitySurvivors _),
     "q102_quality_classifier" -> (qualityClassifier _),
     "q103_cdc_dedup"        -> (cdcChunkDedup _),
+    "q104_knn_pq"           -> (knnPq _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

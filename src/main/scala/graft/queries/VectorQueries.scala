@@ -42,6 +42,21 @@ private[queries] trait VectorQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** PQ ANN (FAISS-style): vectors compress to 8 sub-codebook indices
+    * (the label-centroid table sliced per subspace) and queries rank
+    * against the reconstruction — asymmetric-distance search. Codes are
+    * deterministic (L2 argmin, lowest label on ties), so the oracle
+    * replays encode → reconstruct → rank entirely in SQL; rank margins
+    * ride the q23 margin analysis (AnnOracleMarginSpec).
+    */
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.pqTopK(queries, emb, 10, dim = 64, nSub = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN. Approximate relative to brute force, but fully
     * DETERMINISTIC: hyperplane weights regenerate from splitmix64(dim,
     * plane), so the candidate set ("collides within hamming ≤ 1 in any
@@ -503,6 +518,34 @@ private[queries] trait VectorQueries {
          |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
          | FROM q JOIN probed ON probed.query_id = q.query_id
          |  JOIN e c ON c.label = probed.label AND c.vec_id <> q.query_id) t
+         |WHERE rank <= 10""".stripMargin
+    },
+    // PQ replay: same label-centroid codebook as q38/q85 (AVG per cell),
+    // same per-subspace L2 argmin with (dist, label) tie order as the
+    // engine's strict-< fold, reconstruction by concatenated slices,
+    // exact re-rank of raw query vs reconstruction.
+    "q104_knn_pq" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cent AS (SELECT label, $centroid AS c FROM e GROUP BY label),
+         |d AS (SELECT e.vec_id, cent.label, t.s,
+         |  list_sum(list_transform(range(1, 9), j ->
+         |    (e.emb[s*8+j] - cent.c[s*8+j]) * (e.emb[s*8+j] - cent.c[s*8+j]))) AS dist
+         | FROM e CROSS JOIN cent CROSS JOIN range(0, 8) t(s)),
+         |code AS (SELECT vec_id, s, label FROM (
+         |  SELECT vec_id, s, label,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, label) AS rn
+         |  FROM d) z WHERE rn = 1),
+         |r AS (SELECT code.vec_id,
+         |  flatten(list(list_slice(cent.c, s*8+1, s*8+8) ORDER BY s)) AS recon
+         | FROM code JOIN cent USING (label) GROUP BY code.vec_id),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5)
+         |SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, r.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, r.recon) DESC, r.vec_id) AS INT) AS rank
+         | FROM q CROSS JOIN r WHERE r.vec_id <> q.query_id) t
          |WHERE rank <= 10""".stripMargin
     },
     // auto-config LSH replay: np is DERIVED IN SQL from COUNT(*) with the

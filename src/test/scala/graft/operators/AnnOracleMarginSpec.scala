@@ -63,4 +63,66 @@ class AnnOracleMarginSpec extends AnyFunSuite with SparkTest {
       assert(r.getSeq[Long](1) == expected)
     }
   }
+
+  test("PQ encode margins clear the noise band; PQ recall vs brute is recorded") {
+    // q104's oracle replays the per-subspace L2 argmin; a cross-engine
+    // flip needs a vector whose two best sub-centroids are equidistant
+    // within summation noise. Measure the actual worst margin.
+    val dim = 64; val nSub = 8; val sub = dim / nSub
+    val cents = Similarity.centroidVectors(embeddings, dim)
+      .orderBy(col("label")).collect().map(_.getSeq[Double](1).toArray)
+    val vecs = embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    var minMargin = Double.MaxValue
+    vecs.foreach { case (_, e) =>
+      var s = 0
+      while (s < nSub) {
+        val ds = cents.map { c =>
+          var d2 = 0.0; var j = 0
+          while (j < sub) {
+            val diff = e(s * sub + j) - c(s * sub + j); d2 += diff * diff; j += 1
+          }
+          d2
+        }.sorted
+        minMargin = math.min(minMargin, ds(1) - ds(0))
+        s += 1
+      }
+    }
+    assert(minMargin > 1e-9,
+      s"PQ argmin margin $minMargin inside the cross-engine noise band")
+
+    // recall@10 vs exact brute on the same queries — the honest quality
+    // numbers next to IVF's (engine-side, like q20's recall gate; the
+    // ORACLE checks determinism, this checks quality). The label-book
+    // ADC twin is coarse by construction (10 cells ≈ 3.3 bits/subspace)
+    // and is recorded info-only; the TRAINED path with exact re-rank is
+    // the production search and carries the floor.
+    val queries = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(queries, embeddings, 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(queries, embeddings, 10, dim, nSub)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twinRecall = (brute & pq).size.toDouble / brute.size
+    info(f"label-book ADC twin recall@10 vs brute: $twinRecall%.3f")
+    // the trained gate runs on the 500-vector corpus: 50 vectors is a
+    // degenerate PQ regime (top-10 is 20% of the corpus and any
+    // candidate budget is a corpus-sized fraction)
+    val emb500 = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q500 = emb500.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute500 = Similarity.bruteForceTopK(q500, emb500, 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Similarity.pqTopKTrained(q500, emb500, 10, dim,
+        nSub = 16, kPerSub = 64, candidates = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute500 & trained).size.toDouble / brute500.size
+    info(f"trained PQ (16x64, 100-cand re-rank) recall@10 vs brute at 500 vectors: $recall%.3f")
+    assert(recall >= 0.8,
+      s"trained-PQ recall collapsed ($recall) — codebook build regressed")
+  }
 }
