@@ -129,6 +129,7 @@ object QueryPack
     "q102_quality_classifier" -> (qualityClassifier _),
     "q103_cdc_dedup"        -> (cdcChunkDedup _),
     "q104_knn_pq"           -> (knnPq _),
+    "q105_kmv_distinct"     -> (kmvDistinct _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

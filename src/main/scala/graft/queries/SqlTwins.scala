@@ -27,6 +27,32 @@ private[queries] object SqlTwins {
        |               * 1099511628211) % 18446744073709551616) AS UBIGINT)""".stripMargin
       .replace("\n", " ")
 
+  /** z·m mod 2⁶⁴ for a HUGEINT-valued expression z in [0, 2⁶⁴) and a
+    * 64-bit constant m — split multiply so the intermediate never
+    * exceeds HUGEINT range (z·m directly can reach 2¹²⁸). */
+  private def mulMod64(z: String, m: BigInt): String = {
+    val mLo = m & 0xFFFFFFFFL
+    val mHi = m >> 32
+    s"""(($z * $mLo + (($z % 4294967296) * $mHi % 4294967296) * 4294967296)
+       | % 18446744073709551616)""".stripMargin.replace("\n", " ")
+  }
+
+  /** splitmix64 finalizer of a UBIGINT expression (mirrors
+    * TextHashOps.mix64) — the avalanche pass order-statistic consumers
+    * (KMV) apply on top of fnv64. Keep the argument a simple column
+    * reference: the template repeats it many times. */
+  def mixSql(x: String): String = {
+    val c1 = BigInt("11400714819323198485") // 0x9E3779B97F4A7C15
+    val c2 = BigInt("13787848793156543929") // 0xBF58476D1CE4E5B9
+    val c3 = BigInt("10723151780598845931") // 0x94D049BB133111EB
+    val z1 = s"((CAST($x AS HUGEINT) + $c1) % 18446744073709551616)"
+    val x1 = s"CAST(xor(CAST($z1 AS UBIGINT), CAST($z1 AS UBIGINT) >> 30) AS HUGEINT)"
+    val z2 = mulMod64(x1, c2)
+    val x2 = s"CAST(xor(CAST($z2 AS UBIGINT), CAST($z2 AS UBIGINT) >> 27) AS HUGEINT)"
+    val z3 = mulMod64(x2, c3)
+    s"CAST(xor(CAST($z3 AS UBIGINT), CAST($z3 AS UBIGINT) >> 31) AS UBIGINT)"
+  }
+
   /** Rolling rotate-xor combine of a UBIGINT hash list (mirrors
     * TextFunctions.fingerprint: acc' = rotl5(acc) xor h, init 0). */
   def rollSql(hashes: String): String =

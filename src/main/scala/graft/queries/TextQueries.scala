@@ -276,6 +276,40 @@ private[queries] trait TextQueries {
            count(when(col("score") >= -0.25, 1)).as("n_kept"),
            davg(col("score")).as("avg_score"))
 
+  /** KMV distinct-count sketch vs the exact count — the mergeable
+    * distinct estimator whose estimate replays EXACTLY in SQL (unlike
+    * HLL, every intermediate is an integer or a shared IEEE dag): the
+    * sketch is the k smallest distinct token hashes per language
+    * (`kmv_sketch`, a bounded TypedImperativeAggregate — ≤ 8k bytes per
+    * group×partition where count_distinct shuffles every distinct
+    * value), and the estimate is (k−1)·2⁶⁴ / kth_min, exact below k.
+    * The exact count rides along so the artifact shows the error.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{SketchAggregates, TextHashExpressions}
+    // k = 16 ON PURPOSE: the synthetic vocabulary is ~31 tokens/lang, and
+    // k below it makes the ESTIMATOR branch fire cross-engine — with
+    // k = 64 every group would take the exact (<k) path and the kth-min
+    // arithmetic would be a dead branch the oracle never checks
+    val k = 16
+    val num = (k - 1).toDouble * math.pow(2, 64)
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("t"))
+    val unsignedKth = when(col("sk.kth") < 0,
+      col("sk.kth").cast("double") + lit(math.pow(2, 64)))
+      .otherwise(col("sk.kth").cast("double"))
+    // mix64 on top of fnv: KMV is an ORDER-statistic consumer, and raw
+    // FNV clusters prefix-sharing keys in unsigned order (measured 35×
+    // estimate error on sequential keys — see TextHashOps.mix64)
+    toks.groupBy(col("lang"))
+      .agg(SketchAggregates.kmvSketch(
+             TextHashExpressions.mix64(TextHashExpressions.fnv64(col("t"))), k).as("sk"),
+           countDistinct(col("t")).as("n_exact"))
+      .withColumn("n_kmv", when(col("sk.n") < k, col("sk.n").cast("long"))
+        .otherwise(floor(lit(num) / unsignedKth).cast("long")))
+      .select(col("lang"), col("n_exact"), col("n_kmv"))
+  }
+
   /** PII redaction — the APPLY step of [[piiScan]]'s triage (scan tells
     * you what's there; this one rewrites it): emails → `<EMAIL>`, URLs
     * → `<URL>`, then 8+-letter runs → `<LW>`, applied in that order so
@@ -704,6 +738,26 @@ private[queries] trait TextQueries {
          |SELECT doc_id, n_redacted,
          | md5(regexp_replace(t2, '$longWord', '<LW>', 'g')) AS redacted_md5
          |FROM n WHERE n_redacted > 0""".stripMargin
+    },
+    "q105_kmv_distinct" -> {
+      val k = 16
+      val num = (k - 1).toDouble * math.pow(2, 64)
+      val two64 = math.pow(2, 64)
+      s"""WITH toks AS (SELECT lang, unnest(${toksSql("text")}) AS t FROM documents),
+         |ex AS (SELECT lang, COUNT(DISTINCT t) AS n_exact FROM toks GROUP BY lang),
+         |hf AS (SELECT DISTINCT lang, ${fnvSql("t")} AS hraw FROM toks),
+         |hs AS (SELECT lang, ${mixSql("hraw")} AS hu FROM hf),
+         |r AS (SELECT lang, hu,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hu) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS nh FROM hs),
+         |kth AS (SELECT lang, MAX(CASE WHEN rn = $k THEN ${signedSql("hu")} END) AS hk,
+         |        MAX(nh) AS nh
+         |        FROM r WHERE rn <= $k GROUP BY lang)
+         |SELECT ex.lang, ex.n_exact,
+         | CASE WHEN kth.nh < $k THEN kth.nh
+         |      ELSE CAST(FLOOR($num / (CAST(hk AS DOUBLE) +
+         |             CASE WHEN hk < 0 THEN $two64 ELSE 0.0 END)) AS BIGINT) END AS n_kmv
+         |FROM ex JOIN kth USING (lang)""".stripMargin
     },
     "q102_quality_classifier" ->
       s"""WITH toks AS (SELECT lang, ${toksSql("text")} AS w FROM documents),

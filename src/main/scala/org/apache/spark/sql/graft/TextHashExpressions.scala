@@ -45,6 +45,22 @@ object TextHashOps {
     h
   }
 
+  /** splitmix64 finalizer: full-avalanche mix of a 64-bit hash.
+    * FNV-1a diffuses upward only — keys sharing a prefix and differing
+    * in trailing characters land CLUSTERED in unsigned order (measured:
+    * a KMV estimate over fnv64("tok0".."tok4999") read 174,749 for
+    * 5,000 distinct — 35× off — because the 64th-smallest hash sat at
+    * 1/2773 of the range instead of 64/5000). Order-statistic consumers
+    * (KMV, sampling by hash) need this finalizer; equality/grouping
+    * consumers (dedup, shingles) do not. Wrapping long arithmetic —
+    * replayed in SQL via hugeint split multiplies. */
+  def mix64(h: Long): Long = {
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** 64-bit SimHash from pre-hashed tokens: per-bit majority vote, one
     * pass over the array. Ties (vote sum 0, incl. the empty array) leave
     * the bit clear. Null elements never occur (fnv64 is null-intolerant
@@ -118,10 +134,34 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `mix64(long) → long` — splitmix64 finalizer (see [[TextHashOps.mix64]]). */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mix64 expects a bigint input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashOps.mix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextHashOps.mix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
   def fnv64(c: Column): Column =
     ExpressionUtils.column(Fnv64(ExpressionUtils.expression(c)))
 
   def simhash64(hashes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes)))
+
+  def mix64(c: Column): Column =
+    ExpressionUtils.column(Mix64(ExpressionUtils.expression(c)))
 }
