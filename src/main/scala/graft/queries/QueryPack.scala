@@ -130,6 +130,7 @@ object QueryPack
     "q103_cdc_dedup"        -> (cdcChunkDedup _),
     "q104_knn_pq"           -> (knnPq _),
     "q105_kmv_distinct"     -> (kmvDistinct _),
+    "q106_zorder"           -> (zorderLayoutStats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

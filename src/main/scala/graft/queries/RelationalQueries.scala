@@ -281,6 +281,29 @@ private[queries] trait RelationalQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("n_recent"))
   }
 
+  /** Z-order layout quality: orders keyed by the Morton interleave of
+    * (customer bucket, day bucket) and grouped by z-range — per
+    * z-bucket min/max on BOTH dimensions are the parquet footer stats a
+    * scan would prune on, and under z-order every bucket covers a tight
+    * RECTANGLE in (customer, day) where a single-column sort leaves the
+    * second dimension's ranges spanning everything
+    * ([[graft.operators.Layout]]). Pure integer bit arithmetic — the
+    * oracle replays the interleave verbatim.
+    */
+  def zorderLayoutStats(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    Tables.orders(s, dir)
+      .withColumn("a", pmod(col("o_custkey"), lit(4096L)))
+      .withColumn("b", pmod(day, lit(4096L)))
+      .withColumn("zbucket", shiftrightunsigned(
+        graft.operators.Layout.zOrderKey(col("a"), col("b"), 12), 16))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("a")).as("min_cust"), max(col("a")).as("max_cust"),
+           min(col("b")).as("min_day"), max(col("b")).as("max_day"))
+  }
+
   /** percent_rank / cume_dist distribution metrics per market segment —
     * the remaining analytic-window functions (row_number/rank: q05,
     * frames: q35/q68, lag: q57, ntile: q66). Both are deterministic
@@ -490,6 +513,20 @@ private[queries] trait RelationalQueries {
         | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
         |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_recent
         |FROM o""".stripMargin,
+    "q106_zorder" ->
+      """WITH o AS (
+        | SELECT o_custkey % 4096 AS a,
+        |  CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 4096 AS b
+        | FROM orders),
+        |z AS (SELECT a, b,
+        |  CAST(list_sum(list_transform(range(0, 12), i ->
+        |    (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i + 1))))
+        |   AS BIGINT) >> 16 AS zbucket
+        | FROM o)
+        |SELECT zbucket, COUNT(*) AS n_orders,
+        | MIN(a) AS min_cust, MAX(a) AS max_cust,
+        | MIN(b) AS min_day, MAX(b) AS max_day
+        |FROM z GROUP BY zbucket""".stripMargin,
     "q70_rank_metrics" ->
       s"""WITH r AS (
          | SELECT c_mktsegment,

@@ -222,6 +222,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("zOrderKey interleaves bits exactly (driver-side replay)") {
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | ((a & (1L << i)) << i) | ((b & (1L << i)) << (i + 1)))
+    val rng = new scala.util.Random(3)
+    val samples = Seq((0L, 0L), (4095L, 4095L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(200)((rng.nextInt(4096).toLong, rng.nextInt(4096).toLong))
+    val df = samples.toDF("a", "b")
+      .withColumn("z", Layout.zOrderKey($"a", $"b", 12))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == morton(r.getLong(0), r.getLong(1), 12),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("z-order layout bounds BOTH dimensions per partition; a single-column sort does not") {
+    // 64×64 grid → 16 partitions. Under z-order every partition covers a
+    // tight rectangle (b-range ≤ 32 here); sorted by `a` alone, every
+    // partition spans the FULL b range (63) — the second dimension's
+    // min/max stats prune nothing.
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)).toDF("a", "b")
+    def maxRangeB(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("p", spark_partition_id())
+        .groupBy($"p").agg((max($"b") - min($"b")).as("rb"))
+        .agg(max($"rb")).collect().head.getLong(0)
+    val zed = Layout.repartitionByZOrder(grid, $"a", $"b", 16, bits = 6)
+    val sorted = grid.repartitionByRange(16, $"a")
+    val zRange = maxRangeB(zed)
+    val sRange = maxRangeB(sorted)
+    assert(zRange <= 32, s"z-order partitions must bound b (got range $zRange)")
+    assert(sRange == 63, s"the sort-by-a baseline spans all of b (got $sRange)")
+  }
+
   test("content-defined chunks partition the tokens and cut exactly at the hash rule") {
     import org.apache.spark.sql.graft.TextHashOps
     import org.apache.spark.unsafe.types.UTF8String
