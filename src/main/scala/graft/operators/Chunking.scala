@@ -30,8 +30,9 @@ object Chunking {
   /** Adds `chunk_index` / `chunk_start` (0-based char offset) /
     * `chunk_text` rows per input row; other columns ride along. Those
     * three output names must not pre-exist on the input (rejected with
-    * a clear error rather than silently overwritten); internal temps
-    * are `__`-prefixed so generic inputs can't collide with them.
+    * a clear error rather than silently overwritten); the `__`-prefixed
+    * internal temps are in the same reject list, so a colliding input
+    * gets the clear rename-first error, not an ambiguous-alias failure.
     */
   def chunk(
       docs: DataFrame,
@@ -40,7 +41,7 @@ object Chunking {
       overlapChars: Int): DataFrame = {
     require(overlapChars >= 0 && chunkChars > overlapChars,
       s"need chunkChars > overlapChars >= 0, got $chunkChars/$overlapChars")
-    val reserved = Seq("chunk_index", "chunk_start", "chunk_text")
+    val reserved = Seq("chunk_index", "chunk_start", "chunk_text", "__i", "__n_chunks")
     val clash = docs.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"input already has ${clash.mkString(", ")}; rename before chunking")
@@ -83,7 +84,7 @@ object Chunking {
       meanTokens: Int = 8): DataFrame = {
     require(meanTokens > 0 && (meanTokens & (meanTokens - 1)) == 0,
       s"meanTokens must be a power of two, got $meanTokens")
-    val reserved = Seq("chunk_idx", "chunk_hash", "n_tok")
+    val reserved = Seq("chunk_idx", "chunk_hash", "n_tok", "__c")
     val clash = docs.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"input already has ${clash.mkString(", ")}; rename before chunking")

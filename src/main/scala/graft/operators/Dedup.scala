@@ -939,6 +939,8 @@ object Dedup {
       windowTokens: Int,
       watermarkDelay: String = "10 seconds",
       retentionSeconds: Long = 3600L): org.apache.spark.sql.Dataset[SpanDupEvent] = {
+    require(retentionSeconds > 0 && retentionSeconds < Long.MaxValue / 1000L,
+      s"retentionSeconds must be positive (and non-overflowing), got $retentionSeconds")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     val wins = docs

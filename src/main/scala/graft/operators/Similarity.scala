@@ -519,11 +519,23 @@ object Similarity {
       }: _*)
     }
     valid.withColumn("codes", codesExpr)
-      .withColumn("recon", bind(col("codes")) { codes =>
-        flatten(transform(sequence(lit(0), lit(nSub - 1)), s =>
-          element_at(element_at(booksLit, s + 1),
-            element_at(codes, s + 1) + 1)))
-      })
+      .withColumn("recon", pqReconstruct(col("codes"), books))
+  }
+
+  /** Decode PQ codes back to the concatenated codebook centroids — the
+    * reconstruction an ADC scorer dots the query against. Books ride the
+    * plan as one literal; pure per-row array work (no shuffle). Shared by
+    * [[pqEncodeWith]] (which materializes `recon` next to the codes) and
+    * [[ivfPqTopK]]'s ADC stage (which reconstructs on the fly so the
+    * INDEX stores only the codes — the compressed layout that is PQ's
+    * entire point). */
+  private[graft] def pqReconstruct(
+      codes: Column, books: Array[Array[Array[Double]]]): Column = {
+    val booksLit = array(books.map(b =>
+      array(b.map(c => array(c.map(lit): _*)): _*)): _*)
+    flatten(transform(sequence(lit(0), lit(books.length - 1)), s =>
+      element_at(element_at(booksLit, s + 1),
+        element_at(codes, s + 1) + 1)))
   }
 
   /** Train per-subspace PQ codebooks: Euclidean Lloyd's over SUBVECTORS,
@@ -789,6 +801,110 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("label", "centroid")
     ivfTopK(queries, relabeled, k, dim, nProbes, Some(cellDf))
+  }
+
+  /** IVF-PQ index build — the FAISS production composition: a k-means
+    * coarse quantizer routes queries to cells ([[ivfTopKAuto]]'s build)
+    * and PQ codes compress the vectors INSIDE each cell ([[
+    * pqTrainCodebooks]]'s build), so the searchable index is
+    * (cell, id, nSub one-byte codes) — ~16 bytes/vector at dim 64 —
+    * while query cost is cells-probed × cell size instead of n (q104's
+    * flat-ADC gap: its scan touches all n codes).
+    *
+    * Returns (index, centroids, books). The index DataFrame is what a
+    * deployment persists once and serves from; centroids and books are
+    * driver-held literals (nCells·dim + nSub·kPerSub·subDim doubles —
+    * the k-means literal rule) that re-enter each query's plan.
+    *
+    * Build cost: `iterations` k-means passes + `iterations` codebook
+    * passes + one map-side encode/relabel scan — the corpus is never
+    * shuffled or joined to build the index.
+    */
+  def ivfPqIndex(corpus: DataFrame, dim: Int, nSub: Int = 16,
+                 kPerSub: Int = 64, iterations: Int = 5,
+                 nCellsOverride: Int = 0)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val nCells =
+      if (nCellsOverride > 0) nCellsOverride else cellsForCorpus(corpus.count())
+    val (_, centroids) = kMeans(corpus, "vec_id", "embedding", nCells, dim, iterations)
+    val books = pqTrainCodebooks(corpus, dim, nSub, kPerSub, iterations)
+    val index = pqEncodeWith(corpus, dim, books).select(
+      assignCells(VectorFunctions.normalize(col("embedding")), centroids).as("cell"),
+      col("vec_id").as("neighbor_id"),
+      col("codes"))
+    (index, centroids, books)
+  }
+
+  /** IVF-PQ query against a built index: rank cells by query·centroid
+    * (broadcast cross join — one row per cell), ADC-score ONLY the top
+    * `nProbes` cells' codes (reconstruct-on-the-fly against the literal
+    * books, so the index side stays codes-only), shortlist `candidates`
+    * per query, then re-rank the shortlist exactly against raw vectors.
+    *
+    * Scale shape: the ADC stage is an equi-join on cell id — per query
+    * only nProbes/nCells of the corpus is ever decoded or scored (at
+    * auto dials that fraction is n^(-1/4)); the exact re-rank touches
+    * |queries|·candidates rows via a broadcast of the shortlist streamed
+    * map-side over the raw corpus (no corpus shuffle anywhere in the
+    * query path).
+    */
+  def ivfPqQuery(queries: DataFrame, index: DataFrame, rawCorpus: DataFrame,
+                 centroids: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]], k: Int,
+                 candidates: Int = 100, nProbesOverride: Int = 0): DataFrame = {
+    val nProbes = if (nProbesOverride > 0) nProbesOverride
+                  else probesForCells(centroids.length)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cellDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val q = queries.select(col("query_id"),
+      VectorFunctions.normalize(col("embedding")).as("q_emb"))
+    val probeRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_sim").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(cellDf))
+      .withColumn("centroid_sim", VectorFunctions.dot(col("q_emb"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(probeRank))
+      .filter(col("probe_rank") <= nProbes)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = index.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        VectorFunctions.cosine(col("q_emb"), pqReconstruct(col("codes"), books)))
+      .withColumn("_sl", row_number().over(adcW))
+      .filter(col("_sl") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val raw = rawCorpus.select(col("vec_id").as("neighbor_id"),
+      VectorFunctions.normalize(col("embedding")).as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    raw.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** One-call IVF-PQ ANN: [[ivfPqIndex]] + [[ivfPqQuery]]. The
+    * production ANN shape when neither the raw vectors nor a flat code
+    * scan fits the serving budget — routing bounds WORK per query
+    * (nProbes/nCells of the corpus), PQ bounds BYTES per vector (nSub
+    * codes), and the exact re-rank pins quality to the shortlist's
+    * recall. q104 ([[pqTopK]]) stays the SQL-replayable flat-ADC twin;
+    * this path is spec-gated by recall floor (IvfPqSpec) and measured
+    * by [[graft.tools.IvfPqTune]] (SCALING.md decade rows).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                nSub: Int = 16, kPerSub: Int = 64, candidates: Int = 100,
+                iterations: Int = 5, nCellsOverride: Int = 0,
+                nProbesOverride: Int = 0): DataFrame = {
+    val (index, centroids, books) =
+      ivfPqIndex(corpus, dim, nSub, kPerSub, iterations, nCellsOverride)
+    ivfPqQuery(queries, index, corpus, centroids, books, k,
+      candidates, nProbesOverride)
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et

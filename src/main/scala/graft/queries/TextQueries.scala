@@ -613,10 +613,14 @@ private[queries] trait TextQueries {
     * embedded query set — the lexical leg of a retrieval/RAG pipeline
     * next to the embedding ANN family (q23/q24/q38). Standard BM25
     * (k₁=1.2, b=0.75) with the LOG-FREE BM25+ idf: ln(1+(N−df+0.5)/
-    * (df+0.5)) is monotone in (N+1)/(df+0.5), so ranking is unchanged
-    * while every term score stays a fixed dag of IEEE double ops that
-    * both engines evaluate bit-identically (ln is libm-dependent — the
-    * q47 tf-idf precedent). Per-(query,doc) scores sum order-independently
+    * (df+0.5)) is monotone in (N+1)/(df+0.5), so PER-TERM ordering is
+    * preserved (a BM25-family scoring, not textbook-equivalent: the
+    * monotone transform is per-term, so cross-document rankings of
+    * multi-term score SUMS can differ from ln-idf BM25 when documents
+    * match different terms) while every term score stays a fixed dag of
+    * IEEE double ops that both engines evaluate bit-identically (ln is
+    * libm-dependent — the q47 tf-idf precedent). Per-(query,doc) scores
+    * sum order-independently
     * via [[ExactNum.fsum]]; ranking orders by that exact score with
     * doc_id as tie-break.
     *
