@@ -753,9 +753,35 @@ object Dedup {
       idCol: String,
       sigCol: String,
       maxHamming: Int = 7,
+      materializeIndex: Boolean = false): DataFrame =
+    hammingNearDupsBlocked(sigs, idCol, sigCol, maxHamming, 4, materializeIndex)
+
+  /** [[hammingNearDups]] generalized over the BLOCK SCHEME: `nBlocks`
+    * blocks of 64/nBlocks bits, with single-bit probe flips only when
+    * the pigeonhole needs them (⌊maxHamming/nBlocks⌋ = 1; at
+    * ⌊maxHamming/nBlocks⌋ = 0 an exact block match already guarantees
+    * recall, so each doc probes just its nBlocks own keys). Every
+    * supported scheme returns IDENTICAL pairs — recall is exact and the
+    * hamming verify is shared — so scheme choice is pure bytes routing:
+    * wider blocks (4×16) = more probe rows but ~n²/2^width candidates;
+    * narrower (8×8) = 8.5× fewer probe rows but 256× the candidate
+    * mass. [[simhashBlockedExchangeBytes]] estimates both;
+    * [[simHashNearDupsAuto]] picks by byte budget.
+    */
+  def hammingNearDupsBlocked(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 7,
+      nBlocks: Int = 4,
       materializeIndex: Boolean = false): DataFrame = {
-    require(maxHamming <= 7,
-      "4 x 16-bit blocks with 1-bit probes guarantee recall only for d <= 7")
+    require(nBlocks > 0 && 64 % nBlocks == 0,
+      s"nBlocks must divide 64, got $nBlocks")
+    val width = 64 / nBlocks
+    val flipsNeeded = maxHamming / nBlocks
+    require(flipsNeeded <= 1,
+      s"$nBlocks x $width-bit blocks with 1-bit probes guarantee recall " +
+        s"only for d <= ${2 * nBlocks - 1}, got maxHamming=$maxHamming")
     // Lazy by default (one job, signature scan recomputed per join
     // branch); materialized mode persists the ids+signature relation
     // (16 B/row — smaller than any exploded index) and checkpoints the
@@ -765,18 +791,21 @@ object Dedup {
       if (materializeIndex)
         sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs
+    val mask = if (width == 64) -1L else (1L << width) - 1
     def blockKey(b: Int) =
-      shiftrightunsigned(col(sigCol), b * 16).bitwiseAND(0xFFFFL)
+      shiftrightunsigned(col(sigCol), b * width).bitwiseAND(mask)
     // probe side: exact block value (v = -1) plus each single-bit flip
+    // (flips only when the pigeonhole bound requires them)
+    val flipRange = if (flipsNeeded == 0) Seq(-1) else -1 until width
     val probes = sim.withColumn("blk",
-        explode(array((for { b <- 0 until 4; v <- -1 until 16 } yield struct(
+        explode(array((for { b <- 0 until nBlocks; v <- flipRange } yield struct(
           lit(b).as("block_id"),
           (if (v < 0) blockKey(b)
            else blockKey(b).bitwiseXOR(lit(1L << v))).as("block_key"))): _*)))
       .select(col(idCol).as("id_a"), col(sigCol).as("sim_a"),
         col("blk.block_id"), col("blk.block_key"))
     val index = sim.withColumn("blk",
-        explode(array((0 until 4).map(b => struct(
+        explode(array((0 until nBlocks).map(b => struct(
           lit(b).as("block_id"), blockKey(b).as("block_key"))): _*)))
       .select(col(idCol).as("id_b"), col(sigCol).as("sim_b"),
         col("blk.block_id"), col("blk.block_key"))
@@ -793,6 +822,126 @@ object Dedup {
       sim.unpersist(false)
       p
     } else pairsLazy
+  }
+
+  /** Estimated RAW bytes through [[nearDuplicatePairs]]' exchanges —
+    * [[Similarity.lshProbeExchangeBytes]]'s pattern for the MinHash
+    * family, so the band dial derives from a byte budget before the job
+    * runs instead of from a dead executor. Terms:
+    *
+    *  - band-index join: both self-join branches exchange n·bands thin
+    *    (id, band_id, bucket) rows (~40 B with row overhead);
+    *  - candidate-pair dedup: MinHash buckets are 64-bit hashes of
+    *    r-minima slices, so bucket collisions are (near-)dup pairs, not
+    *    occupancy noise — `expectedPairsPerDoc` bounds that answer-set
+    *    stream (default 1: a corpus that is ~all duplicates);
+    *  - verify joins: BAND-INDEPENDENT — both hash-set branches
+    *    exchange n rows carrying the full shingle-hash array
+    *    (avgShingles·8 B). This floor must fit the budget on its own;
+    *    no band count sheds it.
+    *
+    * Estimates are raw (pre-compression) like the cosine family's; the
+    * wire carries lz4 — `DedupTune` records the measured ratio.
+    */
+  def minhashBandExchangeBytes(n: Long, bands: Int, avgShingles: Double,
+                               expectedPairsPerDoc: Double = 1.0): Long = {
+    val bandBytes = BigInt(n) * bands * (2L * 40L + (expectedPairsPerDoc * 24.0).toLong)
+    val verifyBytes = BigInt(2) * n * ((avgShingles * 8.0).toLong + 40L)
+    (bandBytes + verifyBytes).min(BigInt(Long.MaxValue)).toLong
+  }
+
+  /** Largest band count ≤ `requested` whose estimated exchange fits
+    * `budgetBytes` (floor 1). Fewer bands = fewer OR chances for a pair
+    * to collide = lower recall at a given threshold — the banding trade
+    * (1 − (1 − s^r)^b), now derived from bytes. Precision (r = rows per
+    * band) is NOT traded: callers shrink numHashes with bands.
+    */
+  def minhashBandsForBudget(n: Long, requested: Int, avgShingles: Double,
+                            budgetBytes: Long,
+                            expectedPairsPerDoc: Double = 1.0): Int = {
+    var b = requested
+    while (b > 1 &&
+      minhashBandExchangeBytes(n, b, avgShingles, expectedPairsPerDoc) > budgetBytes)
+      b -= 1
+    b
+  }
+
+  /** [[nearDuplicatePairs]] with the band count derived from a
+    * SHUFFLE-BYTE BUDGET — the [[Similarity.cosineNearDupLshAuto]]
+    * policy ported to the MinHash family. The signature length follows
+    * the surviving bands (numHashes = rowsPerBand · bands), so each
+    * band keeps its full r-hash precision and the clamp sheds exactly
+    * the OR-amplification term; at an unconstrained budget the call is
+    * IDENTICAL to `nearDuplicatePairs(numHashes = rowsPerBand·bands,
+    * bands)` (spec'd pair-identical). One corpus pre-pass measures n
+    * and the mean shingle-set size the verify-join floor needs.
+    */
+  def nearDuplicatePairsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.7,
+      rowsPerBand: Int = 4,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      shuffleByteBudget: Long = Similarity.DefaultLshShuffleBudgetBytes): DataFrame = {
+    require(rowsPerBand > 0 && bands > 0)
+    val stats = docs.agg(count(lit(1)),
+      avg(size(TextFunctions.shingleHashes(col(textCol), shingleSize)))).first()
+    val n = stats.getLong(0)
+    val avgShingles = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    val b = minhashBandsForBudget(n, bands, avgShingles, shuffleByteBudget)
+    nearDuplicatePairs(docs, idCol, textCol,
+      numHashes = rowsPerBand * b, bands = b,
+      shingleSize = shingleSize, jaccardThreshold = jaccardThreshold)
+  }
+
+  /** Estimated RAW bytes through [[hammingNearDupsBlocked]]'s exchanges
+    * at a given block scheme: probe rows (nBlocks · (1 + width·flips)
+    * per doc), index rows (nBlocks per doc), and the expected candidate
+    * stream under a uniform-signature model (each probe key meets
+    * ~n/2^width index rows). The uniform term is the SCHEME cost —
+    * true near-dup pairs collide under every scheme and are the
+    * answer set, not a layout choice. This is the quadratic-vs-linear
+    * trade the simHashNearDups docstring proved by measurement (8-bit
+    * bands → 7.5 GB task page at 500k docs); the estimator makes it
+    * arithmetic.
+    */
+  def simhashBlockedExchangeBytes(n: Long, nBlocks: Int, maxHamming: Int): Long = {
+    require(nBlocks > 0 && 64 % nBlocks == 0 && maxHamming / nBlocks <= 1)
+    val width = 64 / nBlocks
+    val keysPerDoc = nBlocks.toLong * (1L + (if (maxHamming / nBlocks > 0) width else 0))
+    val rowBytes = 36L // id + 64-bit sig + block_id + block_key + overhead
+    val probeAndIndex = BigInt(n) * (keysPerDoc + nBlocks) * rowBytes
+    val candidates = BigInt(n) * n * keysPerDoc * 24L / (BigInt(1) << width)
+    (probeAndIndex + candidates).min(BigInt(Long.MaxValue)).toLong
+  }
+
+  /** [[simHashNearDups]] with the BLOCK SCHEME derived from bytes: every
+    * supported scheme returns identical pairs (recall is exact for
+    * d ≤ 7 under each — see [[hammingNearDupsBlocked]]), so unlike the
+    * cosine/MinHash autos there is no recall dial to clamp and the
+    * choice is pure routing: pick the scheme whose estimated exchange
+    * is smallest (4×16-bit + flips wins for any n ≳ 3k — linear probe
+    * rows beat n²/256 candidates — but the estimator decides from n
+    * rather than hard-coding the regime). If even the cheapest scheme
+    * exceeds `shuffleByteBudget`, that volume is the answer's own
+    * linear floor and still runs — the caller's knob is budget/cluster
+    * capacity, not recall.
+    */
+  def simHashNearDupsAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 7,
+      shuffleByteBudget: Long = Similarity.DefaultLshShuffleBudgetBytes): DataFrame = {
+    val n = docs.count()
+    val schemes = Seq(4, 8).filter(b => maxHamming / b <= 1)
+    val best = schemes.minBy(b => (simhashBlockedExchangeBytes(n, b, maxHamming), b))
+    val simLazy = simHash(docs.select(col(idCol), col(textCol)), textCol)
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol), col("simhash"))
+    hammingNearDupsBlocked(simLazy, idCol, "simhash", maxHamming, best)
   }
 
   /** Bloom-prefiltered benchmark decontamination — the 100 TB route for

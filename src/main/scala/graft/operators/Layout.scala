@@ -31,6 +31,22 @@ object Layout {
     }
   }
 
+  /** Monotone bucketing of an integer-valued column into [0, 2^bits) —
+    * the upstream companion [[zOrderKey]]'s contract asks for. MONOTONE
+    * (equal-width, via width_bucket) is the requirement: a modular map
+    * like pmod would scatter adjacent values across buckets and destroy
+    * exactly the locality z-ordering exists to create. Values outside
+    * [minV, maxV] clamp to the edge buckets.
+    */
+  def zBucket(c: Column, minV: Long, maxV: Long, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    require(maxV >= minV, s"need maxV >= minV, got [$minV, $maxV]")
+    val n = 1L << bits
+    greatest(lit(0L), least(lit(n - 1),
+      width_bucket(c.cast("double"), lit(minV.toDouble),
+        lit(maxV.toDouble + 1.0), lit(n)) - 1))
+  }
+
   /** Rewrite a DataFrame into z-ordered layout: range-partition by the
     * z-key (so files cover contiguous z-ranges → tight min/max on both
     * dimensions) and sort within partitions. One exchange; follow with

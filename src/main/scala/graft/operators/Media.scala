@@ -37,6 +37,20 @@ object Media {
 
   final case class Frame(doc_id: Long, frame_index: Int, frame_bytes: Array[Byte])
 
+  /** One audio SEGMENT's byte location inside its WAV blob — the audio
+    * sibling of [[FrameChunk]]: offset/size let a downstream feature
+    * extractor (or external codec, for compressed audio) slice a
+    * time-window's PCM bytes out of the blob without re-parsing the
+    * container; start_ms/n_samples let a sampling pass pick windows on
+    * the index alone. One row per fixed-duration segment of each `data`
+    * chunk (10 ms segments by default — the standard speech-feature
+    * hop).
+    */
+  final case class AudioChunk(
+      doc_id: Long, segment_index: Int, offset: Long, size: Long,
+      start_ms: Long, n_samples: Long, sample_rate: Int, channels: Int,
+      bits: Int)
+
   /** One video frame's CHUNK LOCATION inside its container blob —
     * codec-independent: offset/size let a downstream external decoder
     * (the FFmpeg-shaped dependency this container lacks) slice the
@@ -106,6 +120,8 @@ object Media {
   private def le32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "ISO-8859-1")
 
@@ -838,6 +854,131 @@ object Media {
           .orElse(mp4FrameChunkIndex(docId, bytes))
           .getOrElse(Vector.empty)
       }
+  }
+
+  // --- audio (WAV/PCM — pure header walk, no codec) -------------------
+
+  /** Minimal canonical WAV writer around raw bytes-as-PCM: RIFF hdr
+    * 12 B + "fmt " chunk 24 B + "data" hdr 8 B → samples start at byte
+    * 44, data size = payload length (odd sizes RIFF-pad 1 B). Exists so
+    * corpora without true audio payloads still drive the REAL parse
+    * path with a layout that stays closed-form for a SQL oracle — the
+    * [[wrapAvi]] discipline. PCM format tag 1; defaults are 8 kHz mono
+    * 16-bit (one sample per 2 payload bytes).
+    */
+  def wrapWav(payload: Array[Byte], sampleRate: Int = 8000,
+              channels: Int = 1, bits: Int = 16): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && bits > 0 && bits % 8 == 0,
+      s"bad wav params: rate=$sampleRate ch=$channels bits=$bits")
+    def le2(i: Int) = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte)
+    def le4(i: Int) = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    val blockAlign = channels * bits / 8
+    val fmt = "fmt ".getBytes("ISO-8859-1") ++ le4(16) ++ le2(1) ++
+      le2(channels) ++ le4(sampleRate) ++ le4(sampleRate * blockAlign) ++
+      le2(blockAlign) ++ le2(bits)
+    val data = "data".getBytes("ISO-8859-1") ++ le4(payload.length) ++ payload ++
+      (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val body = "WAVE".getBytes("ISO-8859-1") ++ fmt ++ data
+    "RIFF".getBytes("ISO-8859-1") ++ le4(body.length) ++ body
+  }
+
+  /** WAV segment index for one blob: the `fmt ` chunk fixes the PCM
+    * geometry, then each `data` chunk is cut into `segmentMs` windows —
+    * (offset, size) in CONTAINER bytes, (start_ms, n_samples) in global
+    * stream time (frames accumulate across data chunks; segments never
+    * span a chunk boundary). Lenient like every parser here: not RIFF/
+    * WAVE, truncated, non-PCM (format tag ≠ 1), or degenerate geometry
+    * → None, never a throw — [[walkRiff]] already stops at any chunk
+    * that overruns the buffer, so a truncated header yields however
+    * many well-formed chunks precede the cut (fuzz-spec'd).
+    */
+  private[operators] def wavChunks(
+      docId: Long, b: Array[Byte], segmentMs: Long): Option[Vector[AudioChunk]] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+      return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // tag, channels, rate, bits
+    val datas = Vector.newBuilder[(Int, Int)]
+    walkRiff(b) { (ck, payload, size, _) =>
+      if (ck == "fmt " && size >= 16 && fmt.isEmpty && payload + 16 <= b.length)
+        fmt = Some((le16(b, payload), le16(b, payload + 2),
+          le32(b, payload + 4).toInt, le16(b, payload + 14)))
+      else if (ck == "data") datas += ((payload, size))
+    }
+    fmt.flatMap { case (tag, channels, rate, bits) =>
+      val bytesPerFrame = channels * (bits / 8)
+      val framesPerSeg = if (rate > 0) segmentMs * rate / 1000 else 0L
+      if (tag != 1 || channels <= 0 || rate <= 0 || bits <= 0 ||
+          bits % 8 != 0 || framesPerSeg <= 0) None
+      else {
+        val out = Vector.newBuilder[AudioChunk]
+        var segIdx = 0
+        var cumFrames = 0L
+        datas.result().foreach { case (payload, size) =>
+          val totalFrames = size.toLong / bytesPerFrame
+          var f = 0L
+          while (f < totalFrames) {
+            val n = math.min(framesPerSeg, totalFrames - f)
+            out += AudioChunk(docId, segIdx,
+              offset = payload + f * bytesPerFrame,
+              size = n * bytesPerFrame,
+              start_ms = (cumFrames + f) * 1000L / rate,
+              n_samples = n * channels,
+              sample_rate = rate, channels = channels, bits = bits)
+            segIdx += 1
+            f += framesPerSeg
+          }
+          cumFrames += totalFrames
+        }
+        Some(out.result())
+      }
+    }
+  }
+
+  /** Per-segment WAV index over (doc_id, blob) rows — the audio twin of
+    * [[frameChunkIndex]]: one [[AudioChunk]] per 10 ms window (the
+    * standard speech-feature hop) per PCM blob; non-WAV blobs emit
+    * nothing. A production pipeline joins this against the blob column
+    * and slices only the windows it wants — voice-activity gating,
+    * silence stripping, feature-extractor sharding — without moving or
+    * re-parsing whole recordings. Map-side, no shuffle.
+    */
+  def wavSampleIndex(media: DataFrame, segmentMs: Long = 10L): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        wavChunks(docId, bytes, segmentMs).getOrElse(Vector.empty)
+      }
+  }
+
+  /** Real PCM decode over the segment index: 16-bit LE samples sliced
+    * per [[AudioChunk]] window → (doc_id, segment_index, peak, sum_abs)
+    * — the exact-integer level stats a curation pass gates on (silence
+    * stripping, clipping detection). Only mono/stereo 16-bit PCM
+    * decodes (everything the index emits with bits=16); the arithmetic
+    * is pure integers so a SQL oracle can replay it from the payload
+    * bytes. Map-side.
+    */
+  def audioSegmentStats(media: DataFrame, segmentMs: Long = 10L): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        wavChunks(docId, bytes, segmentMs).getOrElse(Vector.empty).collect {
+          case c if c.bits == 16 =>
+            var peak = 0L; var sumAbs = 0L
+            var off = c.offset.toInt
+            val end = (c.offset + c.size).toInt
+            while (off + 1 < end) {
+              val s = (le16(bytes, off) << 16 >> 16).toLong // sign-extend
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumAbs += a
+              off += 2
+            }
+            (docId, c.segment_index, peak, sumAbs)
+        }
+      }
+      .toDF("doc_id", "segment_index", "peak", "sum_abs")
   }
 
   // --- image perceptual hashing (dHash) -------------------------------

@@ -131,9 +131,24 @@ object QueryPack
     "q104_knn_pq"           -> (knnPq _),
     "q105_kmv_distinct"     -> (kmvDistinct _),
     "q106_zorder"           -> (zorderLayoutStats _),
+    "q107_hybrid_retrieval" -> (hybridRetrieval _),
+    "q108_audio_index"      -> (audioIndexStats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */
   val oracles: Map[String, String] =
     relationalOracles ++ eventOracles ++ textOracles ++ dedupOracles ++ vectorOracles
+
+  /** Queries whose PURPOSE is replaying a documented anti-pattern so an
+    * oracle can pin its arithmetic — quadratic exact twins and hand-dial
+    * LSH replays, each bounded to a deterministic id slice and each with
+    * a named production-path sibling (q27→q80, q28/q88→q80, q22→q20,
+    * q83's exact leg→its LSH leg). Bench reports `total_production`
+    * (the inventory minus these) next to `total`, so the headline scale
+    * number reads the paths a deployment runs, with replay cost broken
+    * out instead of buried.
+    */
+  val replayTwins: Set[String] = Set(
+    "q22_jaccard_pairs", "q27_emb_neardup", "q28_emb_neardup_lsh",
+    "q88_emb_neardup_ids")
 }

@@ -636,6 +636,20 @@ private[queries] trait TextQueries {
     * (query_id, t) term set — exposed for the spec's planted-relevance
     * checks. See [[bm25TopDocs]] for the scoring contract. */
   private[graft] def bm25Rank(docs: DataFrame, termsDf: DataFrame): DataFrame = {
+    val perQD = bm25Scores(docs, termsDf)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perQD.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Unranked per-(query, doc) BM25 scores — the scoring core behind
+    * [[bm25Rank]], factored out so [[hybridRetrieval]] can re-rank an
+    * ANN shortlist with the identical arithmetic. Emits a row only for
+    * docs matching ≥ 1 query term; df/avgdl statistics come from the
+    * WHOLE `docs` relation passed in, not any shortlist. */
+  private[graft] def bm25Scores(docs: DataFrame, termsDf: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
     val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     // tf rows are unique per (doc, term), so a plain count IS df
@@ -656,13 +670,8 @@ private[queries] trait TextQueries {
           (col("tf").cast("double") + lit(1.2) *
             (lit(0.25) + lit(0.75) *
               (col("dl") / (col("total_tok").cast("double") / col("n_docs"))))))
-    val perQD = scored.groupBy(col("query_id"), col("doc_id"))
+    scored.groupBy(col("query_id"), col("doc_id"))
       .agg(fsum(col("tscore")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    perQD.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
   /** The embedded BM25 query set — shared between the Spark form and the
@@ -671,6 +680,55 @@ private[queries] trait TextQueries {
     (1L, "spark"), (1L, "stream"), (1L, "join"),
     (2L, "fast"), (2L, "table"), (2L, "scan"),
     (3L, "vector"), (3L, "hash"), (3L, "window"))
+
+  /** Hybrid retrieval (q107): ANN shortlist → lexical re-rank — the
+    * retrieve-then-rank shape a RAG pipeline actually runs, composed
+    * from the gated legs (q23's exact ANN, q91's BM25) instead of gated
+    * only leg-by-leg. Corpus = documents ⋈ embeddings on id (the rows
+    * that have BOTH modalities); each query carries an embedding (its
+    * own corpus vector) and a term set (the shared [[Bm25Queries]]);
+    * the shortlist is the embedding-cosine top-50, re-ranked by BM25
+    * score (exact [[ExactNum.fsum]] arithmetic, corpus-level df/avgdl —
+    * never shortlist-level), cosine order breaking lexical ties (so
+    * term-free shortlist docs keep their ANN order below every
+    * term-matching doc).
+    *
+    * Scale shape: both legs keep their own scale stories (broadcast
+    * queries over one corpus stream; one (doc, term) groupBy) and the
+    * fusion join touches |queries|·shortlist rows only. The
+    * planted-relevance recall gate is HybridRetrievalSpec's.
+    */
+  def hybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val queryVecs = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val queryTerms = s.createDataFrame(Bm25Queries).toDF("query_id", "t")
+    hybridTopK(queryVecs, queryTerms, corpus, k = 10, shortlistSize = 50)
+  }
+
+  /** The composable core of [[hybridRetrieval]] over arbitrary inputs:
+    * `queryVecs` (query_id, embedding), `queryTerms` (query_id, t),
+    * `corpus` (doc_id, text, embedding). Output (query_id, doc_id,
+    * rank, score): rank 1..k per query, score = exact BM25 (0.0 for
+    * shortlist docs matching no term). */
+  private[graft] def hybridTopK(queryVecs: DataFrame, queryTerms: DataFrame,
+                                corpus: DataFrame, k: Int,
+                                shortlistSize: Int): DataFrame = {
+    val ann = Similarity.bruteForceTopK(queryVecs,
+        corpus.select(col("doc_id").as("vec_id"), col("embedding")), shortlistSize)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
+    val lex = bm25Scores(corpus.select(col("doc_id"), col("text")), queryTerms)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cosine").desc, col("doc_id").asc)
+    ann.join(lex, Seq("query_id", "doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
 
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
@@ -1043,6 +1101,53 @@ private[queries] trait TextQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, doc_id) AS INT) AS rank
          | FROM s) r
+         |WHERE rank <= 10""".stripMargin
+    },
+    // hybrid retrieval replay: q23's brute shortlist CTE composed with
+    // q91's BM25 CTEs over the documents ⋈ embeddings corpus — fusion
+    // is a left join + one rank window, so the oracle is literally the
+    // two gated legs' SQL stitched at the shortlist
+    "q107_hybrid_retrieval" -> {
+      val values = Bm25Queries
+        .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+      val inList = Bm25Queries.map(t => s"'${t._2}'").distinct.mkString(", ")
+      val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"""WITH qt(query_id, t) AS (SELECT * FROM (VALUES $values)),
+         |corpus AS (SELECT d.doc_id, d.text, e.embedding
+         |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         |ann AS (SELECT query_id, doc_id, cos FROM (
+         |  SELECT q.query_id, c.doc_id,
+         |   list_cosine_similarity(q.qe, c.embedding) AS cos,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC, c.doc_id) AS arank
+         |  FROM qv q CROSS JOIN corpus c WHERE c.doc_id <> q.query_id) t
+         | WHERE arank <= 50),
+         |tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM corpus),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, COUNT(*) AS df FROM tf WHERE t IN ($inList) GROUP BY t),
+         |dl AS (SELECT doc_id, CAST($nTok AS DOUBLE) AS dl FROM corpus),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM($nTok) AS BIGINT) AS total_tok
+         |          FROM corpus),
+         |scored AS (SELECT query_id, tf.doc_id AS doc_id,
+         |  (CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 0.5) *
+         |    (CAST(tf AS DOUBLE) * 2.2) /
+         |    (CAST(tf AS DOUBLE) + 1.2 *
+         |      (0.25 + 0.75 * (dl / (CAST(total_tok AS DOUBLE) / n_docs)))) AS ts
+         | FROM tf JOIN qt ON tf.t = qt.t JOIN dfreq ON tf.t = dfreq.t
+         |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+         |s AS (SELECT query_id, doc_id, ${fsumSql("ts")} AS score
+         |      FROM scored GROUP BY query_id, doc_id),
+         |j AS (SELECT a.query_id, a.doc_id,
+         |        COALESCE(s.score, 0.0) AS score, a.cos
+         |      FROM ann a LEFT JOIN s ON a.query_id = s.query_id AND a.doc_id = s.doc_id)
+         |SELECT query_id, doc_id, rank, score FROM (
+         | SELECT query_id, doc_id, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cos DESC, doc_id) AS INT) AS rank
+         | FROM j) r
          |WHERE rank <= 10""".stripMargin
     },
     "q78_quantifiers" ->

@@ -101,10 +101,22 @@ private[queries] trait VectorQueries {
   /** LSH-bucketed embedding near-dup. Deterministic approximation: the
     * oracle replays the bucket predicate (hamming ≤ 1 in either table,
     * from the embedded weight matrix) plus the exact cosine threshold.
+    *
+    * Bounded to the q88 id slice (round 12): the 4-plane hand dial is a
+    * documented replay twin — 16 buckets/table goes quadratic on a full
+    * corpus by design, and its full-corpus run was 35% of the r11 sf10
+    * sweep wall, burying the production paths' scale story under an
+    * anti-pattern demo. The dial's ARITHMETIC (what this oracle pins)
+    * survives the slice; the full-corpus cost lesson is recorded in
+    * SCALING.md, and the production near-dup path is q80's budget-auto.
+    * Same slice as q88 on purpose: q28 (vector-carrying) and q88
+    * (ids-only) now reproduce ONE oracle from two layouts — layout
+    * invisibility checked cross-engine, not just against itself.
     */
   def embNearDupLsh(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupLsh(
-      Tables.embeddings(s, dir), threshold = 0.35, nPlanes = 4)
+      Tables.embeddings(s, dir).filter(col("vec_id") < 3000),
+      threshold = 0.35, nPlanes = 4)
       .select(col("id_a"), col("id_b"))
 
   /** LSH embedding near-dup on the AUTO-configured production path:
@@ -179,6 +191,27 @@ private[queries] trait VectorQueries {
            sum(col("n_key")).as("n_keyframes"))
   }
 
+  /** Audio modality (q108): document bytes wrapped into deterministic
+    * 8 kHz mono 16-bit WAVs ([[graft.operators.Media.wrapWav]] — real
+    * RIFF layout, closed-form offsets), then the per-segment PCM index
+    * ([[graft.operators.Media.wavSampleIndex]], 10 ms hop) emitted row
+    * by row: the byte-exact routing index an audio curation pipeline
+    * slices feature windows from without re-parsing containers — the
+    * audio twin of q82's video frame index. Map-side end to end.
+    */
+  def audioIndexStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("p"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, graft.operators.Media.wrapWav(p)) }
+      .toDF("doc_id", "blob")
+    graft.operators.Media.wavSampleIndex(blobs, segmentMs = 10L)
+      .select(col("doc_id"),
+        col("segment_index").cast("long").as("segment_index"),
+        col("offset"), col("size"), col("start_ms"), col("n_samples"))
+  }
+
   /** Int8 scalar quantization of embeddings: q = clamp(⌊x·512⌋, ±127),
     * the storage-compression step of a vector index build. All arithmetic
     * is exact across engines (×512 is a power-of-two double multiply —
@@ -240,11 +273,12 @@ private[queries] trait VectorQueries {
     * the gate proves layout choice is invisible in results, cross-
     * engine and not just against itself. Bounded to the deterministic
     * id slice the exact twins use (q22/q27 precedent): the 4-plane dial
-    * here is q28's documented hand-dial replay, and ONE full-corpus
-    * quadratic replay in the sweep (q28 itself) is enough — the
-    * full-corpus layout equality is additionally spec'd engine-side
-    * (OperatorsSpec's vec≡ids pairs-equality), so the slice costs no
-    * coverage.
+    * here is q28's documented hand-dial replay — since round 12 q28
+    * runs the SAME slice, so the pair reproduces one oracle from two
+    * layouts and no full-corpus quadratic replay remains in the sweep
+    * (the full-corpus layout equality is additionally spec'd
+    * engine-side — OperatorsSpec's vec≡ids pairs-equality — so the
+    * slice costs no coverage; the cost lesson lives in SCALING.md).
     */
   def embNearDupIdsOnly(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupLshIdsOnly(
@@ -439,7 +473,7 @@ private[queries] trait VectorQueries {
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
     // LSH near-dup replay: bucket predicate (hamming ≤ 1 in either
     // 4-plane table) + the exact cosine threshold over candidates,
-    "q28_emb_neardup_lsh" -> lshNearDup2x4OracleSql(""),
+    "q28_emb_neardup_lsh" -> lshNearDup2x4OracleSql(" WHERE vec_id < 3000"),
     // identical replay for the ids-only layout: same candidate rule,
     // same verify — the layout must be invisible in results
     "q88_emb_neardup_ids" -> lshNearDup2x4OracleSql(" WHERE vec_id < 3000"),
@@ -494,6 +528,20 @@ private[queries] trait VectorQueries {
         | CAST(SUM(n) AS BIGINT) AS sum_sizes,
         | CAST(COUNT(*) AS BIGINT) AS n_keyframes
         |FROM t GROUP BY source""".stripMargin,
+    // wrapWav layout replay: 44-byte header (RIFF 12 + fmt 24 + data
+    // hdr 8), 16-bit mono 8 kHz → frames = ⌊L/2⌋, 10 ms segments of 80
+    // frames: segment i sits at 44 + 160i, size 2·min(80, frames−80i)
+    "q108_audio_index" ->
+      """WITH t AS (SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) // 2 AS frames FROM documents),
+        |s AS (SELECT doc_id, frames,
+        |  unnest(range(0, (frames + 79) // 80)) AS i FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS segment_index,
+        | CAST(44 + i * 160 AS BIGINT) AS offset,
+        | CAST(2 * least(80, frames - i * 80) AS BIGINT) AS size,
+        | CAST(i * 10 AS BIGINT) AS start_ms,
+        | CAST(least(80, frames - i * 80) AS BIGINT) AS n_samples
+        |FROM s""".stripMargin,
     "q30_media_frames" ->
       """WITH f AS (
         | SELECT doc_id, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_frames
