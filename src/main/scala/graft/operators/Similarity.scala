@@ -822,17 +822,50 @@ object Similarity {
     */
   def ivfPqIndex(corpus: DataFrame, dim: Int, nSub: Int = 16,
                  kPerSub: Int = 64, iterations: Int = 5,
-                 nCellsOverride: Int = 0)
+                 nCellsOverride: Int = 0,
+                 residual: Boolean = false)
       : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val nCells =
       if (nCellsOverride > 0) nCellsOverride else cellsForCorpus(corpus.count())
     val (_, centroids) = kMeans(corpus, "vec_id", "embedding", nCells, dim, iterations)
-    val books = pqTrainCodebooks(corpus, dim, nSub, kPerSub, iterations)
-    val index = pqEncodeWith(corpus, dim, books).select(
-      assignCells(VectorFunctions.normalize(col("embedding")), centroids).as("cell"),
-      col("vec_id").as("neighbor_id"),
-      col("codes"))
-    (index, centroids, books)
+    if (!residual) {
+      val books = pqTrainCodebooks(corpus, dim, nSub, kPerSub, iterations)
+      val index = pqEncodeWith(corpus, dim, books).select(
+        assignCells(VectorFunctions.normalize(col("embedding")), centroids).as("cell"),
+        col("vec_id").as("neighbor_id"),
+        col("codes"))
+      (index, centroids, books)
+    } else {
+      // RESIDUAL encoding — the FAISS IVFPQ refinement: codebooks learn
+      // unit(x) − centroid(cell) instead of x. Residual mass is the
+      // within-cell spread (≪ the corpus spread the plain books must
+      // cover), so the same nSub·kPerSub code budget spends its
+      // resolution where the routing already localized the vector — a
+      // recall lift at IDENTICAL index bytes (A/B'd in IvfPqSpec and
+      // the IvfPqTune decade rows). Same map-side shape: cell + residual
+      // are one projection against the centroid literal; the CELL comes
+      // from the original unit vector, codes from the residual.
+      import graft.functions.TextFunctions.bind
+      val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+      // same validity guard pqEncodeWith applies, BEFORE the argmax
+      // (cellArgmax must never see a malformed vector)
+      val res = corpus
+        .filter(col("embedding").isNotNull && size(col("embedding")) === dim &&
+          !exists(col("embedding"), _.isNull))
+        .select(col("vec_id"),
+        bind(VectorFunctions.normalize(col("embedding"))) { u =>
+          bind(org.apache.spark.sql.graft.VectorExpressions.cellArgmax(u, centLit)) { cell =>
+            struct(cell.as("cell"),
+              zip_with(u, element_at(centLit, cell + 1), (a, b) => a - b).as("r"))
+          }
+        }.as("cr"))
+        .select(col("vec_id"), col("cr.cell").as("cell"),
+          col("cr.r").as("embedding"))
+      val books = pqTrainCodebooks(res, dim, nSub, kPerSub, iterations)
+      val index = pqEncodeWith(res, dim, books)
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      (index, centroids, books)
+    }
   }
 
   /** IVF-PQ query against a built index: rank cells by query·centroid
@@ -851,7 +884,8 @@ object Similarity {
   def ivfPqQuery(queries: DataFrame, index: DataFrame, rawCorpus: DataFrame,
                  centroids: Array[Array[Double]],
                  books: Array[Array[Array[Double]]], k: Int,
-                 candidates: Int = 100, nProbesOverride: Int = 0): DataFrame = {
+                 candidates: Int = 100, nProbesOverride: Int = 0,
+                 residual: Boolean = false): DataFrame = {
     val nProbes = if (nProbesOverride > 0) nProbesOverride
                   else probesForCells(centroids.length)
     val spark = queries.sparkSession
@@ -869,10 +903,16 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("cell"))
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
+    // residual index: the stored codes encode unit(x) − centroid(cell),
+    // so the ADC reconstruction adds the cell centroid back (one
+    // zip_with against the same literal the probe ranking used)
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def reconX = if (!residual) pqReconstruct(col("codes"), books)
+      else zip_with(element_at(centLit, col("cell") + 1),
+        pqReconstruct(col("codes"), books), (a, b) => a + b)
     val shortlist = index.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc",
-        VectorFunctions.cosine(col("q_emb"), pqReconstruct(col("codes"), books)))
+      .withColumn("adc", VectorFunctions.cosine(col("q_emb"), reconX))
       .withColumn("_sl", row_number().over(adcW))
       .filter(col("_sl") <= candidates)
       .select(col("query_id"), col("neighbor_id"))
@@ -900,11 +940,11 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
                 nSub: Int = 16, kPerSub: Int = 64, candidates: Int = 100,
                 iterations: Int = 5, nCellsOverride: Int = 0,
-                nProbesOverride: Int = 0): DataFrame = {
+                nProbesOverride: Int = 0, residual: Boolean = false): DataFrame = {
     val (index, centroids, books) =
-      ivfPqIndex(corpus, dim, nSub, kPerSub, iterations, nCellsOverride)
+      ivfPqIndex(corpus, dim, nSub, kPerSub, iterations, nCellsOverride, residual)
     ivfPqQuery(queries, index, corpus, centroids, books, k,
-      candidates, nProbesOverride)
+      candidates, nProbesOverride, residual)
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et

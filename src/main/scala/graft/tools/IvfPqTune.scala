@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * show query wall SUBLINEAR in n where flat ADC (q104 / [[PqTune]])
   * scans all n codes.
   *
-  * Usage: runMain graft.tools.IvfPqTune <sfDir> <nQueries> [candidates] [nProbes]
+  * Usage: runMain graft.tools.IvfPqTune <sfDir> <nQueries> [candidates] [nProbes] [residual]
   *        (candidates defaults to max(100, n/500) — the hold-candidates/n
-  *        rule PqTune's 200k row established; nProbes 0 → auto)
+  *        rule PqTune's 200k row established; nProbes 0 → auto;
+  *        residual=1 → FAISS-style residual codebooks, same bytes)
   */
 object IvfPqTune {
   def main(args: Array[String]): Unit = {
@@ -22,6 +23,7 @@ object IvfPqTune {
     val nQueries = args(1).toInt
     val candidatesArg = if (args.length > 2) args(2).toInt else 0
     val probesOverride = if (args.length > 3) args(3).toInt else 0
+    val residual = args.length > 4 && args(4) == "1"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,7 +50,8 @@ object IvfPqTune {
     // query — the index is written once and served many times; the
     // number that must beat flat ADC at scale is the QUERY wall.
     val t0 = System.nanoTime()
-    val (index, centroids, books) = Similarity.ivfPqIndex(corpus, dim)
+    val (index, centroids, books) =
+      Similarity.ivfPqIndex(corpus, dim, residual = residual)
     val idx = index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idx.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
@@ -57,7 +60,7 @@ object IvfPqTune {
                   else Similarity.probesForCells(nCells)
     val tq = System.nanoTime()
     val ivfpq = topSet(Similarity.ivfPqQuery(queries, idx, corpus,
-      centroids, books, 10, candidates, nProbes))
+      centroids, books, 10, candidates, nProbes, residual))
     val querySec = (System.nanoTime() - tq) / 1e9
     val t1 = System.nanoTime()
     val brute = topSet(Similarity.bruteForceTopK(queries, corpus, 10))
@@ -66,7 +69,7 @@ object IvfPqTune {
     val recall = (ivfpq & brute).size.toDouble / brute.size
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val scanned = nProbes.toDouble / nCells
-    println(s"""{"n":$n,"dim":$dim,"cells":$nCells,"probes":$nProbes,"candidates":$candidates,"scanned_fraction":${r3(scanned)},"recall_at_10":${r3(recall)},"build_sec":${r3(buildSec)},"query_sec":${r3(querySec)},"brute_sec":${r3(bruteSec)}}""")
+    println(s"""{"n":$n,"dim":$dim,"cells":$nCells,"probes":$nProbes,"candidates":$candidates,"residual":$residual,"scanned_fraction":${r3(scanned)},"recall_at_10":${r3(recall)},"build_sec":${r3(buildSec)},"query_sec":${r3(querySec)},"brute_sec":${r3(bruteSec)}}""")
     spark.stop()
   }
 }

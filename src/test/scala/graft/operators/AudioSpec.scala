@@ -92,6 +92,31 @@ class AudioSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("audio routing runs unchanged on a stream (stateless, append mode)") {
+    // ingest-time audio indexing — the streaming twin every routing
+    // index here carries (frameChunkIndex precedent): wavSampleIndex is
+    // a stateless map-side flatMap, so it lifts to streaming with no
+    // watermark or state store, and streamed rows equal batch rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wav = Media.wrapWav(pcm16(0 until 200))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val indexed = Media.wavSampleIndex(input.toDF().toDF("doc_id", "blob"))
+    val q = indexed.writeStream.format("memory")
+      .queryName("audio_stream").outputMode("append").start()
+    try {
+      input.addData((1L, wav), (2L, "not audio".getBytes))
+      q.processAllAvailable()
+      val rows = spark.table("audio_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+      assert(rows.count(_._1 == 1L) == 3 && !rows.exists(_._1 == 2L))
+      val batch = Media.wavSampleIndex(Seq((1L, wav)).toDF("doc_id", "blob"))
+        .collect().map(c => (c.doc_id, c.segment_index, c.offset, c.start_ms))
+      assert(rows.filter(_._1 == 1L).sortBy(_._2).toSeq == batch.sortBy(_._2).toSeq)
+    } finally q.stop()
+  }
+
   test("the JDK's own WAV reader agrees with the hand-rolled header walk") {
     val wav = Media.wrapWav(pcm16(0 until 160))
     val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(

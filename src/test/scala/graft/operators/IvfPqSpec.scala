@@ -71,6 +71,31 @@ class IvfPqSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("residual codebooks: same index bytes, recall at least matches plain encoding") {
+    val brute = topSet(Similarity.bruteForceTopK(queries, corpus, 10))
+    def recallOf(residual: Boolean): Double = {
+      val got = topSet(Similarity.ivfPqTopK(queries, corpus, 10, dim,
+        nSub = 16, kPerSub = 64, candidates = 200, iterations = 3,
+        residual = residual))
+      (got & brute).size.toDouble / brute.size
+    }
+    val plain = recallOf(false)
+    val res = recallOf(true)
+    info(f"recall@10 at 2000 vectors: plain=$plain%.3f residual=$res%.3f")
+    // deterministic corpus + deterministic builds: a fixed comparison.
+    // Residual mass (within-cell spread) is what the codes now resolve,
+    // so the same 16 bytes/vector must not LOSE recall.
+    assert(res >= plain,
+      s"residual encoding lost recall ($res vs $plain) — centroid add-back or training input wrong")
+    assert(res >= 0.9, s"residual recall floor: $res")
+    // the residual index still carries codes only
+    val (index, _, _) = Similarity.ivfPqIndex(corpus, dim,
+      nSub = 16, kPerSub = 64, iterations = 2, nCellsOverride = 16,
+      residual = true)
+    assert(index.columns.toSeq == Seq("cell", "neighbor_id", "codes"))
+    assert(index.count() == corpus.count())
+  }
+
   test("routing bounds scored candidates to the probed cells") {
     val (index, centroids, books) = Similarity.ivfPqIndex(corpus, dim,
       nSub = 16, kPerSub = 64, iterations = 2, nCellsOverride = 16)
