@@ -127,7 +127,24 @@ object ZOrderPrune {
         val read = bytesRead.get() - before
         val scans = findScans(q.queryExecution.executedPlan)
         val scanRows = scans.map(_.metrics("numOutputRows").value).sum
-        println(s"""{"layout":"$name","pred":"$pname","files_total":$nTotal,"files_overlap":$overlap,"scan_rows":$scanRows,"match_rows":${row.getLong(0)},"bytes_read":$read,"wall_sec":${math.round(wall * 1000) / 1000.0}}""")
+        // the IN-ENGINE pruned read (Layout.statsPrunedParquet): footer
+        // metadata pass + file-sliced scan — executed numFiles is the
+        // file count actually opened, matching files_overlap
+        val ranges = pname match {
+          case "2d" => Seq(Layout.ColRange(a, a1.toDouble, a2.toDouble),
+            Layout.ColRange(b, b1, b2))
+          case _ => Seq(Layout.ColRange(b, bo1, bo2))
+        }
+        val tp = System.nanoTime()
+        val pq2 = Layout.statsPrunedParquet(spark, path, ranges)
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+        val prow = pq2.collect().head
+        val pWall = (System.nanoTime() - tp) / 1e9
+        val pFiles = findScans(pq2.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+        require(prow.getLong(0) == row.getLong(0),
+          s"pruned read changed results on $name/$pname")
+        println(s"""{"layout":"$name","pred":"$pname","files_total":$nTotal,"files_overlap":$overlap,"scan_rows":$scanRows,"match_rows":${row.getLong(0)},"bytes_read":$read,"wall_sec":${math.round(wall * 1000) / 1000.0},"pruned_files_opened":$pFiles,"pruned_wall_sec":${math.round(pWall * 1000) / 1000.0}}""")
       }
     }
     spark.stop()

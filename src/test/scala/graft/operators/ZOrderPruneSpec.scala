@@ -94,6 +94,52 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkTest {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("statsPrunedParquet: identical results on every layout, real file skipping on z-order") {
+    val base = java.nio.file.Files.createTempDirectory("stats-prune").toString
+    data.repartition(nFiles).write.parquet(s"$base/unsorted")
+    data.repartitionByRange(nFiles, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(s"$base/sorted_a")
+    Layout.repartitionByZOrder(data,
+        Layout.zBucket(col("a"), 0L, 999L, bits),
+        Layout.zBucket(col("b"), 0L, 999L, bits), nFiles, bits)
+      .write.parquet(s"$base/zorder")
+    val ranges = Seq(Layout.ColRange("b", 512, 543))
+
+    def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("id")).collect().map(_.getLong(0)).toSet
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      findScans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+
+    val expected = idsOf(
+      spark.read.parquet(s"$base/unsorted").filter(col("b").between(512, 543)))
+    assert(expected.nonEmpty)
+    // the contract: pruning NEVER changes results, on any layout
+    Seq("unsorted", "sorted_a", "zorder").foreach { l =>
+      val pruned = Layout.statsPrunedParquet(spark, s"$base/$l", ranges)
+      assert(idsOf(pruned) == expected, s"pruned read diverged on $l")
+    }
+    // ... and on the z-ordered layout the EXECUTED scan opens strictly
+    // fewer files — file skipping visible in the scan node's own metric
+    val zFiles = scanFiles(
+      Layout.statsPrunedParquet(spark, s"$base/zorder", ranges))
+    val sortedFiles = scanFiles(
+      Layout.statsPrunedParquet(spark, s"$base/sorted_a", ranges))
+    info(s"executed-scan numFiles: zorder=$zFiles sorted_a=$sortedFiles of $nFiles")
+    assert(sortedFiles == nFiles.toLong,
+      "a-sorted layout cannot skip b-files — premise")
+    assert(zFiles < sortedFiles && zFiles <= nFiles / 2,
+      s"stats pruning must open fewer files on z-order ($zFiles vs $sortedFiles)")
+    // out-of-domain range: zero files read, empty result, schema kept
+    val none = Layout.statsPrunedParquet(spark, s"$base/zorder",
+      Seq(Layout.ColRange("b", 5000, 6000)))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "a", "b"))
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("zBucket is monotone and clamps to [0, 2^bits)") {
     import spark.implicits._
     val vals = Seq(-5L, 0L, 1L, 499L, 500L, 999L, 1200L).toDF("v")
