@@ -244,4 +244,41 @@ object TextFunctions {
       transform(tokens(text), t => org.apache.spark.sql.graft.TextHashExpressions.fnv64(t)),
       lit(0L),
       (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
+
+  /** URL canonicalization — the alias-collapse step every crawl dedup
+    * runs before any content hash (the same page arrives as
+    * `HTTP://WWW.Site.com:80/p?utm_source=x&b=2&a=1#frag` and
+    * `http://site.com/p?a=1&b=2`): lowercase the scheme and host (paths
+    * stay case-sensitive — URL semantics), strip a leading `www.` and a
+    * literal `:80` default port, drop the fragment, drop `utm_*`
+    * tracking parameters, and sort the surviving query parameters so
+    * param order can't fork the hash. Pure string/HOF expressions — the
+    * whole transform is one codegen'd projection, restated verbatim in
+    * the oracle's SQL, and IDEMPOTENT (spec'd): canonical input passes
+    * through unchanged.
+    */
+  def canonicalizeUrl(url: Column): Column = bind(url) { u =>
+    bind(substring_index(u, "#", 1)) { noFrag =>
+      bind(substring_index(noFrag, "://", 1)) { rawScheme =>
+        // everything after "://" (scheme length is case-stable)
+        bind(noFrag.substr(length(rawScheme) + lit(4), lit(1000000))) { hostPathQ =>
+          bind(substring_index(hostPathQ, "/", 1)) { hostPort =>
+            bind(hostPathQ.substr(length(hostPort) + lit(2), lit(1000000))) { pathQ =>
+              val host = regexp_replace(
+                regexp_replace(lower(hostPort), "^www\\.", ""), ":80$", "")
+              val path = substring_index(pathQ, "?", 1)
+              val query = when(instr(pathQ, "?") > 0,
+                pathQ.substr(length(path) + lit(2), lit(1000000))).otherwise(lit(""))
+              bind(array_sort(filter(split(query, "&"),
+                  p => !p.startsWith("utm_") && p =!= lit("")))) { params =>
+                concat(lower(rawScheme), lit("://"), host, lit("/"), path,
+                  when(size(params) > 0,
+                    concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
 }

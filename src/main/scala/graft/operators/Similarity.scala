@@ -947,6 +947,91 @@ object Similarity {
       candidates, nProbesOverride, residual)
   }
 
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick k of a relevance shortlist, each pick
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s) — the
+    * standard de-redundancy step between retrieval and a context window
+    * (a plain top-k hands an LLM five copies of the same passage; MMR
+    * trades relevance for coverage). Deterministic: strict-greater
+    * wins, exact score ties break to the lower id; sim and rel are
+    * cosines on unit vectors.
+    *
+    * Scale shape: the only corpus-sized work is the shortlist
+    * ([[bruteForceTopK]] here — any ANN family member substitutes); the
+    * greedy loop is inherently sequential per query but runs over ≤
+    * `shortlistSize` rows INSIDE one `flatMapGroups` group (bounded
+    * per-group state, the Sessionize rule), so queries parallelize and
+    * nothing quadratic-in-corpus exists. Output (query_id, vec_id,
+    * mmr_rank); scores are intentionally not emitted — their exact
+    * doubles are engine-private, only the ORDER is the contract
+    * (q23/q24 precedent).
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              shortlistSize: Int = 20, lambdaRel: Double = 0.7): DataFrame = {
+    require(k > 0 && shortlistSize >= k && lambdaRel >= 0 && lambdaRel <= 1)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val short = bruteForceTopK(queries, corpus, shortlistSize)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val cvec = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorFunctions.normalize(col("embedding")).as("v"))
+    short.join(cvec, Seq("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cosine").cast("double"), col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
+          .toArray.sortBy { case (id, _, _) => id }
+        val n = cands.length
+        val picked = new Array[Boolean](n)
+        // RAW running max of cosine to the picked set — negative
+        // similarities count (a doc ANTI-similar to every pick gets a
+        // diversity BONUS, the textbook MMR semantics; a max clamped at
+        // zero would silently drop that term — caught by the oracle
+        // diverging on exactly such a candidate)
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Seq.newBuilder[(Long, Long, Int)]
+        var r = 1
+        val kk = math.min(k, n)
+        // (1 − λ) computed once, the same double the oracle's SQL
+        // literal arithmetic produces
+        val lambdaDiv = 1.0 - lambdaRel
+        while (r <= kk) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              // first pick: max over the empty set contributes nothing
+              val score = if (r == 1) lambdaRel * cands(i)._2
+                else lambdaRel * cands(i)._2 - lambdaDiv * maxSim(i)
+              // strict greater wins; ties fall to the lower id (the
+              // id-ascending scan order makes that automatic)
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += ((qid, cands(best)._1, r))
+          val pv = cands(best)._3
+          i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              var d = 0.0
+              var j = 0
+              while (j < pv.length) { d += pv(j) * cands(i)._3(j); j += 1 }
+              if (d > maxSim(i)) maxSim(i) = d
+            }
+            i += 1
+          }
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "vec_id", "mmr_rank")
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et
     * al. 2023, arXiv:2303.09540): partition the corpus with a coarse
     * quantizer, then within each cluster drop every member whose cosine

@@ -133,6 +133,8 @@ object QueryPack
     "q106_zorder"           -> (zorderLayoutStats _),
     "q107_hybrid_retrieval" -> (hybridRetrieval _),
     "q108_audio_index"      -> (audioIndexStats _),
+    "q109_url_dedup"        -> (urlDedup _),
+    "q110_mmr_diverse"      -> (mmrDiverse _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -730,6 +730,40 @@ private[queries] trait TextQueries {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** URL canonicalization + alias dedup (q109) — the crawl-curation
+    * step upstream of every content hash: the same page's URL arrives
+    * with scheme/host case noise, a `www.` prefix, an explicit default
+    * port, tracking parameters, shuffled parameter order, and fragments;
+    * [[TextFunctions.canonicalizeUrl]] collapses all of it and this
+    * query groups by the canonical form (alias count + first doc id —
+    * the keep-lowest-id rule every dedup here uses). URLs are
+    * synthesized deterministically from (doc_id, source) — the wrapWav/
+    * wrapAvi discipline for corpora without the real payload — with
+    * every noise axis exercised by residue classes of doc_id.
+    *
+    * Scale shape: canonicalization is one map-side codegen'd
+    * projection; the only shuffle is the fixed-width (canonical_url)
+    * group-by with map-side partial aggregation.
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Docs/"), (col("doc_id") % 100).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+        .when(col("doc_id") % 4 === 2, lit("?b=2&a=1"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.canonicalizeUrl(raw).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_aliases"), min(col("doc_id")).as("first_doc_id"))
+  }
+
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
     * whose tokens are ALL short (the per-row any/all quantifiers the
@@ -1150,6 +1184,46 @@ private[queries] trait TextQueries {
          | FROM j) r
          |WHERE rank <= 10""".stripMargin
     },
+    // canonicalization replay: same op order (drop fragment → split
+    // scheme/host/path/query → lower scheme+host, strip ^www. and :80$
+    // → drop utm_*/empty params → sort → rejoin); paths stay
+    // case-sensitive on purpose
+    "q109_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+        |  '/Docs/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+        |        WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        | FROM documents),
+        |p1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw),
+        |p2 AS (SELECT doc_id, nofrag,
+        |  split_part(nofrag, '://', 1) AS scheme FROM p1),
+        |p3 AS (SELECT doc_id, scheme,
+        |  substr(nofrag, length(scheme) + 4) AS hostpathq FROM p2),
+        |p4 AS (SELECT doc_id, scheme, hostpathq,
+        |  split_part(hostpathq, '/', 1) AS hostport FROM p3),
+        |p5 AS (SELECT doc_id, scheme,
+        |  regexp_replace(regexp_replace(lower(hostport), '^www\.', ''), ':80$', '') AS host,
+        |  substr(hostpathq, length(hostport) + 2) AS pathq FROM p4),
+        |p6 AS (SELECT doc_id, scheme, host,
+        |  split_part(pathq, '?', 1) AS path,
+        |  CASE WHEN contains(pathq, '?')
+        |       THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+        |       ELSE '' END AS query FROM p5),
+        |p7 AS (SELECT doc_id, lower(scheme) || '://' || host || '/' || path ||
+        |  CASE WHEN len(pp) > 0 THEN '?' || array_to_string(pp, '&') ELSE '' END
+        |    AS canonical_url
+        | FROM (SELECT doc_id, scheme, host, path,
+        |   list_sort(list_filter(string_split(query, '&'),
+        |     p -> NOT starts_with(p, 'utm_') AND p <> '')) AS pp FROM p6))
+        |SELECT canonical_url, COUNT(*) AS n_aliases,
+        | MIN(doc_id) AS first_doc_id
+        |FROM p7 GROUP BY canonical_url""".stripMargin,
     "q78_quantifiers" ->
       s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents)
          |SELECT lang, COUNT(*) AS n_docs,

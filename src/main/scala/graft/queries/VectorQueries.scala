@@ -191,6 +191,21 @@ private[queries] trait VectorQueries {
            sum(col("n_key")).as("n_keyframes"))
   }
 
+  /** MMR diverse retrieval (q110): maximal-marginal-relevance top-5
+    * over the cosine-top-20 shortlist ([[graft.operators.Similarity
+    * .mmrTopK]], λ = 0.7) — the de-redundancy step between retrieval
+    * and a context window. The oracle replays the greedy EXACTLY as a
+    * recursive CTE: each iteration carries the picked embeddings
+    * forward and re-ranks the remaining shortlist by
+    * 0.7·rel − (1−0.7)·max-sim-to-picked with the id tie-break.
+    */
+  def mmrDiverse(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.mmrTopK(queries, emb, k = 5, shortlistSize = 20)
+  }
+
   /** Audio modality (q108): document bytes wrapped into deterministic
     * 8 kHz mono 16-bit WAVs ([[graft.operators.Media.wrapWav]] — real
     * RIFF layout, closed-form offsets), then the per-segment PCM index
@@ -528,6 +543,43 @@ private[queries] trait VectorQueries {
         | CAST(SUM(n) AS BIGINT) AS sum_sizes,
         | CAST(COUNT(*) AS BIGINT) AS n_keyframes
         |FROM t GROUP BY source""".stripMargin,
+    // MMR greedy replay as a recursive CTE: the working row per query
+    // carries (picked ids, picked embeddings); each iteration re-ranks
+    // the un-picked shortlist by 0.7·rel − (1−0.7)·max cos to picked
+    // (same double arithmetic: (1.0 − 0.7) evaluated, not a 0.3
+    // literal) and appends the winner. UNION ALL accumulates ranks 1–5.
+    "q110_mmr_diverse" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |      FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 3),
+        |short AS (SELECT query_id, vec_id, rel, emb FROM (
+        |  SELECT q.query_id, c.vec_id,
+        |   list_cosine_similarity(q.qe, c.emb) AS rel, c.emb,
+        |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS r
+        |  FROM q CROSS JOIN e c WHERE c.vec_id <> q.query_id) t
+        | WHERE r <= 20),
+        |sel(query_id, vec_id, mmr_rank, chosen_ids, chosen) AS (
+        |  SELECT query_id, vec_id, 1, [vec_id], [emb] FROM (
+        |    SELECT query_id, vec_id, emb,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY 0.7 * rel DESC, vec_id) AS rn
+        |    FROM short) s0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT query_id, vec_id, mmr_rank + 1,
+        |    list_append(chosen_ids, vec_id), list_append(chosen, emb)
+        |  FROM (
+        |    SELECT s.query_id, c.vec_id, s.mmr_rank, s.chosen_ids, s.chosen, c.emb,
+        |      ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+        |        0.7 * c.rel - (1.0 - 0.7) * list_aggregate(
+        |          list_transform(s.chosen, ce -> list_cosine_similarity(c.emb, ce)),
+        |          'max') DESC,
+        |        c.vec_id) AS rn
+        |    FROM sel s JOIN short c ON c.query_id = s.query_id
+        |    WHERE s.mmr_rank < 5 AND NOT list_contains(s.chosen_ids, c.vec_id)
+        |  ) t WHERE rn = 1)
+        |SELECT query_id, vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel""".stripMargin,
     // wrapWav layout replay: 44-byte header (RIFF 12 + fmt 24 + data
     // hdr 8), 16-bit mono 8 kHz → frames = ⌊L/2⌋, 10 ms segments of 80
     // frames: segment i sits at 44 + 160i, size 2·min(80, frames−80i)
