@@ -87,7 +87,8 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       "q90_unigram_surprisal", "q91_bm25",
       "q96_bigram_surprisal", "q98_alpha_sample", // 1-row (N,V)/(N,avgdl)/(T,S) scalars
       "q104_knn_pq", // broadcast query set streamed over the PQ reconstruction
-      "q107_hybrid_retrieval") // composes q23's shortlist + q91's scalars — both legs' broadcasts
+      "q107_hybrid_retrieval", // composes q23's shortlist + q91's scalars — both legs' broadcasts
+      "q110_mmr_diverse") // q23's broadcast-query shortlist feeds the greedy
     QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // physical planning only — no execution (q45 excepted: its
       // component loop runs at construction)
