@@ -245,6 +245,30 @@ object TextFunctions {
       lit(0L),
       (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
 
+  /** HTML → text extraction — the content step between a raw crawl and
+    * every text gate in this engine (tokens/quality/dedup all assume
+    * markup-free text): drop <script>/<style> blocks wholesale (their
+    * content is code, not prose — dotall non-greedy so embedded `<`
+    * never derails the walk), strip remaining tags to spaces, THEN
+    * decode the core entities (tags first so `&lt;b&gt;` in prose can
+    * never be re-interpreted as a strippable tag; `&amp;` decoded LAST
+    * so `&amp;lt;` yields the literal `&lt;`), collapse whitespace,
+    * trim. Regex subset common to Java regex and RE2, so the oracle
+    * replays the pipeline verbatim. A boilerplate-removal model
+    * (trafilatura-class) slots in ABOVE this; the tag/entity layer is
+    * the deterministic part.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?s)<script.*?</script>", " "),
+      "(?s)<style.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** URL canonicalization — the alias-collapse step every crawl dedup
     * runs before any content hash (the same page arrives as
     * `HTTP://WWW.Site.com:80/p?utm_source=x&b=2&a=1#frag` and

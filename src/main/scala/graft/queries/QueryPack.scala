@@ -135,6 +135,7 @@ object QueryPack
     "q108_audio_index"      -> (audioIndexStats _),
     "q109_url_dedup"        -> (urlDedup _),
     "q110_mmr_diverse"      -> (mmrDiverse _),
+    "q111_html_extract"     -> (htmlExtract _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -764,6 +764,29 @@ private[queries] trait TextQueries {
       .agg(count(lit(1)).as("n_aliases"), min(col("doc_id")).as("first_doc_id"))
   }
 
+  /** HTML text extraction (q111): deterministic HTML is synthesized
+    * around each document (title, style/script blocks with embedded
+    * `<`, the document text, and an entity gauntlet), then
+    * [[TextFunctions.extractHtmlText]] recovers the prose — md5 of the
+    * extracted text is the cross-engine contract (the q97/q100
+    * rewritten-text discipline). Map-side end to end; the only shuffle
+    * is none (per-row projection).
+    */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+      lit("<style>p { color: red; }</style>"),
+      lit("<script>var x = 1 < 2;</script></head>"),
+      lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+      col("text"),
+      lit("</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p></body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.extractHtmlText(html).as("extracted"))
+      .select(col("doc_id"), md5(col("extracted").cast("binary")).as("text_md5"),
+        length(col("extracted")).cast("long").as("n_chars"))
+  }
+
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
     * whose tokens are ALL short (the per-row any/all quantifiers the
@@ -1184,6 +1207,33 @@ private[queries] trait TextQueries {
          | FROM j) r
          |WHERE rank <= 10""".stripMargin
     },
+    // extraction replay: identical pipeline order (script/style blocks
+    // dotall-non-greedy → tags → entities with &amp; last → whitespace
+    // collapse → trim) over the same synthesized HTML; md5 of the
+    // extracted text is the contract
+    "q111_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |  '<style>p { color: red; }</style>' ||
+        |  '<script>var x = 1 < 2;</script></head>' ||
+        |  '<body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+        |  '</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p></body></html>'
+        |    AS html
+        | FROM documents),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'),
+        |        '(?s)<style.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS extracted
+        | FROM h)
+        |SELECT doc_id, md5(extracted) AS text_md5,
+        | CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM x""".stripMargin,
     // canonicalization replay: same op order (drop fragment → split
     // scheme/host/path/query → lower scheme+host, strip ^www. and :80$
     // → drop utm_*/empty params → sort → rejoin); paths stay
