@@ -53,6 +53,67 @@ class UrlCanonicalSpec extends AnyFunSuite with SparkTest {
     assert(twice == once.collect().map(_.getString(0)).toSeq)
   }
 
+  test("generated batch: noise axes never split an alias class, identities never merge") {
+    import spark.implicits._
+    // 125 identities × 4 noisy variants each, all noise from a
+    // deterministic LCG: same identity ⇒ same canonical (noise axes
+    // are invisible), different identity ⇒ different canonical (the
+    // semantics-bearing parts survive)
+    var seed = 42L
+    def next(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (((seed >>> 33) % n) + n).toInt % n }
+    val rows = for {
+      ident <- 0 until 125
+      variant <- 0 until 4
+    } yield {
+      val host = s"h${ident % 5}.com"
+      val path = s"P${(ident / 5) % 5}/x"
+      val params = (ident / 25) % 5 match {
+        case 0 => Seq.empty
+        case 1 => Seq("a=1")
+        case 2 => Seq("a=1", "b=2")
+        case 3 => Seq("b=2", "c=3")
+        case 4 => Seq("a=2")
+      }
+      val scheme = if (next(2) == 0) "http" else "HTTP"
+      val www = Seq("", "www.", "WWW.")(next(3))
+      val hostCase = if (next(2) == 0) host else host.toUpperCase
+      val port = if (next(2) == 0) "" else ":80"
+      val shuffled = if (next(2) == 0) params else params.reverse
+      val utm = if (next(2) == 0) Seq.empty else Seq(s"utm_c=${next(9)}")
+      val q = (utm ++ shuffled).mkString("&")
+      val frag = if (next(2) == 0) "" else s"#s${next(9)}"
+      val url = s"$scheme://$www$hostCase$port/$path" +
+        (if (q.nonEmpty) s"?$q" else "") + frag
+      (ident.toLong, url)
+    }
+    val canon = rows.toDF("ident", "u")
+      .select(col("ident"), TextFunctions.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byIdent = canon.groupBy(_._1).map { case (i, vs) => i -> vs.map(_._2).distinct }
+    assert(byIdent.forall(_._2.size == 1),
+      s"noise split an alias class: ${byIdent.filter(_._2.size > 1).take(2)}")
+    val canonicals = byIdent.map { case (i, vs) => i -> vs.head }
+    assert(canonicals.values.toSeq.distinct.size == 125,
+      "distinct identities merged under canonicalization")
+    // structural invariants on every canonical form
+    canonicals.values.foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains(":80"),
+        s"noise survived in $c")
+      assert(c.startsWith("http://h") && c.contains(".com/P"),
+        s"unexpected shape: $c")
+      if (c.contains("?")) {
+        val ps = c.substring(c.indexOf('?') + 1).split("&").toSeq
+        assert(ps == ps.sorted, s"params unsorted in $c")
+      }
+    }
+    // batch idempotence over the whole generated set
+    val once = rows.toDF("ident", "u")
+      .select(TextFunctions.canonicalizeUrl(col("u")).as("c"))
+    val twice = once.select(TextFunctions.canonicalizeUrl(col("c")))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == once.collect().map(_.getString(0)).toSeq)
+  }
+
   test("alias classes group correctly in the q109 shape") {
     import spark.implicits._
     val aliases = Seq(
