@@ -935,6 +935,15 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 7,
       shuffleByteBudget: Long = Similarity.DefaultLshShuffleBudgetBytes): DataFrame = {
+    // pigeonhole bound of the widest supported scheme (8 blocks of 8
+    // bits, 1 flip each): d ≤ 15 guarantees some block differs in ≤ 1
+    // bit; past that NO block scheme here has exact recall — fail with
+    // the explanation instead of letting minBy throw on an empty set
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming exceeds the exact-recall bound of every " +
+        "supported block scheme (8 blocks × 1-bit flips cover d <= 15 by " +
+        "pigeonhole); use a wider-flip hammingNearDupsBlocked scheme " +
+        "explicitly if approximate recall is acceptable")
     val n = docs.count()
     val schemes = Seq(4, 8).filter(b => maxHamming / b <= 1)
     val best = schemes.minBy(b => (simhashBlockedExchangeBytes(n, b, maxHamming), b))

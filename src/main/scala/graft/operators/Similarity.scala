@@ -1012,20 +1012,29 @@ object Similarity {
             }
             i += 1
           }
-          picked(best) = true
-          out += ((qid, cands(best)._1, r))
-          val pv = cands(best)._3
-          i = 0
-          while (i < n) {
-            if (!picked(i)) {
-              var d = 0.0
-              var j = 0
-              while (j < pv.length) { d += pv(j) * cands(i)._3(j); j += 1 }
-              if (d > maxSim(i)) maxSim(i) = d
+          // best stays -1 only when every remaining score is NaN
+          // (NaN-element embeddings poison the cosine, and NaN sorts
+          // first under desc, so such rows CAN reach the shortlist): no
+          // pick beats NegativeInfinity under `>`, so stop emitting
+          // rather than index picked(-1)
+          if (best < 0) {
+            r = kk + 1
+          } else {
+            picked(best) = true
+            out += ((qid, cands(best)._1, r))
+            val pv = cands(best)._3
+            i = 0
+            while (i < n) {
+              if (!picked(i)) {
+                var d = 0.0
+                var j = 0
+                while (j < pv.length) { d += pv(j) * cands(i)._3(j); j += 1 }
+                if (d > maxSim(i)) maxSim(i) = d
+              }
+              i += 1
             }
-            i += 1
+            r += 1
           }
-          r += 1
         }
         out.result().iterator
       }

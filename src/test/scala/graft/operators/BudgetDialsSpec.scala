@@ -84,4 +84,14 @@ class BudgetDialsSpec extends AnyFunSuite with SparkTest {
     }
     assert(e.getMessage.contains("guarantee recall"))
   }
+
+  test("simHashNearDupsAuto rejects maxHamming >= 16 with the pigeonhole explanation") {
+    // previously: Seq(4, 8).filter(...) left `schemes` empty and minBy
+    // threw an opaque UnsupportedOperationException
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupsAuto(docs, "doc_id", "text", maxHamming = 16)
+    }
+    assert(e.getMessage.contains("pigeonhole"),
+      s"want the recall-bound explanation, got: ${e.getMessage}")
+  }
 }

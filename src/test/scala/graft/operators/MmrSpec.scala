@@ -48,6 +48,32 @@ class MmrSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1 -> 4L, 2 -> 5L, 3 -> 6L), s"got $got")
   }
 
+  test("all-NaN shortlist (NaN-element embeddings) emits nothing instead of crashing") {
+    import spark.implicits._
+    // a NaN element poisons the whole cosine (zero-NORM vectors are
+    // already guarded to 0.0 by VectorFunctions.normalize); NaN sorts
+    // FIRST under desc so these rows fill the bruteForceTopK shortlist —
+    // the greedy loop must stop cleanly (no pick beats -Inf under `>`),
+    // not index picked(-1)
+    val corpus = Seq(
+      (1L, Seq(Double.NaN, 0.0, 0.0, 0.0)),
+      (2L, Seq(Double.NaN, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((9L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("query_id", "embedding")
+    val got = Similarity.mmrTopK(queries, corpus, k = 2, shortlistSize = 2)
+      .collect()
+    assert(got.isEmpty, s"NaN-only shortlist must emit no picks, got ${got.toSeq}")
+    // a mixed shortlist still emits the finite-scored picks
+    val mixed = Seq(
+      (1L, Seq(Double.NaN, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got2 = Similarity.mmrTopK(queries, mixed, k = 2, shortlistSize = 2)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(got2 == Map(1 -> 2L), s"finite pick must survive NaN peers: $got2")
+  }
+
   test("fewer candidates than k emits min(k, n) dense ranks per query") {
     import spark.implicits._
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))

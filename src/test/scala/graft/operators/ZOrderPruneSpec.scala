@@ -140,6 +140,86 @@ class ZOrderPruneSpec extends AnyFunSuite with SparkTest {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("statsPrunedParquet recurses into partitioned/nested layouts") {
+    val base = java.nio.file.Files.createTempDirectory("stats-prune-part").toString
+    // hive-partitioned: every data file lives in a p=*/ subdirectory —
+    // a non-recursive listing would see zero files and silently return
+    // an empty result
+    data.withColumn("p", col("a") % 4)
+      .write.partitionBy("p").parquet(s"$base/part")
+    val ranges = Seq(Layout.ColRange("b", 512, 543))
+    val expected = spark.read.parquet(s"$base/part")
+      .filter(col("b").between(512, 543))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "premise: the slice holds rows")
+    val pruned = Layout.statsPrunedParquet(spark, s"$base/part", ranges)
+    assert(pruned.select(col("id")).collect().map(_.getLong(0)).toSet == expected,
+      "pruned read must see files inside partition subdirectories")
+    // partition column survives the kept-files read (basePath)
+    assert(pruned.columns.contains("p"))
+    // pruning on the partition column itself: footers lack it → keep
+    // all files, rows still filtered correctly
+    val onPart = Layout.statsPrunedParquet(spark, s"$base/part",
+      Seq(Layout.ColRange("p", 1, 1)))
+    assert(onPart.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      spark.read.parquet(s"$base/part").filter(col("p") === 1)
+        .select(col("id")).collect().map(_.getLong(0)).toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("write-time stats table plans the identical file set to the footer pass") {
+    val base = java.nio.file.Files.createTempDirectory("stats-table").toString
+    val dir = s"$base/zorder"
+    Layout.repartitionByZOrder(data,
+        Layout.zBucket(col("a"), 0L, 999L, bits),
+        Layout.zBucket(col("b"), 0L, 999L, bits), nFiles, bits)
+      .write.parquet(dir)
+    Layout.writeStatsTable(spark, dir, Seq("a", "b"))
+    val ranges = Seq(Layout.ColRange("b", 512, 543))
+
+    def executedFiles(df: DataFrame): Long = {
+      df.collect()
+      findScans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    def idsOf(df: DataFrame): Set[Long] =
+      df.select(col("id")).collect().map(_.getLong(0)).toSet
+
+    val footer = Layout.statsPrunedParquet(spark, dir, ranges)
+    val table = Layout.tableStatsPrunedParquet(spark, dir, ranges)
+    val expected = idsOf(
+      spark.read.parquet(dir).filter(col("b").between(512, 543)))
+    assert(idsOf(table) == expected && idsOf(footer) == expected,
+      "both planners must return the full-read result")
+    val fFiles = executedFiles(
+      Layout.statsPrunedParquet(spark, dir, ranges))
+    val tFiles = executedFiles(
+      Layout.tableStatsPrunedParquet(spark, dir, ranges))
+    info(s"executed-scan numFiles: footer=$fFiles table=$tFiles of $nFiles")
+    assert(tFiles == fFiles,
+      s"table-planned scan must open the footer pass's file set ($tFiles vs $fFiles)")
+    assert(tFiles <= nFiles / 2, "premise: the z-order layout prunes")
+
+    // the stats sidecar is hidden metadata: a plain read of the data dir
+    // must not pick it up
+    assert(spark.read.parquet(dir).count() == n)
+
+    // a file appended AFTER the stats write is kept unpruned (stale
+    // table degrades to a larger scan, never to missing rows)
+    import spark.implicits._
+    Seq((1000000L, 1L, 520L)).toDF("id", "a", "b")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val afterAppend = Layout.tableStatsPrunedParquet(spark, dir, ranges)
+    assert(idsOf(afterAppend).contains(1000000L),
+      "appended file unknown to the table must still be read")
+
+    // a range on a column the table never captured prunes nothing
+    val uncaptured = Layout.tableStatsPrunedParquet(spark, dir,
+      Seq(Layout.ColRange("id", 0, 50)))
+    assert(idsOf(uncaptured) == (0L to 50L).toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("zBucket is monotone and clamps to [0, 2^bits)") {
     import spark.implicits._
     val vals = Seq(-5L, 0L, 1L, 499L, 500L, 999L, 1200L).toDF("v")
