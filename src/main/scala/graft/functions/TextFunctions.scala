@@ -269,35 +269,91 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The RFC 3986 unreserved set (ALPHA / DIGIT / `-` / `.` / `_` /
+    * `~`) as (uppercase-hex escape → character) decode pairs — the
+    * percent-encodings §2.3 says MUST be decoded for equivalence
+    * (`%7E` ≡ `~`). Reserved/delimiter characters (`%2F`, `%3F`,
+    * `%26`, `%25`, …) are deliberately absent: decoding those would
+    * change where the URL parses. Shared with the oracle's generated
+    * replace chain. */
+  private[graft] val UnreservedDecodes: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(ch => (f"%%${ch.toInt}%02X", ch.toString))
+
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.1–2): fold the two
+    * hex digits after every `%` to uppercase (`%3f` → `%3F` — hex case
+    * never carries meaning), then decode the [[UnreservedDecodes]] set
+    * (`%7E` → `~`). Split-on-`%` + per-piece transform so only genuine
+    * escape positions are touched; a `%` followed by non-hex passes
+    * through untouched (invalid encodings stay as-is, deterministically).
+    * Safe to apply to a whole pre-parse URL: no unreserved character is
+    * a parse delimiter.
+    */
+  private[graft] def normalizePercent(c: Column): Column = {
+    val folded = bind(split(c, "%", -1)) { parts =>
+      concat(element_at(parts, 1),
+        array_join(transform(slice(parts, 2, 1000000), p =>
+          concat(lit("%"),
+            when(p.rlike("^[0-9a-fA-F]{2}"), upper(p.substr(lit(1), lit(2))))
+              .otherwise(p.substr(lit(1), lit(2))),
+            p.substr(lit(3), lit(1000000)))), ""))
+    }
+    UnreservedDecodes.foldLeft(folded) { case (acc, (e, v)) =>
+      replace(acc, lit(e), lit(v))
+    }
+  }
+
   /** URL canonicalization — the alias-collapse step every crawl dedup
     * runs before any content hash (the same page arrives as
     * `HTTP://WWW.Site.com:80/p?utm_source=x&b=2&a=1#frag` and
-    * `http://site.com/p?a=1&b=2`): lowercase the scheme and host (paths
-    * stay case-sensitive — URL semantics), strip a leading `www.` and a
-    * literal `:80` default port, drop the fragment, drop `utm_*`
+    * `http://site.com/p?a=1&b=2`): drop the fragment, normalize
+    * percent-encoding ([[normalizePercent]] — uppercase hex, decode
+    * unreserved), lowercase the scheme and host (paths stay
+    * case-sensitive — URL semantics), strip a leading `www.`, a
+    * trailing FQDN root dot (`example.com.` ≡ `example.com`) and the
+    * default `:80` port (non-default ports survive), drop `utm_*`
     * tracking parameters, and sort the surviving query parameters so
-    * param order can't fork the hash. Pure string/HOF expressions — the
-    * whole transform is one codegen'd projection, restated verbatim in
-    * the oracle's SQL, and IDEMPOTENT (spec'd): canonical input passes
-    * through unchanged.
+    * param order can't fork the hash. The QUERY is split off before the
+    * host/path split, so `http://site.com?a=1` (query, no path)
+    * canonicalizes like `http://site.com/?a=1` instead of leaking
+    * `?a=1` into the host. An empty path always renders as `/`
+    * (`http://a.com` ≡ `http://a.com/`). Pure string/HOF expressions —
+    * the whole transform is one codegen'd projection, restated verbatim
+    * in the oracle's SQL, and IDEMPOTENT (spec'd): canonical input
+    * passes through unchanged. (Bracketed IPv6 hosts are out of scope —
+    * the port split is on the first `:`.)
     */
   def canonicalizeUrl(url: Column): Column = bind(url) { u =>
-    bind(substring_index(u, "#", 1)) { noFrag =>
+    bind(normalizePercent(substring_index(u, "#", 1))) { noFrag =>
       bind(substring_index(noFrag, "://", 1)) { rawScheme =>
         // everything after "://" (scheme length is case-stable)
         bind(noFrag.substr(length(rawScheme) + lit(4), lit(1000000))) { hostPathQ =>
-          bind(substring_index(hostPathQ, "/", 1)) { hostPort =>
-            bind(hostPathQ.substr(length(hostPort) + lit(2), lit(1000000))) { pathQ =>
-              val host = regexp_replace(
-                regexp_replace(lower(hostPort), "^www\\.", ""), ":80$", "")
-              val path = substring_index(pathQ, "?", 1)
-              val query = when(instr(pathQ, "?") > 0,
-                pathQ.substr(length(path) + lit(2), lit(1000000))).otherwise(lit(""))
-              bind(array_sort(filter(split(query, "&"),
-                  p => !p.startsWith("utm_") && p =!= lit("")))) { params =>
-                concat(lower(rawScheme), lit("://"), host, lit("/"), path,
-                  when(size(params) > 0,
-                    concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
+          // query FIRST: '?' may precede any '/' when the path is empty
+          bind(substring_index(hostPathQ, "?", 1)) { hostPath =>
+            bind(when(instr(hostPathQ, "?") > 0,
+                hostPathQ.substr(length(hostPath) + lit(2), lit(1000000)))
+              .otherwise(lit(""))) { query =>
+              bind(substring_index(hostPath, "/", 1)) { hostPort =>
+                val path = when(instr(hostPath, "/") > 0,
+                  hostPath.substr(length(hostPort) + lit(2), lit(1000000)))
+                  .otherwise(lit(""))
+                val hostOut = bind(substring_index(hostPort, ":", 1)) { hname =>
+                  bind(when(instr(hostPort, ":") > 0,
+                      hostPort.substr(length(hname) + lit(2), lit(1000000)))
+                    .otherwise(lit(""))) { port =>
+                    concat(
+                      regexp_replace(regexp_replace(
+                        lower(hname), "^www\\.", ""), "\\.+$", ""),
+                      when(port === "" || port === "80", lit(""))
+                        .otherwise(concat(lit(":"), port)))
+                  }
+                }
+                bind(array_sort(filter(split(query, "&"),
+                    p => !p.startsWith("utm_") && p =!= lit("")))) { params =>
+                  concat(lower(rawScheme), lit("://"), hostOut, lit("/"), path,
+                    when(size(params) > 0,
+                      concat(lit("?"), array_join(params, "&"))).otherwise(lit("")))
+                }
               }
             }
           }

@@ -751,8 +751,16 @@ private[queries] trait TextQueries {
       lit("://"),
       when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
       col("source"), lit(".Example.COM"),
+      // FQDN root dot: example.com. ≡ example.com
+      when(col("doc_id") % 11 === 0, lit(".")).otherwise(lit("")),
       when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
-      lit("/Docs/"), (col("doc_id") % 100).cast("string"),
+      // empty path for one residue class (the '?'-before-any-'/' case);
+      // percent-encoding noise in the rest: %6f/%6F ≡ 'o' (unreserved
+      // decode + hex-case fold)
+      when(col("doc_id") % 9 === 0, lit(""))
+        .when(col("doc_id") % 13 === 0, concat(lit("/D%6fcs/"), (col("doc_id") % 100).cast("string")))
+        .when(col("doc_id") % 13 === 1, concat(lit("/D%6Fcs/"), (col("doc_id") % 100).cast("string")))
+        .otherwise(concat(lit("/Docs/"), (col("doc_id") % 100).cast("string"))),
       when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
         .when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
         .when(col("doc_id") % 4 === 2, lit("?b=2&a=1"))
@@ -1234,46 +1242,75 @@ private[queries] trait TextQueries {
         |SELECT doc_id, md5(extracted) AS text_md5,
         | CAST(length(extracted) AS BIGINT) AS n_chars
         |FROM x""".stripMargin,
-    // canonicalization replay: same op order (drop fragment → split
-    // scheme/host/path/query → lower scheme+host, strip ^www. and :80$
-    // → drop utm_*/empty params → sort → rejoin); paths stay
-    // case-sensitive on purpose
-    "q109_url_dedup" ->
-      """WITH raw AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
-        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
-        |  source || '.Example.COM' ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
-        |  '/Docs/' || CAST(doc_id % 100 AS VARCHAR) ||
-        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
-        |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
-        |        WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
-        | FROM documents),
-        |p1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw),
-        |p2 AS (SELECT doc_id, nofrag,
-        |  split_part(nofrag, '://', 1) AS scheme FROM p1),
-        |p3 AS (SELECT doc_id, scheme,
-        |  substr(nofrag, length(scheme) + 4) AS hostpathq FROM p2),
-        |p4 AS (SELECT doc_id, scheme, hostpathq,
-        |  split_part(hostpathq, '/', 1) AS hostport FROM p3),
-        |p5 AS (SELECT doc_id, scheme,
-        |  regexp_replace(regexp_replace(lower(hostport), '^www\.', ''), ':80$', '') AS host,
-        |  substr(hostpathq, length(hostport) + 2) AS pathq FROM p4),
-        |p6 AS (SELECT doc_id, scheme, host,
-        |  split_part(pathq, '?', 1) AS path,
-        |  CASE WHEN contains(pathq, '?')
-        |       THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
-        |       ELSE '' END AS query FROM p5),
-        |p7 AS (SELECT doc_id, lower(scheme) || '://' || host || '/' || path ||
-        |  CASE WHEN len(pp) > 0 THEN '?' || array_to_string(pp, '&') ELSE '' END
-        |    AS canonical_url
-        | FROM (SELECT doc_id, scheme, host, path,
-        |   list_sort(list_filter(string_split(query, '&'),
-        |     p -> NOT starts_with(p, 'utm_') AND p <> '')) AS pp FROM p6))
-        |SELECT canonical_url, COUNT(*) AS n_aliases,
-        | MIN(doc_id) AS first_doc_id
-        |FROM p7 GROUP BY canonical_url""".stripMargin,
+    // canonicalization replay: same op order (drop fragment →
+    // percent-normalize (hex-case fold + unreserved decode, the replace
+    // chain generated from the SAME table the engine folds over) →
+    // split scheme → split QUERY before host/path ('?' may precede any
+    // '/') → lower host, strip ^www., trailing root dots, default :80 —
+    // non-default ports survive → drop utm_*/empty params → sort →
+    // rejoin); paths stay case-sensitive on purpose
+    "q109_url_dedup" -> {
+      // uppercase-fold the two hex digits after each '%' (piece 1 of the
+      // split never follows a '%')
+      val foldSql = "array_to_string(list_transform(string_split(nofrag, '%'), " +
+        "(x, i) -> CASE WHEN i = 1 THEN x " +
+        "WHEN regexp_matches(x, '^[0-9a-fA-F]{2}') " +
+        "THEN '%' || upper(substr(x, 1, 2)) || substr(x, 3) " +
+        "ELSE '%' || x END), '')"
+      // decode the unreserved set — generated from the same table as
+      // the engine's replace chain, applied in the same order
+      val decodeSql = graft.functions.TextFunctions.UnreservedDecodes
+        .foldLeft(foldSql) { case (acc, (e, v)) =>
+          s"replace($acc, '$e', '$v')"
+        }
+      s"""WITH raw AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+         |  source || '.Example.COM' ||
+         |  (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 9 = 0 THEN ''
+         |        WHEN doc_id % 13 = 0 THEN '/D%6fcs/' || CAST(doc_id % 100 AS VARCHAR)
+         |        WHEN doc_id % 13 = 1 THEN '/D%6Fcs/' || CAST(doc_id % 100 AS VARCHAR)
+         |        ELSE '/Docs/' || CAST(doc_id % 100 AS VARCHAR) END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+         |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+         |        WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+         | FROM documents),
+         |p0 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw),
+         |p1 AS (SELECT doc_id, $decodeSql AS nofrag FROM p0),
+         |p2 AS (SELECT doc_id, nofrag,
+         |  split_part(nofrag, '://', 1) AS scheme FROM p1),
+         |p3 AS (SELECT doc_id, scheme,
+         |  substr(nofrag, length(scheme) + 4) AS hostpathq FROM p2),
+         |p4 AS (SELECT doc_id, scheme, hostpathq,
+         |  split_part(hostpathq, '?', 1) AS hostpath,
+         |  CASE WHEN contains(hostpathq, '?')
+         |       THEN substr(hostpathq, length(split_part(hostpathq, '?', 1)) + 2)
+         |       ELSE '' END AS query FROM p3),
+         |p5 AS (SELECT doc_id, scheme, query,
+         |  split_part(hostpath, '/', 1) AS hostport,
+         |  CASE WHEN contains(hostpath, '/')
+         |       THEN substr(hostpath, length(split_part(hostpath, '/', 1)) + 2)
+         |       ELSE '' END AS path FROM p4),
+         |p6 AS (SELECT doc_id, scheme, query, path,
+         |  regexp_replace(regexp_replace(
+         |    lower(split_part(hostport, ':', 1)), '^www\\.', ''), '\\.+$$', '') ||
+         |  CASE WHEN contains(hostport, ':')
+         |        AND substr(hostport, length(split_part(hostport, ':', 1)) + 2) NOT IN ('', '80')
+         |       THEN ':' || substr(hostport, length(split_part(hostport, ':', 1)) + 2)
+         |       ELSE '' END AS host FROM p5),
+         |p7 AS (SELECT doc_id, lower(scheme) || '://' || host || '/' || path ||
+         |  CASE WHEN len(pp) > 0 THEN '?' || array_to_string(pp, '&') ELSE '' END
+         |    AS canonical_url
+         | FROM (SELECT doc_id, scheme, host, path,
+         |   list_sort(list_filter(string_split(query, '&'),
+         |     p -> NOT starts_with(p, 'utm_') AND p <> '')) AS pp FROM p6))
+         |SELECT canonical_url, COUNT(*) AS n_aliases,
+         | MIN(doc_id) AS first_doc_id
+         |FROM p7 GROUP BY canonical_url""".stripMargin
+    },
     "q78_quantifiers" ->
       s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents)
          |SELECT lang, COUNT(*) AS n_docs,

@@ -39,13 +39,58 @@ class UrlCanonicalSpec extends AnyFunSuite with SparkTest {
     assert(canon("http://site.com") == Seq("http://site.com/"))
   }
 
+  test("query with no path does not leak into the host") {
+    // the '?' precedes any '/': the host split must stop at it
+    assert(canon("http://site.com?a=1") == Seq("http://site.com/?a=1"))
+    assert(canon("http://site.com?b=2&a=1") == Seq("http://site.com/?a=1&b=2"))
+    assert(canon("HTTP://WWW.Site.com:80?utm_source=x&a=1") ==
+      Seq("http://site.com/?a=1"))
+    // ... and the alias with an explicit '/' collapses to the same form
+    assert(canon("http://site.com/?a=1") == Seq("http://site.com/?a=1"))
+  }
+
+  test("percent-encoding: unreserved decodes, hex case folds, reserved survives") {
+    // %7E is unreserved (RFC 3986 §2.3) — always decoded
+    assert(canon("http://site.com/%7Euser") == Seq("http://site.com/~user"))
+    assert(canon("http://site.com/%7euser") == Seq("http://site.com/~user"))
+    // letters/digits decode too: %6F = o, %41 = A (case-sensitive!)
+    assert(canon("http://site.com/D%6fcs") == Seq("http://site.com/Docs"))
+    assert(canon("http://site.com/%41bc") == Seq("http://site.com/Abc"))
+    // reserved escapes are NOT decoded (decoding %2F would change the
+    // path structure) — but their hex case folds to uppercase
+    assert(canon("http://site.com/a%2fb") == Seq("http://site.com/a%2Fb"))
+    assert(canon("http://site.com/p?q=1%3a2") == Seq("http://site.com/p?q=1%3A2"))
+    // '%' followed by non-hex passes through untouched
+    assert(canon("http://site.com/100%zz") == Seq("http://site.com/100%zz"))
+    assert(canon("http://site.com/100%") == Seq("http://site.com/100%"))
+    // %25 (the escape of '%' itself) survives and cannot cascade
+    assert(canon("http://site.com/a%2541") == Seq("http://site.com/a%2541"))
+    // percent noise in the HOST collapses aliases the same way
+    assert(canon("http://s%69te.com/p") == Seq("http://site.com/p"))
+  }
+
+  test("host trailing root dot strips; inner dots and non-default ports survive") {
+    assert(canon("http://example.com./p") == Seq("http://example.com/p"))
+    assert(canon("http://example.com.") == Seq("http://example.com/"))
+    assert(canon("http://WWW.example.com.:80/p") == Seq("http://example.com/p"))
+    // trailing dot with a NON-default port: dot strips, port stays
+    assert(canon("http://example.com.:8080/p") == Seq("http://example.com:8080/p"))
+    // a bare trailing colon (empty port) drops
+    assert(canon("http://example.com:/p") == Seq("http://example.com/p"))
+    // inner dots are structure, never stripped
+    assert(canon("http://a.b.example.com/p") == Seq("http://a.b.example.com/p"))
+  }
+
   test("idempotent: canonical output is a fixed point") {
     import spark.implicits._
     val inputs = Seq(
       "HTTP://WWW.A.com:80/P?utm_x=1&b=2&a=1#f",
       "https://b.org/x/y?z=1",
       "http://site.com/p",
-      "http://site.com")
+      "http://site.com",
+      "http://site.com?a=1",
+      "http://example.com./%7Euser%2Fx?b=%3a1",
+      "http://e.com.:8080/100%zz")
     val once = inputs.toDF("u")
       .select(TextFunctions.canonicalizeUrl(col("u")).as("c"))
     val twice = once.select(TextFunctions.canonicalizeUrl(col("c")))
@@ -77,12 +122,16 @@ class UrlCanonicalSpec extends AnyFunSuite with SparkTest {
       val scheme = if (next(2) == 0) "http" else "HTTP"
       val www = Seq("", "www.", "WWW.")(next(3))
       val hostCase = if (next(2) == 0) host else host.toUpperCase
+      val rootDot = if (next(2) == 0) "" else "."
       val port = if (next(2) == 0) "" else ":80"
+      // percent noise on a fixed path suffix: ~q ≡ %7Eq ≡ %7eq
+      // (unreserved decode + hex-case fold)
+      val suffix = Seq("~q", "%7Eq", "%7eq")(next(3))
       val shuffled = if (next(2) == 0) params else params.reverse
       val utm = if (next(2) == 0) Seq.empty else Seq(s"utm_c=${next(9)}")
       val q = (utm ++ shuffled).mkString("&")
       val frag = if (next(2) == 0) "" else s"#s${next(9)}"
-      val url = s"$scheme://$www$hostCase$port/$path" +
+      val url = s"$scheme://$www$hostCase$rootDot$port/$path$suffix" +
         (if (q.nonEmpty) s"?$q" else "") + frag
       (ident.toLong, url)
     }
