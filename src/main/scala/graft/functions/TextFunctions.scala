@@ -262,12 +262,65 @@ object TextFunctions {
     val noBlocks = regexp_replace(
       regexp_replace(html, "(?s)<script.*?</script>", " "),
       "(?s)<style.*?</style>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // comments BEFORE the generic tag strip: a comment containing '>'
+    // (<!-- a > b -->) would otherwise be cut short by <[^>]*>, leaking
+    // "b -->" into the text; after script/style so commented-looking
+    // text inside code blocks is already gone with its block
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    // numeric references decode after tags (so &#60; can never be
+    // re-stripped) and BEFORE named entities (so &amp;#65; decodes its
+    // &amp; to yield the literal '&#65;', never 'A')
+    val numDecoded = decodeNumericRefs(noTags)
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+        "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&",
+        // the ampersand's own numeric forms decode in the SAME final
+        // stage as &amp; (excluded from the numeric pass so &#38;lt;
+        // yields the literal '&lt;', mirroring &amp;lt;)
+        "&#38;" -> "&", "&#x26;" -> "&", "&#X26;" -> "&")
+      .foldLeft(numDecoded) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Decode numeric character references — `&#NN;` (decimal) and
+    * `&#xHH;`/`&#XHH;` (hex) — for code points in the printable-ASCII
+    * range [32, 126], where Spark's mod-256 `chr` and DuckDB's Unicode
+    * `chr` agree bit-for-bit (the cross-engine determinism boundary:
+    * refs outside the range, e.g. `&#8217;`, pass through intact).
+    * Code point 38 (`&`) is deliberately excluded — it decodes in
+    * [[extractHtmlText]]'s final stage alongside `&amp;`, preserving
+    * single-decode semantics for forms like `&#38;lt;`. Split-on-`&#`
+    * + per-piece transform, so only genuine reference positions are
+    * touched; malformed refs (`&#zz;`, unterminated digits) stay as-is.
+    */
+  private[graft] def decodeNumericRefs(c: Column): Column =
+    bind(split(c, "&#", -1)) { parts =>
+      concat(element_at(parts, 1),
+        array_join(transform(slice(parts, 2, 1000000), p => {
+          val dec = regexp_extract(p, "^([0-9]{1,7});", 1)
+          val hexd = regexp_extract(p, "^[xX]([0-9a-fA-F]{1,6});", 1)
+          val intact = concat(lit("&#"), p)
+          bind(dec) { d =>
+            bind(hexd) { h =>
+              when(d =!= "",
+                bind(d.cast("int")) { n =>
+                  when(n.between(32, 126) && n =!= 38,
+                    concat(char(n),
+                      p.substr(length(d) + lit(2), lit(1000000))))
+                    .otherwise(intact)
+                })
+                .when(h =!= "",
+                  bind(conv(h, 16, 10).cast("int")) { n =>
+                    when(n.between(32, 126) && n =!= 38,
+                      concat(char(n),
+                        p.substr(length(h) + lit(3), lit(1000000))))
+                      .otherwise(intact)
+                  })
+                .otherwise(intact)
+            }
+          }
+        }), ""))
+    }
 
   /** The RFC 3986 unreserved set (ALPHA / DIGIT / `-` / `.` / `_` /
     * `~`) as (uppercase-hex escape → character) decode pairs — the

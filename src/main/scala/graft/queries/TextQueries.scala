@@ -785,9 +785,14 @@ private[queries] trait TextQueries {
       lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
       lit("<style>p { color: red; }</style>"),
       lit("<script>var x = 1 < 2;</script></head>"),
-      lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+      lit("<!-- hidden a > b comment --><body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
       col("text"),
-      lit("</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p></body></html>"))
+      lit("</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p>"),
+      // numeric-reference gauntlet: decimal + hex decode (&#65;=A,
+      // &#x42;=B, &#x7a;=z), excluded ampersand (&#38;lt; → literal
+      // &lt;), out-of-ASCII refs pass through intact, double-encoded
+      // &amp;#65; stays single-decoded
+      lit("<p>&#65;&#x42;&#x7a; n &#38;lt; a &#8217; u &#x1F600; e &amp;#65; d 100%zz</p></body></html>"))
     Tables.documents(s, dir)
       .select(col("doc_id"),
         TextFunctions.extractHtmlText(html).as("extracted"))
@@ -1216,32 +1221,61 @@ private[queries] trait TextQueries {
          |WHERE rank <= 10""".stripMargin
     },
     // extraction replay: identical pipeline order (script/style blocks
-    // dotall-non-greedy → tags → entities with &amp; last → whitespace
-    // collapse → trim) over the same synthesized HTML; md5 of the
-    // extracted text is the contract
-    "q111_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || doc_id || '</title>' ||
-        |  '<style>p { color: red; }</style>' ||
-        |  '<script>var x = 1 < 2;</script></head>' ||
-        |  '<body><h1>Doc ' || doc_id || '</h1><p>' || text ||
-        |  '</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p></body></html>'
-        |    AS html
-        | FROM documents),
-        |x AS (SELECT doc_id, trim(regexp_replace(
-        |  replace(replace(replace(replace(replace(replace(
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'),
-        |        '(?s)<style.*?</style>', ' ', 'g'),
-        |      '<[^>]*>', ' ', 'g'),
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |  '\s+', ' ', 'g')) AS extracted
-        | FROM h)
-        |SELECT doc_id, md5(extracted) AS text_md5,
-        | CAST(length(extracted) AS BIGINT) AS n_chars
-        |FROM x""".stripMargin,
+    // dotall-non-greedy → comments → tags → numeric refs ([32,126]
+    // minus 38, the same split-transform decode) → entities with &amp;
+    // and the ampersand's numeric forms last → whitespace collapse →
+    // trim) over the same synthesized HTML; md5 of the extracted text
+    // is the contract
+    "q111_html_extract" -> {
+      // numeric character reference decode over a tag-free string: one
+      // piece per '&#' occurrence; the piece decodes iff it starts with
+      // a valid terminated reference whose code point is printable
+      // ASCII and not '&' (38). Spark parses hex via conv(h,16,10),
+      // DuckDB via CAST('0x'||h) — identical on the regex-validated set.
+      val decNum = "CAST(regexp_extract(pc, '^([0-9]{1,7});', 1) AS INTEGER)"
+      val decStr = "regexp_extract(pc, '^([0-9]{1,7});', 1)"
+      val hexNum = "CAST('0x' || regexp_extract(pc, '^[xX]([0-9a-fA-F]{1,6});', 1) AS INTEGER)"
+      val hexStr = "regexp_extract(pc, '^[xX]([0-9a-fA-F]{1,6});', 1)"
+      val numDecode = (inner: String) =>
+        s"""array_to_string(list_transform(string_split($inner, '&#'), (pc, i) ->
+           |  CASE WHEN i = 1 THEN pc
+           |   WHEN regexp_matches(pc, '^[0-9]{1,7};')
+           |        AND $decNum BETWEEN 32 AND 126 AND $decNum <> 38
+           |     THEN chr($decNum) || substr(pc, length($decStr) + 2)
+           |   WHEN regexp_matches(pc, '^[xX][0-9a-fA-F]{1,6};')
+           |        AND $hexNum BETWEEN 32 AND 126 AND $hexNum <> 38
+           |     THEN chr($hexNum) || substr(pc, length($hexStr) + 3)
+           |   ELSE '&#' || pc END), '')""".stripMargin
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || doc_id || '</title>' ||
+         |  '<style>p { color: red; }</style>' ||
+         |  '<script>var x = 1 < 2;</script></head>' ||
+         |  '<!-- hidden a > b comment --><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+         |  '</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &quot;q&quot; &apos;a&apos;&nbsp;end</p>' ||
+         |  '<p>&#65;&#x42;&#x7a; n &#38;lt; a &#8217; u &#x1F600; e &amp;#65; d 100%zz</p></body></html>'
+         |    AS html
+         | FROM documents),
+         |t AS (SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'),
+         |        '(?s)<style.*?</style>', ' ', 'g'),
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |    '<[^>]*>', ' ', 'g') AS notags
+         | FROM h),
+         |x AS (SELECT doc_id, trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(replace(replace(replace(
+         |    ${numDecode("notags")},
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |    '&#38;', '&'), '&#x26;', '&'), '&#X26;', '&'),
+         |  '\\s+', ' ', 'g')) AS extracted
+         | FROM t)
+         |SELECT doc_id, md5(extracted) AS text_md5,
+         | CAST(length(extracted) AS BIGINT) AS n_chars
+         |FROM x""".stripMargin
+    },
     // canonicalization replay: same op order (drop fragment →
     // percent-normalize (hex-case fold + unreserved decode, the replace
     // chain generated from the SAME table the engine folds over) →
