@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Vector-validity guard for INDEX builds (k-means, PQ codebooks,
+    * encode): non-null, exactly `dim` elements, every element non-null
+    * and FINITE. NaN/Inf elements poison centroids and codebooks (one
+    * NaN mean corrupts a whole cell), so builds drop such rows; the
+    * exact legs still score them (to NaN cosines, which sort into
+    * shortlists) and consumers guard there (mmrTopK's best<0 stop).
+    */
+  private def wellFormedVec(v: Column, dim: Int): Column =
+    v.isNotNull && size(v) === dim &&
+      !exists(v, x => x.isNull || isnan(x.cast("double")) ||
+        abs(x.cast("double")) === Double.PositiveInfinity)
+
   /** Exact top-k neighbors per query by cosine. Ties broken by neighbor id
     * so results are fully deterministic.
     */
@@ -497,8 +509,7 @@ object Similarity {
     require(books.forall(_.length == kPer), "codebooks must share one size")
     val booksLit = array(books.map(b =>
       array(b.map(c => array(c.map(lit): _*)): _*)): _*)
-    val valid = corpus.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === dim && !exists(col("embedding"), _.isNull))
+    val valid = corpus.filter(wellFormedVec(col("embedding"), dim))
     import graft.functions.TextFunctions.bind
     // argmin_c ||x_s − c||² = argmax_c (x_s·c − ||c||²/2): appending a
     // constant 1.0 coordinate to the subvector and −||c||²/2 to each
@@ -556,8 +567,7 @@ object Similarity {
                        kPerSub: Int, iterations: Int = 5): Array[Array[Array[Double]]] = {
     require(nSub > 0 && dim % nSub == 0 && kPerSub > 0 && iterations > 0)
     val sub = dim / nSub
-    val valid = corpus.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === dim && !exists(col("embedding"), _.isNull))
+    val valid = corpus.filter(wellFormedVec(col("embedding"), dim))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("_e"))
     val seeds = valid.orderBy(col("vec_id")).limit(kPerSub).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -643,14 +653,18 @@ object Similarity {
     * proportional to the corpus ever reaches the driver or shuffles —
     * per iteration the wire carries k·dim·partitions partial sums.
     *
-    * Deterministic: seeds are the k lowest-id vectors, ties in the
-    * argmax break to the lowest cell id, and empty cells keep their
-    * previous centroid. (Like any floating-point k-means, assignments of
-    * points equidistant to ulps may differ across partitionings — the
-    * callers' clusters should be separated, which is what a coarse
-    * quantizer assumes anyway.)
+    * Deterministic: seeds are the k lowest-id vectors with
+    * near-duplicate directions skipped (see the seeding comment), ties
+    * in the argmax break to the lowest cell id, and empty cells keep
+    * their previous centroid. (Like any floating-point k-means,
+    * assignments of points equidistant to ulps may differ across
+    * partitionings — the callers' clusters should be separated, which
+    * is what a coarse quantizer assumes anyway.)
     *
     * Returns (assignments: (idCol, cell), centroids: cell → vector).
+    * The centroid array may be SHORTER than k when the corpus holds
+    * fewer than k distinct directions — callers size probe counts from
+    * `centroids.length`.
     */
   /** Map-side cell assignment against driver-held centroids: argmax of
     * dot(v, centroid), ties to the lowest cell id. Centroids enter the
@@ -675,19 +689,44 @@ object Similarity {
       dim: Int,
       iterations: Int): (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iterations > 0)
-    // drop malformed vectors (null, wrong length, null element) BEFORE
-    // normalizing — the same guard centroidVectors applies: one dirty
-    // row would otherwise surface as a null cell in the update collect
-    // (NPE on r.getInt) or a poisoned seed centroid
+    // drop malformed vectors (null, wrong length, null/non-finite
+    // element) BEFORE normalizing: one dirty row would otherwise
+    // surface as a null cell in the update collect (NPE on r.getInt —
+    // cellArgmax over all-NaN dots yields null) or a poisoned seed
+    // centroid
     val normalized = corpus
-      .filter(col(vecCol).isNotNull &&
-        size(col(vecCol)) === dim &&
-        !exists(col(vecCol), _.isNull))
+      .filter(wellFormedVec(col(vecCol), dim))
       .select(col(idCol), VectorFunctions.normalize(col(vecCol)).as("_v"))
-    var centroids: Array[Array[Double]] = normalized
-      .orderBy(col(idCol)).limit(k).collect()
+    // seeds: the k lowest-id vectors, SKIPPING near-duplicate
+    // directions (cosine > 0.9999 to an already-kept seed, scanned over
+    // a 4k id-ordered oversample). Duplicate seeds are provably wasted
+    // cells — two identical centroids fragment one near-dup family
+    // across arbitrary cells (ties to the lowest), starve coverage
+    // elsewhere, and turn the probe ranking into copies of one
+    // direction (a measured recall cliff on planted-family corpora).
+    // When the data holds fewer distinct directions than k, the
+    // quantizer is exactly as large as the data supports (centroids
+    // may come back SHORTER than k — callers size probes from
+    // centroids.length). Deterministic: id order, strict-greater skip.
+    val sampleSize = math.max(4 * k, 256)
+    val sample = normalized.orderBy(col(idCol)).limit(sampleSize).collect()
       .map(_.getSeq[Double](1).toArray)
-    require(centroids.length == k, s"corpus has fewer than $k vectors")
+    require(sample.length >= k, s"corpus has fewer than $k vectors")
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var centroids: Array[Array[Double]] = {
+      val seeds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var i = 0
+      while (i < sample.length && seeds.length < k) {
+        val v = sample(i)
+        if (!seeds.exists(s => dotv(s, v) > 0.9999)) seeds += v
+        i += 1
+      }
+      seeds.toArray
+    }
 
     def assignExpr: Column = assignCells(col("_v"), centroids).as("cell")
 
@@ -850,8 +889,7 @@ object Similarity {
       // same validity guard pqEncodeWith applies, BEFORE the argmax
       // (cellArgmax must never see a malformed vector)
       val res = corpus
-        .filter(col("embedding").isNotNull && size(col("embedding")) === dim &&
-          !exists(col("embedding"), _.isNull))
+        .filter(wellFormedVec(col("embedding"), dim))
         .select(col("vec_id"),
         bind(VectorFunctions.normalize(col("embedding"))) { u =>
           bind(org.apache.spark.sql.graft.VectorExpressions.cellArgmax(u, centLit)) { cell =>
@@ -947,6 +985,31 @@ object Similarity {
       candidates, nProbesOverride, residual)
   }
 
+  /** The IVF-PQ shortlist leg for retrieval COMPOSITIONS ([[mmrTopK]],
+    * hybrid retrieval): same (query_id, neighbor_id, rank, cosine)
+    * contract as [[bruteForceTopK]] — exact re-ranked cosines over an
+    * ANN-selected id set — so downstream fusion/greedy stages are
+    * arithmetic-identical and only the SHORTLIST membership can differ
+    * (by 1 − recall, gated in the planted specs). This is the
+    * production default at corpus scale: the brute leg scans 100% of
+    * the corpus per query batch, this leg touches nProbes/nCells of it
+    * (n^(-1/4) at auto dials). Dials adapt so the leg stays total on
+    * small inputs: nSub = largest divisor of dim ≤ 16 (subvectors must
+    * tile the dimension), kPerSub ≤ n (codebooks can't have more
+    * entries than vectors), candidates = max(100, 2·shortlistSize).
+    * The index is rebuilt per call — a serving deployment builds
+    * [[ivfPqIndex]] once and closes over it with the same signature.
+    */
+  val annShortlist: (DataFrame, DataFrame, Int) => DataFrame =
+    (queries, corpus, shortlistSize) => {
+      val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+      val n = corpus.count()
+      val nSub = (math.min(16, dim) to 1 by -1).find(dim % _ == 0).get
+      val kPerSub = math.min(64L, n).toInt
+      ivfPqTopK(queries, corpus, shortlistSize, dim, nSub, kPerSub,
+        candidates = math.max(100, 2 * shortlistSize))
+    }
+
   /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein,
     * SIGIR'98): greedily pick k of a relevance shortlist, each pick
     * maximizing λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s) — the
@@ -956,22 +1019,30 @@ object Similarity {
     * wins, exact score ties break to the lower id; sim and rel are
     * cosines on unit vectors.
     *
-    * Scale shape: the only corpus-sized work is the shortlist
-    * ([[bruteForceTopK]] here — any ANN family member substitutes); the
-    * greedy loop is inherently sequential per query but runs over ≤
-    * `shortlistSize` rows INSIDE one `flatMapGroups` group (bounded
-    * per-group state, the Sessionize rule), so queries parallelize and
-    * nothing quadratic-in-corpus exists. Output (query_id, vec_id,
-    * mmr_rank); scores are intentionally not emitted — their exact
-    * doubles are engine-private, only the ORDER is the contract
-    * (q23/q24 precedent).
+    * Scale shape: the only corpus-sized work is the shortlist — a
+    * PLUGGABLE leg defaulting to [[annShortlist]] (IVF-PQ: per-query
+    * work n^(-1/4) of the corpus at auto dials); q110's oracle twin
+    * passes [[bruteForceTopK]] explicitly (exact, SQL-replayable, scans
+    * 100%). Any leg honoring the (query_id, neighbor_id, rank, cosine)
+    * exact-cosine contract substitutes — the greedy arithmetic below is
+    * IDENTICAL either way, only shortlist membership differs (by
+    * 1 − recall, gated in MmrSpec's planted test). The greedy loop is
+    * inherently sequential per query but runs over ≤ `shortlistSize`
+    * rows INSIDE one `flatMapGroups` group (bounded per-group state,
+    * the Sessionize rule), so queries parallelize and nothing
+    * quadratic-in-corpus exists. Output (query_id, vec_id, mmr_rank);
+    * scores are intentionally not emitted — their exact doubles are
+    * engine-private, only the ORDER is the contract (q23/q24
+    * precedent).
     */
   def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              shortlistSize: Int = 20, lambdaRel: Double = 0.7): DataFrame = {
+              shortlistSize: Int = 20, lambdaRel: Double = 0.7,
+              shortlist: (DataFrame, DataFrame, Int) => DataFrame = annShortlist)
+      : DataFrame = {
     require(k > 0 && shortlistSize >= k && lambdaRel >= 0 && lambdaRel <= 1)
     val spark = queries.sparkSession
     import spark.implicits._
-    val short = bruteForceTopK(queries, corpus, shortlistSize)
+    val short = shortlist(queries, corpus, shortlistSize)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val cvec = corpus.select(col("vec_id").as("neighbor_id"),
       VectorFunctions.normalize(col("embedding")).as("v"))

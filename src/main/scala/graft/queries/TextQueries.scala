@@ -676,7 +676,7 @@ private[queries] trait TextQueries {
 
   /** The embedded BM25 query set — shared between the Spark form and the
     * oracle's VALUES literal. */
-  private[queries] val Bm25Queries: Seq[(Long, String)] = Seq(
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
     (1L, "spark"), (1L, "stream"), (1L, "join"),
     (2L, "fast"), (2L, "table"), (2L, "scan"),
     (3L, "vector"), (3L, "hash"), (3L, "window"))
@@ -706,18 +706,30 @@ private[queries] trait TextQueries {
     val queryVecs = emb.filter(col("vec_id").isin(1L, 2L, 3L))
       .select(col("vec_id").as("query_id"), col("embedding"))
     val queryTerms = s.createDataFrame(Bm25Queries).toDF("query_id", "t")
-    hybridTopK(queryVecs, queryTerms, corpus, k = 10, shortlistSize = 50)
+    // the brute shortlist leg keeps q107 exactly SQL-replayable (the
+    // oracle's CTE is the 100%-scan cosine top-50); the ANN default is
+    // the production path, gated by HybridRetrievalSpec's planted test
+    hybridTopK(queryVecs, queryTerms, corpus, k = 10, shortlistSize = 50,
+      shortlist = Similarity.bruteForceTopK)
   }
 
   /** The composable core of [[hybridRetrieval]] over arbitrary inputs:
     * `queryVecs` (query_id, embedding), `queryTerms` (query_id, t),
     * `corpus` (doc_id, text, embedding). Output (query_id, doc_id,
     * rank, score): rank 1..k per query, score = exact BM25 (0.0 for
-    * shortlist docs matching no term). */
+    * shortlist docs matching no term). The shortlist leg is PLUGGABLE,
+    * defaulting to [[Similarity.annShortlist]] (IVF-PQ — the 100 TB
+    * path: per-query work n^(-1/4) of the corpus); q107's oracle twin
+    * passes [[Similarity.bruteForceTopK]] explicitly. Both emit exact
+    * re-ranked cosines, so the BM25 fusion arithmetic is identical —
+    * only shortlist membership can differ (by 1 − recall, gated in
+    * HybridRetrievalSpec's planted test over the ANN leg). */
   private[graft] def hybridTopK(queryVecs: DataFrame, queryTerms: DataFrame,
                                 corpus: DataFrame, k: Int,
-                                shortlistSize: Int): DataFrame = {
-    val ann = Similarity.bruteForceTopK(queryVecs,
+                                shortlistSize: Int,
+                                shortlist: (DataFrame, DataFrame, Int) => DataFrame =
+                                  Similarity.annShortlist): DataFrame = {
+    val ann = shortlist(queryVecs,
         corpus.select(col("doc_id").as("vec_id"), col("embedding")), shortlistSize)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
     val lex = bm25Scores(corpus.select(col("doc_id"), col("text")), queryTerms)

@@ -203,7 +203,12 @@ private[queries] trait VectorQueries {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    graft.operators.Similarity.mmrTopK(queries, emb, k = 5, shortlistSize = 20)
+    // brute shortlist leg: q110 is the exact SQL-replayable twin (the
+    // recursive-CTE oracle walks the 100%-scan top-20); the ANN default
+    // (Similarity.annShortlist) is the production path, gated by
+    // MmrSpec's planted test
+    graft.operators.Similarity.mmrTopK(queries, emb, k = 5, shortlistSize = 20,
+      shortlist = graft.operators.Similarity.bruteForceTopK)
   }
 
   /** Audio modality (q108): document bytes wrapped into deterministic

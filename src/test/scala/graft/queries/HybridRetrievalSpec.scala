@@ -77,9 +77,12 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkTest {
         s"plant broken: pure ANN should surface the distractor for query $q")
     }
     // the hybrid: shortlist of 3 admits {D, R, N} (spam's cosine 0
-    // loses to every same-query doc), BM25 re-rank lifts R to #1
+    // loses to every same-query doc), BM25 re-rank lifts R to #1 —
+    // brute leg here (the exact q107 twin); the ANN leg has its own
+    // planted gate below over a corpus big enough to route
     val hybrid = QueryPack.hybridTopK(queryVecs, queryTerms, corpus,
-      k = 3, shortlistSize = 3).collect()
+      k = 3, shortlistSize = 3,
+      shortlist = graft.operators.Similarity.bruteForceTopK).collect()
     val top1 = hybrid.filter(_.getInt(2) == 1)
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recall = (1L to 3L).count(q => top1.get(q).contains(q * 10 + 2)) / 3.0
@@ -97,6 +100,33 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkTest {
       assert(ranks(2) == q * 10 + 1 && ranks(3) == q * 10 + 3,
         s"zero-score docs must keep cosine order for query $q: $ranks")
     }
+  }
+
+  test("ANN (IVF-PQ) shortlist leg: planted relevant doc survives the probe stage") {
+    import spark.implicits._
+    // same planted geometry, padded to 200 docs so the IVF index has
+    // real cells to route through (the 12-doc plant alone would make
+    // every probe exhaustive); pads are orthogonal to all three query
+    // directions and term-free, so they can displace the plant ONLY if
+    // the probe stage loses it — which is exactly what the gate checks.
+    // Recall floor: planted relevant@1 = 1.0 over the ANN leg.
+    val pads = (0 until 188).map { i =>
+      val v = Array(0.0, 0.0, 0.0, 1.0)
+      (2000L + i, "padding filler", v.toSeq)
+    }.toDF("doc_id", "text", "embedding")
+    val bigCorpus = corpus.unionByName(pads)
+    val hybrid = QueryPack.hybridTopK(queryVecs, queryTerms, bigCorpus,
+      k = 3, shortlistSize = 3).collect()
+    val top1 = hybrid.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = (1L to 3L).count(q => top1.get(q).contains(q * 10 + 2)) / 3.0
+    info(f"planted relevant@1 recall over the ANN shortlist: $recall%.2f")
+    assert(recall >= 1.0,
+      s"ANN-shortlisted hybrid must still rank the planted doc first, got $top1")
+    // the keyword-stuffed spam doc shares the pads' direction — the
+    // semantic gate must still exclude it
+    assert(!hybrid.exists(_.getLong(1) % 10 == 4),
+      "spam outside the ANN shortlist must never appear")
   }
 
   test("q107 on the test corpus: full ranked output, shortlist bound respected") {
