@@ -681,13 +681,52 @@ object Similarity {
     org.apache.spark.sql.graft.VectorExpressions.cellArgmax(
       v, typedlit(centroids.map(_.toSeq).toSeq))
 
+  /** Estimated serialized bytes of the centroid matrix as a PLAN
+    * LITERAL: 16 B per double — measured 14 B/element Java-serializing
+    * the nested-Seq Literal (boxed Doubles + per-row array objects;
+    * 447 cells × dim 64 = 408 KB for 229 KB of raw doubles), rounded up
+    * to err toward the broadcast route. The literal is re-embedded in
+    * EVERY stage that assigns cells and deserialized per task, which is
+    * what the budget bounds. */
+  def centroidLiteralBytes(nCells: Int, dim: Int): Long =
+    nCells.toLong * dim * 16L
+
+  /** Literal budget above which centroid routing moves from a plan
+    * literal to a broadcast variable: 1 MiB keeps the sf10-scale build
+    * (447 cells × dim 64 ≈ 0.44 MiB estimated) on the zero-machinery
+    * literal and flips the 2M-vector auto build (√2M ≈ 1414 cells ≈
+    * 1.4 MiB) to broadcast — the boundary SCALING.md's literal-bytes
+    * paragraph named. */
+  val DefaultPlanLiteralBudgetBytes: Long = 1L << 20
+
+  /** [[assignCells]] with the literal-vs-broadcast route decided by the
+    * estimated literal bytes: under `budgetBytes` the matrix enters the
+    * plan as one literal (zero extra machinery, the k ≈ √n default for
+    * corpora into the hundreds of thousands); past it the matrix ships
+    * as a Spark broadcast — bytes once per EXECUTOR instead of a
+    * multi-MiB task binary deserialized per task. Scoring is
+    * bit-identical either way (spec'd in BroadcastRoutingSpec).
+    */
+  def assignCellsAuto(v: Column, centroids: Array[Array[Double]],
+                      sc: org.apache.spark.SparkContext,
+                      budgetBytes: Long = DefaultPlanLiteralBudgetBytes): Column = {
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    if (centroidLiteralBytes(centroids.length, dim) <= budgetBytes)
+      assignCells(v, centroids)
+    else
+      org.apache.spark.sql.graft.VectorExpressions.cellArgmaxBroadcast(
+        v, sc.broadcast(centroids))
+  }
+
   def kMeans(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       dim: Int,
-      iterations: Int): (DataFrame, Array[Array[Double]]) = {
+      iterations: Int,
+      planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes)
+      : (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iterations > 0)
     // drop malformed vectors (null, wrong length, null/non-finite
     // element) BEFORE normalizing: one dirty row would otherwise
@@ -728,7 +767,8 @@ object Similarity {
       seeds.toArray
     }
 
-    def assignExpr: Column = assignCells(col("_v"), centroids).as("cell")
+    def assignExpr: Column = assignCellsAuto(col("_v"), centroids,
+      corpus.sparkSession.sparkContext, planLiteralBudgetBytes).as("cell")
 
     var it = 0
     while (it < iterations) {
@@ -824,13 +864,17 @@ object Similarity {
     * centroids from plan literals to a broadcast table).
     */
   def ivfTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-                  iterations: Int = 5, nProbesOverride: Int = 0): DataFrame = {
+                  iterations: Int = 5, nProbesOverride: Int = 0,
+                  planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes)
+      : DataFrame = {
     val nCells = cellsForCorpus(corpus.count())
+    val (_, centroids) = kMeans(corpus, "vec_id", "embedding", nCells, dim,
+      iterations, planLiteralBudgetBytes)
     val nProbes =
-      if (nProbesOverride > 0) nProbesOverride else probesForCells(nCells)
-    val (_, centroids) = kMeans(corpus, "vec_id", "embedding", nCells, dim, iterations)
+      if (nProbesOverride > 0) nProbesOverride else probesForCells(centroids.length)
     val relabeled = corpus.select(col("vec_id"), col("embedding"),
-      assignCells(VectorFunctions.normalize(col("embedding")), centroids).as("label"))
+      assignCellsAuto(VectorFunctions.normalize(col("embedding")), centroids,
+        corpus.sparkSession.sparkContext, planLiteralBudgetBytes).as("label"))
     // hand ivfTopK the spherical centroids the cells were built around
     // (skips a full-corpus re-aggregate and keeps probe geometry
     // aligned with the quantizer)
@@ -862,15 +906,19 @@ object Similarity {
   def ivfPqIndex(corpus: DataFrame, dim: Int, nSub: Int = 16,
                  kPerSub: Int = 64, iterations: Int = 5,
                  nCellsOverride: Int = 0,
-                 residual: Boolean = false)
+                 residual: Boolean = false,
+                 planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes)
       : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val nCells =
       if (nCellsOverride > 0) nCellsOverride else cellsForCorpus(corpus.count())
-    val (_, centroids) = kMeans(corpus, "vec_id", "embedding", nCells, dim, iterations)
+    val (_, centroids) = kMeans(corpus, "vec_id", "embedding", nCells, dim,
+      iterations, planLiteralBudgetBytes)
+    val sc = corpus.sparkSession.sparkContext
     if (!residual) {
       val books = pqTrainCodebooks(corpus, dim, nSub, kPerSub, iterations)
       val index = pqEncodeWith(corpus, dim, books).select(
-        assignCells(VectorFunctions.normalize(col("embedding")), centroids).as("cell"),
+        assignCellsAuto(VectorFunctions.normalize(col("embedding")), centroids,
+          sc, planLiteralBudgetBytes).as("cell"),
         col("vec_id").as("neighbor_id"),
         col("codes"))
       (index, centroids, books)
@@ -883,7 +931,11 @@ object Similarity {
       // recall lift at IDENTICAL index bytes (A/B'd in IvfPqSpec and
       // the IvfPqTune decade rows). Same map-side shape: cell + residual
       // are one projection against the centroid literal; the CELL comes
-      // from the original unit vector, codes from the residual.
+      // from the original unit vector, codes from the residual. The
+      // argmax honors the literal budget (broadcast past it); the
+      // SUBTRACTION's element_at lookup stays a literal — residual is
+      // the A/B'd non-default whose budget boundary a deployment that
+      // adopts it would extend with a centroid-lookup expression.
       import graft.functions.TextFunctions.bind
       val centLit = typedlit(centroids.map(_.toSeq).toSeq)
       // same validity guard pqEncodeWith applies, BEFORE the argmax
@@ -892,7 +944,7 @@ object Similarity {
         .filter(wellFormedVec(col("embedding"), dim))
         .select(col("vec_id"),
         bind(VectorFunctions.normalize(col("embedding"))) { u =>
-          bind(org.apache.spark.sql.graft.VectorExpressions.cellArgmax(u, centLit)) { cell =>
+          bind(assignCellsAuto(u, centroids, sc, planLiteralBudgetBytes)) { cell =>
             struct(cell.as("cell"),
               zip_with(u, element_at(centLit, cell + 1), (a, b) => a - b).as("r"))
           }
@@ -978,9 +1030,12 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
                 nSub: Int = 16, kPerSub: Int = 64, candidates: Int = 100,
                 iterations: Int = 5, nCellsOverride: Int = 0,
-                nProbesOverride: Int = 0, residual: Boolean = false): DataFrame = {
+                nProbesOverride: Int = 0, residual: Boolean = false,
+                planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes)
+      : DataFrame = {
     val (index, centroids, books) =
-      ivfPqIndex(corpus, dim, nSub, kPerSub, iterations, nCellsOverride, residual)
+      ivfPqIndex(corpus, dim, nSub, kPerSub, iterations, nCellsOverride,
+        residual, planLiteralBudgetBytes)
     ivfPqQuery(queries, index, corpus, centroids, books, k,
       candidates, nProbesOverride, residual)
   }

@@ -79,6 +79,64 @@ object ScaleUp {
       .drop("_rep")
   }
 
+  /** ANISOTROPIC embeddings replication — the within-cluster geometry
+    * real text encoders produce, where [[replicateEmbeddings]] produces
+    * near-isotropic replica noise (the round-12 residual-PQ null
+    * result's mechanism). Each replica deviates from its BASE vector
+    * along a rank-`rank` subspace derived from the base itself (cyclic
+    * coordinate shifts by 1..rank), with deterministic splitmix
+    * coefficients in [−eps, eps] per (replica, direction):
+    *
+    *   x_rep = base + Σ_t c_t(rep) · shift(base, t+1)
+    *
+    * so the `factor` replicas of one base form a low-rank manifold
+    * patch around it (within-cluster cosine ≈ 0.95-0.99 at the
+    * defaults) instead of an isotropic cloud. Replica 0 stays
+    * byte-identical. This is the regime FAISS's residual encoding comes
+    * from — codes spend their bits on a low-rank within-cell manifold —
+    * and exists to re-run that A/B on realistic geometry. NOT for the
+    * dedup scale corpora: clusters of near-neighbors are the POINT
+    * here, and would manufacture quadratic pair growth there.
+    */
+  def replicateEmbeddingsAniso(emb: DataFrame, factor: Int, d: Int,
+                               rank: Int = 4, eps: Double = 0.25): DataFrame = {
+    import graft.functions.TextFunctions.bind
+    val rep = col("_rep")
+    // splitmix64 over (rep, lane) — the signAt chain, full mixed bits
+    def mixed(lane: Long): org.apache.spark.sql.Column = {
+      val x0 = (rep * lit(0x9e3779b97f4a7c15L))
+        .bitwiseXOR(lit(lane * 0xbf58476d1ce4e5b9L))
+      val x1 = bind(x0) { x =>
+        x.bitwiseXOR(shiftrightunsigned(x, 30)) * lit(0xbf58476d1ce4e5b9L)
+      }
+      val x2 = bind(x1) { x =>
+        x.bitwiseXOR(shiftrightunsigned(x, 27)) * lit(0x94d049bb133111ebL)
+      }
+      bind(x2) { x => x.bitwiseXOR(shiftrightunsigned(x, 31)) }
+    }
+    // c_t(rep) uniform on [−eps, eps] from the low mixed bits; lanes
+    // offset by d so they never collide with signExpr's per-j lanes
+    def coefExpr(t: Int): org.apache.spark.sql.Column =
+      (pmod(mixed(d.toLong + t + 1), lit(2048L)).cast("double") / lit(1024.0)
+        - lit(1.0)) * lit(eps)
+    val withCoefs = (0 until rank).foldLeft(
+        emb.withColumn("_rep", explode(sequence(lit(0L), lit(factor - 1L))))) {
+      (df, t) => df.withColumn(s"_c$t", coefExpr(t))
+    }
+    val out = (0 until d).map { j =>
+      val base = element_at(col("embedding"), j + 1).cast("double")
+      (0 until rank).foldLeft(base) { (acc, t) =>
+        acc + col(s"_c$t") *
+          element_at(col("embedding"), ((j + t + 1) % d) + 1).cast("double")
+      }.cast("float")
+    }
+    withCoefs
+      .withColumn("vec_id", col("vec_id") + rep * lit(Strides("vec_id")))
+      .withColumn("embedding",
+        when(rep === 0L, col("embedding")).otherwise(array(out: _*)))
+      .drop((0 until rank).map(t => s"_c$t") :+ "_rep": _*)
+  }
+
   private def shiftKeys(df: DataFrame, i: Int): DataFrame =
     df.columns.foldLeft(df) { (d, c) =>
       Strides.get(c) match {
@@ -187,8 +245,14 @@ object ScaleUp {
     val mixedDims = emb.filter(size(col("embedding")) =!= d).count()
     require(mixedDims == 0,
       s"$mixedDims embedding rows have dim != $d; rotation would null-pad them")
-    write("embeddings", replicateEmbeddings(emb, factor, d))
-    println(s"""{"scaled":"$outDir","factor":$factor}""")
+    // optional 5th arg "aniso": low-rank within-cluster manifold
+    // replicas (the residual-PQ A/B geometry) instead of the default
+    // decorrelated isotropic replicas
+    val aniso = args.length > 4 && args(4) == "aniso"
+    write("embeddings",
+      if (aniso) replicateEmbeddingsAniso(emb, factor, d)
+      else replicateEmbeddings(emb, factor, d))
+    println(s"""{"scaled":"$outDir","factor":$factor,"aniso":$aniso}""")
     spark.stop()
   }
 

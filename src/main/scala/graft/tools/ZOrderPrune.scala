@@ -98,6 +98,14 @@ object ZOrderPrune {
 
     layouts.foreach { case (name, _) =>
       val path = s"$base/$name"
+      // write-time stats table: the SAME footer pass statsPrunedParquet
+      // pays per query, paid once at write time (Delta-checkpoint /
+      // Iceberg-manifest shape); its wall is the amortized cost and its
+      // per-file share is what a 10⁵-file deployment multiplies out
+      val tw = System.nanoTime()
+      Layout.writeStatsTable(spark, path, Seq(a, b))
+      val statsWriteSec = (System.nanoTime() - tw) / 1e9
+      println(s"""{"layout":"$name","stats_write_sec":${math.round(statsWriteSec * 1000) / 1000.0}}""")
       // per-file stats from the files as written — what a data-skipping
       // planner consults
       val fileStats = spark.read.parquet(path)
@@ -144,7 +152,21 @@ object ZOrderPrune {
           .map(_.metrics("numFiles").value).sum
         require(prow.getLong(0) == row.getLong(0),
           s"pruned read changed results on $name/$pname")
-        println(s"""{"layout":"$name","pred":"$pname","files_total":$nTotal,"files_overlap":$overlap,"scan_rows":$scanRows,"match_rows":${row.getLong(0)},"bytes_read":$read,"wall_sec":${math.round(wall * 1000) / 1000.0},"pruned_files_opened":$pFiles,"pruned_wall_sec":${math.round(pWall * 1000) / 1000.0}}""")
+        // the TABLE-planned pruned read: per-query planning is one read
+        // of the tiny sidecar (no footer I/O) — must open the identical
+        // file set and return identical rows
+        val tt = System.nanoTime()
+        val tq = Layout.tableStatsPrunedParquet(spark, path, ranges)
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+        val trow = tq.collect().head
+        val tWall = (System.nanoTime() - tt) / 1e9
+        val tFiles = findScans(tq.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+        require(trow.getLong(0) == row.getLong(0),
+          s"table-planned read changed results on $name/$pname")
+        require(tFiles == pFiles,
+          s"table planner opened $tFiles files vs footer's $pFiles on $name/$pname")
+        println(s"""{"layout":"$name","pred":"$pname","files_total":$nTotal,"files_overlap":$overlap,"scan_rows":$scanRows,"match_rows":${row.getLong(0)},"bytes_read":$read,"wall_sec":${math.round(wall * 1000) / 1000.0},"pruned_files_opened":$pFiles,"pruned_wall_sec":${math.round(pWall * 1000) / 1000.0},"table_files_opened":$tFiles,"table_wall_sec":${math.round(tWall * 1000) / 1000.0}}""")
       }
     }
     spark.stop()

@@ -352,6 +352,105 @@ case class CellArgmax(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** [[CellArgmax]] with the centroid matrix supplied as a Spark
+  * BROADCAST variable instead of a plan literal — the routing form past
+  * the literal byte budget ([[graft.operators.Similarity
+  * .centroidLiteralBytes]]): a literal matrix serializes into every
+  * stage's task binary and is deserialized per TASK (measured ~10 MiB
+  * of task binary at 447 cells × dim 64), while the broadcast stub
+  * serializes in bytes and the matrix ships once per EXECUTOR over
+  * torrent. Scoring semantics are BIT-IDENTICAL to [[CellArgmax]]
+  * (same strict-greater argmax, first-wins ties, null on empty matrix /
+  * length mismatch / null element / all-NaN dots) — spec'd equal in
+  * BroadcastRoutingSpec.
+  */
+case class CellArgmaxBroadcast(child: Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_argmax_bc"
+
+  private def vecElementType: Option[DataType] = child.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecElementType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cell_argmax_bc expects array<float|double>, got ${child.dataType}")
+
+  override protected def nullSafeEval(l: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val m = centroids.value
+    val isFloat = vecElementType.get == FloatType
+    val n = v.numElements()
+    val k = m.length
+    if (k == 0) return null
+    var best = Double.NegativeInfinity
+    var bestCell = -1
+    var c = 0
+    while (c < k) {
+      val row = m(c)
+      if (row == null || row.length != n) return null
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        sum += x * row(i)
+        i += 1
+      }
+      if (sum > best) { best = sum; bestCell = c }
+      c += 1
+    }
+    if (bestCell == -1) null else bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = vecElementType.get match {
+      case FloatType => (v: String, i: String) => s"(double) $v.getFloat($i)"
+      case _         => (v: String, i: String) => s"$v.getDouble($i)"
+    }
+    val bcRef = ctx.addReferenceObj("cellCentroidsBc", centroids,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolve the broadcast VALUE once per codegen instance, not per row
+    val mat = ctx.addMutableState("double[][]", "cellCentroidsMat")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val row = ctx.freshName("row"); val sum = ctx.freshName("sum")
+      val best = ctx.freshName("best"); val bestCell = ctx.freshName("bestCell")
+      s"""
+         |if ($mat == null) { $mat = (double[][]) $bcRef.value(); }
+         |int $n = $v.numElements();
+         |int $k = $mat.length;
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestCell = -1;
+         |if ($k == 0) { ${ev.isNull} = true; }
+         |for (int $c = 0; !${ev.isNull} && $c < $k; $c++) {
+         |  double[] $row = $mat[$c];
+         |  if ($row == null || $row.length != $n) { ${ev.isNull} = true; break; }
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += (${getX(v, i)}) * $row[$i];
+         |  }
+         |  if (!${ev.isNull} && $sum > $best) { $best = $sum; $bestCell = $c; }
+         |}
+         |if (!${ev.isNull}) {
+         |  if ($bestCell == -1) { ${ev.isNull} = true; } else { ${ev.value} = $bestCell; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native codegen'd TOP-2 argmax of dot(vec, row) over a centroid
   * matrix — [[CellArgmax]]'s sibling for MULTI-ASSIGNMENT: returns the
   * best and second-best cell ids packed as (best << 32) | second.
@@ -488,6 +587,10 @@ object VectorExpressions {
   def cellArgmax(v: Column, centroids: Column): Column =
     ExpressionUtils.column(
       CellArgmax(ExpressionUtils.expression(v), ExpressionUtils.expression(centroids)))
+
+  def cellArgmaxBroadcast(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(CellArgmaxBroadcast(ExpressionUtils.expression(v), bc))
 
   def cellTop2(v: Column, centroids: Column): Column =
     ExpressionUtils.column(
