@@ -136,6 +136,9 @@ object QueryPack
     "q109_url_dedup"        -> (urlDedup _),
     "q110_mmr_diverse"      -> (mmrDiverse _),
     "q111_html_extract"     -> (htmlExtract _),
+    "q112_cms_topk"         -> (cmsTopk _),
+    "q113_weighted_sample"  -> (weightedSample _),
+    "q114_collocations"     -> (collocations _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

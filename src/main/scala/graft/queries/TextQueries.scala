@@ -310,6 +310,122 @@ private[queries] trait TextQueries {
       .select(col("lang"), col("n_exact"), col("n_kmv"))
   }
 
+  /** Count-min sketch heavy hitters — KMV's frequency-side sibling
+    * (`cms_sketch`, a fixed 4×64-counter TypedImperativeAggregate):
+    * token counts estimated from ONE 2 KiB mergeable array instead of a
+    * per-key shuffle, the estimator production pipelines use for
+    * vocabulary/heavy-hitter passes where the key space (n-grams, URLs,
+    * hosts) is too wide to count exactly. Estimates are
+    * `min_i counters[i][mix64(h XOR seed_i) mod w]` — never under, over
+    * by the lightest bucket's collision mass — and every intermediate is
+    * integer arithmetic over the shared fnv64/mix64 dag, so the whole
+    * sketch replays exactly in SQL (like q105, unlike HLL). The exact
+    * top-20 rides along so the artifact shows the collision error the
+    * 64-wide rows actually incur at this vocabulary.
+    *
+    * Scale shape: the sketch build is one partial-aggregating pass
+    * (depth·width longs per partition, merged on the driver side of a
+    * 1-row agg); the exact leg exists only to gate the estimate and is
+    * the piece a 100 TB run drops.
+    */
+  def cmsTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{SketchAggregates, TextHashExpressions}
+    val (depth, width) = (4, 64)
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(col("n_exact").desc, col("t").asc).limit(20)
+    val sk = toks.agg(SketchAggregates.cmsSketch(
+      TextHashExpressions.fnv64(col("t")), depth, width).as("sk"))
+    top.crossJoin(broadcast(sk))
+      .withColumn("n_cms", SketchAggregates.cmsEstimate(
+        col("sk"), TextHashExpressions.fnv64(col("t")), depth, width))
+      .select(col("t"), col("n_exact"), col("n_cms"))
+  }
+
+  /** Weighted sample without replacement — sequential Poisson sampling
+    * (Ohlsson): per-language, the 5 documents with the smallest
+    * priority `u / weight`, u the doc_id's mix64 mapped to [0, 2⁶⁴) and
+    * weight = n_chars, so inclusion probability is ∝ length. This is
+    * the deterministic, mergeable form of weighted reservoir sampling
+    * (Efraimidis–Spirakis with the exponential key replaced by the
+    * division-only priority — no transcendentals, so the IEEE dag is
+    * one signed→double cast, one add, one divide, identical
+    * cross-engine). The curation use: picking quality-weighted or
+    * length-weighted training subsets reproducibly across runs,
+    * engines, and partitionings.
+    *
+    * Scale shape: priorities are map-side arithmetic; the per-stratum
+    * top-5 is one rank over lang — at a real corpus the window becomes
+    * a bounded per-partition top-k + merge, which the same priority
+    * column serves unchanged (priorities are comparable across
+    * partitions by construction).
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSampleDocs(Tables.documents(s, dir), col("n_chars"), 5)
+
+  /** [[weightedSample]]'s core over any (lang, doc_id) frame and weight
+    * column — exposed for the spec's planted-weight fixtures. */
+  private[graft] def weightedSampleDocs(docs: DataFrame,
+                                        weight: org.apache.spark.sql.Column,
+                                        k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val m = TextHashExpressions.mix64(col("doc_id"))
+    val u = when(m < 0, m.cast("double") + lit(math.pow(2, 64)))
+      .otherwise(m.cast("double"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("p").asc, col("doc_id").asc)
+    docs
+      .withColumn("_w", weight.cast("double"))
+      .filter(col("_w") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("_w"))
+      .withColumn("p", u / col("_w"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+  }
+
+  /** Collocation mining — the top-20 bigrams by LIFT
+    * `n_total·c(w1w2) / (c(w1)·c(w2))` with support ≥ 5: q60 ranks raw
+    * bigram counts, this ranks ASSOCIATION (a bigram whose parts rarely
+    * occur apart scores high even at modest count) — the phrase-mining
+    * signal tokenizer vocabularies and stop-phrase lists are built
+    * from. All counts stay exact integers; the one division happens
+    * once per surviving bigram and is floored to the 1e-6 grid BEFORE
+    * ranking, so the sort key is cross-engine exact.
+    *
+    * Scale shape: two hash aggregates (unigrams ≡ vocabulary, bigrams
+    * support-filtered before any join), the two unigram-count joins key
+    * on the vocabulary (broadcastable at any corpus size — vocabulary
+    * grows sublinearly), and the grand total is a broadcast 1-row cross
+    * join.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsDocs(Tables.documents(s, dir), minSupport = 5, topN = 20)
+
+  /** [[collocations]]'s core — exposed for the spec's planted-phrase
+    * fixtures. */
+  private[graft] def collocationsDocs(docs: DataFrame, minSupport: Int,
+                                      topN: Int): DataFrame = {
+    val uni = docs.select(explode(TextFunctions.tokens(col("text"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bi = docs
+      .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("u").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("u").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        floor((col("n_total") * col("n_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double") * 1e6) / 1e6)
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("n_ab"), col("lift"))
+  }
+
   /** PII redaction — the APPLY step of [[piiScan]]'s triage (scan tells
     * you what's there; this one rewrites it): emails → `<EMAIL>`, URLs
     * → `<URL>`, then 8+-letter runs → `<LW>`, applied in that order so
@@ -903,6 +1019,63 @@ private[queries] trait TextQueries {
          |             CASE WHEN hk < 0 THEN $two64 ELSE 0.0 END)) AS BIGINT) END AS n_kmv
          |FROM ex JOIN kth USING (lang)""".stripMargin
     },
+    "q112_cms_topk" -> {
+      val (depth, width) = (4, 64)
+      val seeds = (0 until depth).map(i => java.lang.Long.toUnsignedString(
+        org.apache.spark.sql.graft.CmsSketch.rowSeed(i)))
+      val xCols = seeds.zipWithIndex.map { case (sd, i) =>
+        s"xor(hu, CAST('$sd' AS UBIGINT)) AS x$i" }.mkString(", ")
+      val bCols = (0 until depth).map(i =>
+        s"CAST(${mixSql(s"x$i")} % $width AS BIGINT) AS b$i").mkString(", ")
+      val legs = (0 until depth).map(i =>
+        s"SELECT t, $i AS i, b$i AS b FROM bk").mkString(" UNION ALL ")
+      // counts per (row, bucket) replay as SUM of exact counts over the
+      // distinct terms mapping there — identical to the engine's
+      // per-occurrence increments by construction
+      s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS t FROM documents),
+         |ex AS (SELECT t, COUNT(*) AS n_exact FROM toks GROUP BY t),
+         |top AS (SELECT t, n_exact FROM ex ORDER BY n_exact DESC, t LIMIT 20),
+         |hd AS (SELECT t, ${fnvSql("t")} AS hu FROM (SELECT DISTINCT t FROM toks)),
+         |hx AS (SELECT t, $xCols FROM hd),
+         |bk AS (SELECT t, $bCols FROM hx),
+         |tb AS ($legs),
+         |cnt AS (SELECT i, b, SUM(n_exact) AS c FROM tb JOIN ex USING (t) GROUP BY i, b),
+         |est AS (SELECT tb.t, CAST(MIN(c) AS BIGINT) AS n_cms
+         |        FROM tb JOIN cnt USING (i, b) GROUP BY tb.t)
+         |SELECT top.t AS t, top.n_exact, est.n_cms
+         |FROM top JOIN est USING (t)""".stripMargin
+    },
+    "q113_weighted_sample" ->
+      s"""WITH d AS (SELECT lang, doc_id, n_chars FROM documents WHERE n_chars > 0),
+         |m AS (SELECT lang, doc_id, n_chars,
+         |  ${mixSql("CAST(doc_id AS UBIGINT)")} AS mu FROM d),
+         |sg AS (SELECT lang, doc_id, n_chars, ${signedSql("mu")} AS ms FROM m),
+         |p AS (SELECT lang, doc_id, n_chars,
+         |  (CAST(ms AS DOUBLE) +
+         |   CASE WHEN ms < 0 THEN 18446744073709551616.0 ELSE 0.0 END)
+         |  / CAST(n_chars AS DOUBLE) AS pr FROM sg)
+         |SELECT lang, doc_id, n_chars FROM (
+         | SELECT lang, doc_id, n_chars,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rn
+         | FROM p) t WHERE rn <= 5""".stripMargin,
+    "q114_collocations" ->
+      s"""WITH t AS (SELECT ${toksSql("text")} AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS u FROM t),
+         |ex AS (SELECT u, COUNT(*) AS c FROM uni GROUP BY u),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM ex),
+         |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+         |      FROM t),
+         |bc AS (SELECT bigram, COUNT(*) AS n_ab FROM b GROUP BY bigram
+         |       HAVING COUNT(*) >= 5),
+         |sp AS (SELECT bigram, n_ab, split_part(bigram, ' ', 1) AS w1,
+         |       split_part(bigram, ' ', 2) AS w2 FROM bc),
+         |j AS (SELECT sp.w1, sp.w2, sp.n_ab,
+         |  FLOOR(CAST(tot.n_total * sp.n_ab AS DOUBLE)
+         |        / CAST(ca.c * cb.c AS DOUBLE) * 1e6) / 1e6 AS lift
+         | FROM sp JOIN ex ca ON ca.u = sp.w1
+         |         JOIN ex cb ON cb.u = sp.w2 CROSS JOIN tot)
+         |SELECT w1, w2, n_ab, lift FROM j
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
     "q102_quality_classifier" ->
       s"""WITH toks AS (SELECT lang, ${toksSql("text")} AS w FROM documents),
          |sc AS (SELECT lang, FLOOR((CASE WHEN len(w) = 0 THEN 0.0

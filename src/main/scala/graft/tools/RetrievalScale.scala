@@ -44,9 +44,12 @@ object RetrievalScale {
     val idx = index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idx.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
+    // candidates follow the hold-candidates/n rule the PqTune table
+    // established (n/500, floored at 100) — a fixed small budget would
+    // candidate-starve the large decade and mismeasure the composition
     val annLeg: (DataFrame, DataFrame, Int) => DataFrame =
       (q, c, sz) => Similarity.ivfPqQuery(q, idx, c, cents, books, sz,
-        candidates = math.max(100, 2 * sz))
+        candidates = math.max(math.max(100, (n / 500).toInt), 2 * sz))
 
     def picks(df: DataFrame): Set[(Long, Long)] =
       df.select(col("query_id").cast("long"), col("vec_id").cast("long"))

@@ -109,9 +109,130 @@ case class KmvSketch(
     copy(child = newChild)
 }
 
+/** Count-min sketch over a 64-bit hash column — the mergeable FREQUENCY
+  * estimator (Cormode–Muthukrishnan) that pairs with [[KmvSketch]]'s
+  * distinct estimator: `depth × width` counters, row i bucketing by
+  * `mix64(h XOR (i+1)·φ) AND (width−1)` (φ = the splitmix64 golden
+  * gamma, width a power of two so the modulus is a bit-mask), estimate
+  * of a key = MIN over rows of its bucket's counter — never an
+  * underestimate, over by at most the collision mass in its LIGHTEST
+  * bucket. Like KMV (and unlike HLL) every intermediate is integer
+  * arithmetic over the shared fnv64/mix64 dag, so the whole estimate
+  * replays exactly in ANSI SQL.
+  *
+  * Per-group state is a FIXED `depth·width·8`-byte counter array:
+  * partials merge by element-wise addition, so heavy-hitter detection
+  * over a billion rows shuffles one small array per (group × partition)
+  * where an exact top-k shuffles every distinct key. Result is the
+  * flattened counter array (row-major), consumed by `element_at` at
+  * `i·width + bucket_i(key) + 1`.
+  */
+case class CmsSketch(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(depth > 0 && depth <= 16, s"cms_sketch: depth must be in [1,16], got $depth")
+  require(width > 1 && (width & (width - 1)) == 0,
+    s"cms_sketch: width must be a power of two > 1, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch expects a bigint hash column, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < depth) {
+        buf(i * width + CmsSketch.bucket(h, i, width)) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketch =
+    copy(child = newChild)
+}
+
+object CmsSketch {
+  /** Splitmix64 golden gamma — row i's hash is mix64(h XOR (i+1)·φ). */
+  val RowSeedGamma: Long = 0x9E3779B97F4A7C15L
+
+  def rowSeed(i: Int): Long = (i + 1).toLong * RowSeedGamma
+
+  /** Row-i bucket of hash h — shared by the aggregate's update path and
+    * the read side's estimate expression (and restated in the SQL twin). */
+  def bucket(h: Long, i: Int, width: Int): Int =
+    (TextHashOps.mix64(h ^ rowSeed(i)) & (width - 1)).toInt
+}
+
 object SketchAggregates {
   /** Column form: `kmvSketch(fnv64(col("t")), 64)` → struct(n, kth). */
   def kmvSketch(hash: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvSketch(ExpressionUtils.expression(hash), k).toAggregateExpression())
+
+  /** Column form: `cmsSketch(fnv64(col("t")), 4, 64)` → array of
+    * depth·width counters (row-major). */
+  def cmsSketch(hash: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(
+      CmsSketch(ExpressionUtils.expression(hash), depth, width).toAggregateExpression())
+
+  /** CMS point estimate of `hash`'s count from a sketch ARRAY column —
+    * MIN over rows of the counter at that row's bucket, as pure column
+    * arithmetic over the shared mix64 dag (no UDF): the read side of
+    * [[cmsSketch]].
+    */
+  def cmsEstimate(sketch: Column, hashCol: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, least, lit}
+    val perRow = (0 until depth).map { i =>
+      val b = TextHashExpressions.mix64(hashCol.bitwiseXOR(lit(CmsSketch.rowSeed(i))))
+        .bitwiseAND(lit((width - 1).toLong))
+      element_at(sketch, (lit(i.toLong * width) + b + 1L).cast("int"))
+    }
+    least(perRow: _*)
+  }
 }
