@@ -902,6 +902,17 @@ object Similarity {
     * Build cost: `iterations` k-means passes + `iterations` codebook
     * passes + one map-side encode/relabel scan — the corpus is never
     * shuffled or joined to build the index.
+    *
+    * `residual` guidance (from the bracketed A/Bs in SCALING.md): at
+    * the candidates/n operating rule plain and residual TIE on both
+    * measured geometries (the tie is routing-bound — no code refinement
+    * buys back an unprobed cell), and residual pays ~2.5× build / ~2×
+    * query, so the default stays plain. Flip `residual = true` when
+    * BOTH hold: the embedding geometry is anisotropic (real text-encoder
+    * manifolds; measured +7.5 recall pts there) AND the candidate
+    * budget must run below the candidates/n rule (memory-capped
+    * shortlists) — on isotropic corpora residual LOSES the starved
+    * regime (−8 pts), so geometry, not just budget, decides.
     */
   def ivfPqIndex(corpus: DataFrame, dim: Int, nSub: Int = 16,
                  kPerSub: Int = 64, iterations: Int = 5,

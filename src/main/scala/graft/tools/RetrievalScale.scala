@@ -84,10 +84,18 @@ object RetrievalScale {
       QueryPack.hybridTopK(hq, queryTerms, docs, 10, 50,
         shortlist = Similarity.bruteForceTopK)))
     val hybAgree = (hybAnn & hybBrute).size.toDouble / math.max(1, hybBrute.size)
+    // the shortlist legs ALONE over the hybrid query set — separates
+    // leg cost from the (leg-independent) corpus-wide BM25 stage when
+    // reading the composed walls
+    val docVecs = docs.select(col("doc_id").as("vec_id"), col("embedding"))
+    val (_, hybAnnLegSec) = timed(
+      annLeg(hq, docVecs, 50).select(col("query_id")).count())
+    val (_, hybBruteLegSec) = timed(
+      Similarity.bruteForceTopK(hq, docVecs, 50).select(col("query_id")).count())
     idx.unpersist(false)
 
     def r3(v: Double) = math.round(v * 1000) / 1000.0
-    println(s"""{"n":$n,"dim":$dim,"cells":${cents.length},"queries":$nQueries,"k":$k,"shortlist":$shortlistSize,"build_sec":${r3(buildSec)},"mmr_ann_sec":${r3(mmrAnnSec)},"mmr_brute_sec":${r3(mmrBruteSec)},"mmr_agreement":${r3(mmrAgree)},"hybrid_ann_sec":${r3(hybAnnSec)},"hybrid_brute_sec":${r3(hybBruteSec)},"hybrid_agreement":${r3(hybAgree)}}""")
+    println(s"""{"n":$n,"dim":$dim,"cells":${cents.length},"queries":$nQueries,"k":$k,"shortlist":$shortlistSize,"build_sec":${r3(buildSec)},"mmr_ann_sec":${r3(mmrAnnSec)},"mmr_brute_sec":${r3(mmrBruteSec)},"mmr_agreement":${r3(mmrAgree)},"hybrid_ann_sec":${r3(hybAnnSec)},"hybrid_brute_sec":${r3(hybBruteSec)},"hybrid_agreement":${r3(hybAgree)},"hybrid_ann_leg_sec":${r3(hybAnnLegSec)},"hybrid_brute_leg_sec":${r3(hybBruteLegSec)}}""")
     spark.stop()
   }
 }

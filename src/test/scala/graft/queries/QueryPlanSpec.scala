@@ -88,7 +88,9 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       "q96_bigram_surprisal", "q98_alpha_sample", // 1-row (N,V)/(N,avgdl)/(T,S) scalars
       "q104_knn_pq", // broadcast query set streamed over the PQ reconstruction
       "q107_hybrid_retrieval", // composes q23's shortlist + q91's scalars — both legs' broadcasts
-      "q110_mmr_diverse") // q23's broadcast-query shortlist feeds the greedy
+      "q110_mmr_diverse", // q23's broadcast-query shortlist feeds the greedy
+      "q112_cms_topk", // 1-row sketch-array broadcast onto the top-20
+      "q114_collocations") // 1-row n_total scalar broadcast
     QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // physical planning only — no execution (q45 excepted: its
       // component loop runs at construction)
