@@ -340,7 +340,100 @@ private[queries] trait DedupQueries {
       .select(col("doc_id"), col("n_tok"), col("n_removed"),
         md5(col("scrubbed_text")).as("scrub_md5"))
 
+  /** PageRank over the document link graph — the crawl-curation
+    * centrality pass (Common-Crawl-style pipelines rank hosts/pages
+    * before sampling). Edges are derived deterministically from the
+    * corpus (each doc links to 3 affine-hash targets, self-loops
+    * dropped) so the oracle replays the identical graph; the ITERATION
+    * is the operator under test. All rank mass stays in INTEGER
+    * arithmetic — total mass 10¹² distributed as `base = S div n`,
+    * per-edge contribution `rank div outdeg`, damping
+    * `(15·base) div 100 + (85·inflow) div 100` — so three unrolled
+    * iterations are bit-identical cross-engine with no float drift to
+    * hash-mismatch (floor-truncation leaks mass deterministically;
+    * ranks are relative scores, not probabilities).
+    *
+    * Engine shape per iteration: ranks ⋈ edges on src (both sides hash-
+    * partitioned on the same key — the exchange is planned once and
+    * reused across iterations) then a groupBy(dst) partial-aggregating
+    * sum; the iteration count is fixed and the driver holds nothing.
+    * At web scale the same loop runs with edges pre-bucketed by src and
+    * AQE handling hub-node skew — the plan shape is unchanged.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    // deterministic link graph with real structure: one shuffled
+    // "random surfer" link (affine bijection), one HUB link (first
+    // tenth of ids absorb 10× in-degree — the host-concentration
+    // pattern real crawls have), one quadratic link (varying fan-in)
+    val edges = docs.crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+      .withColumn("dst",
+        when(col("j") === 1, pmod(col("src") * 31 + 17, col("n")))
+          .when(col("j") === 2, col("src") % greatest(expr("n div 10"), lit(1L)))
+          .otherwise(pmod(col("src") * col("src") + 7, col("n"))))
+      .filter(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"))
+    pagerankRanks(docs, nRow, edges, iters = 3)
+      .orderBy(col("rank").desc, col("id").asc).limit(20)
+      .select(col("id").as("doc_id"), col("rank"))
+  }
+
+  /** [[pagerank]]'s iteration core over ANY (src, dst) edge list —
+    * exposed for the spec's hand-walked graphs. Integer mass: total
+    * 10¹², `base = S div n`, damping 0.85 via `div 100` arithmetic.
+    */
+  private[graft] def pagerankRanks(docs: DataFrame, nRow: DataFrame,
+                                   edges: DataFrame, iters: Int): DataFrame = {
+    val S = 1000000000000L
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = docs.crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("id"), expr(s"$S div n").as("base"))
+    var ranks = base.select(col("id"), col("base").as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("id")).agg(sum(col("contrib")).as("inflow"))
+      ranks = base
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (expr("(15 * base) div 100") +
+            expr("(85 * coalesce(inflow, 0)) div 100")).as("rank"))
+    }
+    ranks
+  }
+
   private[queries] def dedupOracles: Map[String, String] = Map(
+    "q118_pagerank" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |e AS (SELECT src, dst FROM (
+         |   SELECT doc_id AS src,
+         |    CASE WHEN j = 1 THEN (doc_id * 31 + 17) % n
+         |         WHEN j = 2 THEN doc_id % GREATEST(n // 10, 1)
+         |         ELSE (doc_id * doc_id + 7) % n END AS dst
+         |   FROM documents CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
+         |  WHERE dst <> src),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |base AS (SELECT doc_id AS id, 1000000000000 // n AS base FROM documents CROSS JOIN n),
+         |r0 AS (SELECT id, base AS rank FROM base),
+         |c1 AS (SELECT e.dst AS id, CAST(SUM(r0.rank // deg.outdeg) AS BIGINT) AS inflow
+         |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         |r1 AS (SELECT base.id, (15 * base) // 100 + (85 * COALESCE(inflow, 0)) // 100 AS rank
+         |       FROM base LEFT JOIN c1 ON base.id = c1.id),
+         |c2 AS (SELECT e.dst AS id, CAST(SUM(r1.rank // deg.outdeg) AS BIGINT) AS inflow
+         |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         |r2 AS (SELECT base.id, (15 * base) // 100 + (85 * COALESCE(inflow, 0)) // 100 AS rank
+         |       FROM base LEFT JOIN c2 ON base.id = c2.id),
+         |c3 AS (SELECT e.dst AS id, CAST(SUM(r2.rank // deg.outdeg) AS BIGINT) AS inflow
+         |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         |r3 AS (SELECT base.id, (15 * base) // 100 + (85 * COALESCE(inflow, 0)) // 100 AS rank
+         |       FROM base LEFT JOIN c3 ON base.id = c3.id)
+         |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
+         |FROM r3 ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin,
     "q97_span_scrub" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
          |wins AS (SELECT doc_id, unnest(range(1, len(w) - 13)) AS wp, w FROM t),

@@ -139,6 +139,11 @@ object QueryPack
     "q112_cms_topk"         -> (cmsTopk _),
     "q113_weighted_sample"  -> (weightedSample _),
     "q114_collocations"     -> (collocations _),
+    "q115_skyline"          -> (qualitySkyline _),
+    "q116_spell_pairs"      -> (spellPairs _),
+    "q117_trigram_lm"       -> (trigramSurprisal _),
+    "q118_pagerank"         -> (pagerank _),
+    "q119_inverted_index"   -> (invertedIndex _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -954,6 +954,224 @@ private[queries] trait TextQueries {
         length(col("chunk_text")).cast("long").as("n_chunk_chars"),
         md5(col("chunk_text").cast("binary")).as("chunk_md5"))
 
+  /** Pareto frontier (skyline) over (length, quality): the documents no
+    * other same-language document strictly dominates on BOTH n_chars
+    * and quality score — the "longest high-quality exemplars" set a
+    * curation pipeline keeps when it can't threshold either axis alone.
+    * Computed with TWO window maxima instead of the naive O(n²)
+    * dominance self-join: over `ORDER BY n_chars`, `max(q)` over the
+    * strictly-longer suffix (RANGE 1 FOLLOWING → ∞) detects
+    * ⟨longer, ≥quality⟩ dominators and `max(q)` over the ≥-length
+    * suffix (RANGE CURRENT ROW → ∞, self included so self never
+    * strictly exceeds) detects ⟨≥length, >quality⟩ ones. One exchange
+    * on lang, one sort, both frames off the same window — linear scan,
+    * no join, which is what lets the skyline run at corpus scale.
+    */
+  def qualitySkyline(s: SparkSession, dir: String): DataFrame =
+    skyline2d(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+      part = "lang", x = "n_chars", y = "quality")
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("quality"))
+
+  /** [[qualitySkyline]]'s core: rows of `df` not strictly dominated on
+    * (x maximize, y maximize) within their `part` group — exposed for
+    * the spec's brute-force dominance cross-check. `x` must be numeric
+    * (it keys the RANGE frames).
+    */
+  private[graft] def skyline2d(df: DataFrame, part: String, x: String,
+                               y: String): DataFrame = {
+    val byX = Window.partitionBy(col(part)).orderBy(col(x).asc)
+    val strictlyGreater = byX.rangeBetween(1L, Window.unboundedFollowing)
+    val atLeast = byX.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn("mq_longer", max(col(y)).over(strictlyGreater))
+      .withColumn("mq_geq", max(col(y)).over(atLeast))
+      .filter((col("mq_longer").isNull || col("mq_longer") < col(y)) &&
+        !(col("mq_geq") > col(y)))
+      .drop("mq_longer", "mq_geq")
+  }
+
+  /** Spell-pair mining — the SymSpell deletion-neighborhood join,
+    * distributed: every vocabulary word expands to its ≤2-deletion
+    * variants (the word, len one-deletes, len·(len−1)/2 two-deletes),
+    * candidate pairs are words SHARING a variant (an equi-join on the
+    * variant key — if lev(a,b) ≤ 2 the neighborhoods provably
+    * intersect), and survivors are verified with one levenshtein per
+    * DISTINCT candidate pair. This is the typo/variant-collapse pass a
+    * tokenizer-vocabulary build runs; the naive form is a vocabulary
+    * cross join (|V|² edit distances), this form is |V|·O(len²)
+    * map-side expansion + a hash join + |candidates| verifications —
+    * and the vocabulary grows sublinearly in corpus size, so the whole
+    * operator is corpus-scale-safe by construction.
+    */
+  def spellPairs(s: SparkSession, dir: String): DataFrame =
+    spellPairsVocab(
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 3 && col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3),
+      maxDist = 2)
+
+  /** [[spellPairs]]'s core over any (w, c) vocabulary — exposed for the
+    * spec's planted-typo fixtures. `maxDist` ≤ 2 (the neighborhood is
+    * built from ≤2 deletions, so deeper distances would lose recall).
+    */
+  private[graft] def spellPairsVocab(vocab: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (deletion neighborhood depth), got $maxDist")
+    val w = col("w")
+    val del1 = transform(sequence(lit(1), length(w)),
+      i => concat(w.substr(lit(1), i - lit(1)), w.substr(i + lit(1), length(w))))
+    val del2 = flatten(transform(sequence(lit(1), length(w) - lit(1)),
+      i => transform(sequence(i + lit(1), length(w)),
+        j => concat(w.substr(lit(1), i - lit(1)),
+          w.substr(i + lit(1), j - i - lit(1)),
+          w.substr(j + lit(1), length(w))))))
+    val variants =
+      if (maxDist == 1) concat(array(w), del1)
+      else concat(array(w), del1, del2)
+    val expanded = vocab.select(col("w"), col("c"), explode(variants).as("v"))
+    val a = expanded.select(col("w").as("w1"), col("c").as("c1"), col("v"))
+    val b = expanded.select(col("w").as("w2"), col("c").as("c2"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("w1") < col("w2"))
+      .select(col("w1"), col("w2"), col("c1"), col("c2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Held-out trigram language-model surprisal with stupid backoff —
+    * the CCNet-style perplexity filter: counts come from the TRAIN
+    * split (q46's content-hash bucket < 80), scoring runs over the
+    * held-out TEST split (bucket ≥ 90), so unseen n-grams actually
+    * occur and the backoff chain is exercised on real data. Surprisal
+    * stays integer-exact cross-engine via the q90/q96 surrogate — the
+    * inverted probability `q = (context + V) // (count + 1)` costs
+    * `bitlength(q²) − 1` half-bits — and each backoff level adds a
+    * fixed 4 half-bits (the 0.25 stupid-backoff penalty, exactly 2
+    * bits, kept integral). Per language: docs scored, mean surprisal,
+    * docs flagged over threshold, and the trigram/bigram/unigram hit
+    * mix (the diagnostic that tells you whether the model or the
+    * corpus moved).
+    *
+    * Engine shape: three train-side count tables (trigram ~O(tokens),
+    * bigram/unigram sublinear), five equi-joins keyed on them, and a
+    * broadcast 1-row (V, n_total) model. At real scale the count
+    * tables get a min-count prune before the join (the standard KenLM
+    * trim) — the join shape is unchanged.
+    */
+  def trigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    val docs = Tables.documents(s, dir).withColumn("bucket", bucket)
+    trigramSurprisalSplit(
+      train = docs.filter(col("bucket") < 80),
+      test = docs.filter(col("bucket") >= 90),
+      flagThreshold = 5.0)
+  }
+
+  /** [[trigramSurprisal]]'s core over an explicit (train, test) split —
+    * exposed for the spec's hand-walked backoff fixtures. Both frames
+    * need (doc_id, lang, text). */
+  private[graft] def trigramSurprisalSplit(train: DataFrame, test: DataFrame,
+                                           flagThreshold: Double): DataFrame = {
+    val triTr = train.select(explode(TextFunctions.shingles(col("text"), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_uvw"))
+    val biTr = train.select(explode(TextFunctions.shingles(col("text"), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val uniTr = train.select(explode(TextFunctions.tokens(col("text"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("c_u"))
+    val model = uniTr.agg(sum(col("c_u")).as("n_total"), count(lit(1)).as("v"))
+
+    // q clamped at 2³¹−1 (q90's contract: keeps q² inside BIGINT);
+    // half-bit cost = bitlength(q²) − 1, exact on both engines
+    val halfBits = (qExpr: String) => {
+      val q = least(expr(qExpr), lit(2147483647L))
+      (length(conv((q * q).cast("string"), 10, 2)) - 1).cast("long")
+    }
+    val tri = test.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("g"))
+      .withColumn("prefix", concat_ws(" ",
+        split(col("g"), " ").getItem(0), split(col("g"), " ").getItem(1)))
+      .withColumn("suffix", concat_ws(" ",
+        split(col("g"), " ").getItem(1), split(col("g"), " ").getItem(2)))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+      .withColumn("w3", split(col("g"), " ").getItem(2))
+    val scored = tri
+      .join(triTr, Seq("g"), "left")
+      .join(biTr.select(col("b").as("prefix"), col("c_b").as("c_uv")), Seq("prefix"), "left")
+      .join(biTr.select(col("b").as("suffix"), col("c_b").as("c_vw")), Seq("suffix"), "left")
+      .join(uniTr.select(col("u").as("w2"), col("c_u").as("c_w2")), Seq("w2"), "left")
+      .join(uniTr.select(col("u").as("w3"), col("c_u").as("c_w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(model))
+      .withColumn("level",
+        when(col("c_uvw").isNotNull, lit(3))
+          .when(col("c_vw").isNotNull, lit(2))
+          .otherwise(lit(1)))
+      .withColumn("hb",
+        when(col("level") === 3,
+          halfBits("(c_uv + v) div (c_uvw + 1)"))
+          .when(col("level") === 2,
+            halfBits("(c_w2 + v) div (c_vw + 1)") + 4L)
+          .otherwise(
+            halfBits("(n_total + v) div (coalesce(c_w3, 0) + 1)") + 8L))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(sum(col("hb")).as("sum_hb"), count(lit(1)).as("n_tri"),
+        count(when(col("level") === 3, 1)).as("tri_hits"),
+        count(when(col("level") === 2, 1)).as("bi_hits"),
+        count(when(col("level") === 1, 1)).as("uni_hits"))
+    test.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("surprisal",
+        when(col("sum_hb").isNull, lit(0.0))
+          .otherwise(floor(col("sum_hb").cast("double") /
+            (col("n_tri") * 2) * 1e6) / 1e6))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        davg(col("surprisal")).as("avg_surprisal"),
+        count(when(col("surprisal") > flagThreshold, 1)).as("n_flagged"),
+        coalesce(sum(col("tri_hits")), lit(0L)).as("n_tri_hits"),
+        coalesce(sum(col("bi_hits")), lit(0L)).as("n_bi_hits"),
+        coalesce(sum(col("uni_hits")), lit(0L)).as("n_uni_hits"))
+  }
+
+  /** Inverted-index materialization: per term with df ≥ 5 — document
+    * frequency, collection frequency, and the first 8 postings
+    * (ascending doc_ids, comma-joined) — the build step of a BM25/
+    * boolean serving index (q91 scores on the fly; this one writes the
+    * artifact a search tier loads). The posting lists are BOUNDED
+    * before collection: a row_number over (term → doc_id) marks the
+    * head, and only rank ≤ 8 doc_ids enter the collect (collect_list
+    * skips the nulls), so no executor ever buffers a stopword's full
+    * posting list — the invariant that keeps index builds alive on a
+    * 100 TB corpus. The window and the final aggregate share the same
+    * hash partitioning on term (one exchange, reused).
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexDocs(Tables.documents(s, dir), minDf = 5, k = 8)
+
+  /** [[invertedIndex]]'s core — exposed for the spec's planted-postings
+    * fixtures. */
+  private[graft] def invertedIndexDocs(docs: DataFrame, minDf: Int,
+                                       k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id").asc)
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        concat_ws(",",
+          array_sort(collect_list(when(col("rn") <= k, col("doc_id"))))
+            .cast("array<string>")).as("head_postings"))
+      .filter(col("df") >= minDf)
+  }
+
   private[queries] def textOracles: Map[String, String] = Map(
     "q99_c4_filter" -> {
       val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
@@ -1538,5 +1756,106 @@ private[queries] trait TextQueries {
          | COUNT(CASE WHEN len(list_filter(w, x -> length(x) >= 12)) = 0 THEN 1 END)
          |   AS n_all_short
          |FROM t GROUP BY lang""".stripMargin,
+    "q115_skyline" -> {
+      val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(",")
+      s"""WITH t AS (SELECT lang, doc_id, n_chars, text, ${toksSql("text")} AS w FROM documents),
+         |f AS (
+         | SELECT lang, doc_id, n_chars,
+         |  ROUND((
+         |   LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) +
+         |   GREATEST(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |     ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |          / length(text) END) * 5.0) +
+         |   LEAST((CASE WHEN len(w) = 0 THEN 0.0
+         |     ELSE CAST(len(list_filter(w, t -> t IN ($stops))) AS DOUBLE)
+         |          / len(w) END) * 4.0, 1.0)
+         |  ) / 3.0, 6) AS quality
+         | FROM t),
+         |w2 AS (SELECT lang, doc_id, n_chars, quality,
+         |  MAX(quality) OVER (PARTITION BY lang ORDER BY n_chars
+         |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mq_longer,
+         |  MAX(quality) OVER (PARTITION BY lang ORDER BY n_chars
+         |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mq_geq
+         | FROM f)
+         |SELECT lang, doc_id, n_chars, quality FROM w2
+         |WHERE (mq_longer IS NULL OR mq_longer < quality) AND NOT (mq_geq > quality)""".stripMargin
+    },
+    "q116_spell_pairs" ->
+      s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS w FROM documents),
+         |vocab AS (SELECT w, COUNT(*) AS c FROM tok
+         |          WHERE length(w) >= 3 AND regexp_matches(w, '^[a-z]+$$')
+         |          GROUP BY w HAVING COUNT(*) >= 3),
+         |v AS (SELECT w, c, unnest(list_prepend(w, list_concat(
+         |   [substr(w,1,i-1)||substr(w,i+1) for i in range(1,length(w)+1)],
+         |   flatten([[substr(w,1,i-1)||substr(w,i+1,j-i-1)||substr(w,j+1)
+         |             for j in range(i+1,length(w)+1)] for i in range(1,length(w))])
+         |  ))) AS var FROM vocab),
+         |p AS (SELECT DISTINCT a.w AS w1, b.w AS w2, a.c AS c1, b.c AS c2
+         |      FROM v a JOIN v b ON a.var = b.var AND a.w < b.w)
+         |SELECT w1, w2, c1, c2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+         |FROM p WHERE levenshtein(w1, w2) <= 2""".stripMargin,
+    "q117_trigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |   (${fnvSql("text")} & 2147483647) % 100 AS bucket,
+         |   ${toksSql("text")} AS w
+         |  FROM documents),
+         |tr AS (SELECT w FROM d WHERE bucket < 80),
+         |te AS (SELECT doc_id, lang, w FROM d WHERE bucket >= 90),
+         |tri_tr AS (SELECT g, COUNT(*) AS c_uvw FROM
+         |  (SELECT unnest([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS g FROM tr)
+         |  GROUP BY g),
+         |bi_tr AS (SELECT b, COUNT(*) AS c_b FROM
+         |  (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b FROM tr)
+         |  GROUP BY b),
+         |uni_tr AS (SELECT u, COUNT(*) AS c_u FROM (SELECT unnest(w) AS u FROM tr) GROUP BY u),
+         |model AS (SELECT CAST(SUM(c_u) AS BIGINT) AS n_total, COUNT(*) AS v FROM uni_tr),
+         |tri AS (SELECT doc_id, g,
+         |   split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS prefix,
+         |   split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS suffix,
+         |   split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+         |  FROM (SELECT doc_id,
+         |        unnest([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]) AS g FROM te)),
+         |j AS (SELECT tri.doc_id,
+         |   CASE WHEN t3.c_uvw IS NOT NULL THEN 3
+         |        WHEN bs.c_b IS NOT NULL THEN 2 ELSE 1 END AS level,
+         |   CASE WHEN t3.c_uvw IS NOT NULL THEN LEAST((bp.c_b + m.v) // (t3.c_uvw + 1), 2147483647)
+         |        WHEN bs.c_b IS NOT NULL THEN LEAST((u2.c_u + m.v) // (bs.c_b + 1), 2147483647)
+         |        ELSE LEAST((m.n_total + m.v) // (COALESCE(u3.c_u, 0) + 1), 2147483647) END AS q
+         |  FROM tri
+         |  LEFT JOIN tri_tr t3 ON tri.g = t3.g
+         |  LEFT JOIN bi_tr bp ON tri.prefix = bp.b
+         |  LEFT JOIN bi_tr bs ON tri.suffix = bs.b
+         |  LEFT JOIN uni_tr u2 ON tri.w2 = u2.u
+         |  LEFT JOIN uni_tr u3 ON tri.w3 = u3.u
+         |  CROSS JOIN model m),
+         |h AS (SELECT doc_id, level,
+         |   CAST(length(bin(q * q)) - 1 AS BIGINT)
+         |     + CASE level WHEN 2 THEN 4 WHEN 1 THEN 8 ELSE 0 END AS hb
+         |  FROM j),
+         |pd AS (SELECT doc_id, CAST(SUM(hb) AS BIGINT) AS sum_hb, COUNT(*) AS n_tri,
+         |   COUNT(CASE WHEN level = 3 THEN 1 END) AS tri_hits,
+         |   COUNT(CASE WHEN level = 2 THEN 1 END) AS bi_hits,
+         |   COUNT(CASE WHEN level = 1 THEN 1 END) AS uni_hits
+         |  FROM h GROUP BY doc_id),
+         |f AS (SELECT te.lang,
+         |   CASE WHEN pd.doc_id IS NULL THEN 0.0
+         |        ELSE FLOOR(CAST(sum_hb AS DOUBLE) / (n_tri * 2) * 1e6) / 1e6 END AS surprisal,
+         |   COALESCE(tri_hits, 0) AS tri_hits, COALESCE(bi_hits, 0) AS bi_hits,
+         |   COALESCE(uni_hits, 0) AS uni_hits
+         |  FROM te LEFT JOIN pd ON te.doc_id = pd.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | ${davgSql("surprisal")} AS avg_surprisal,
+         | COUNT(CASE WHEN surprisal > 5.0 THEN 1 END) AS n_flagged,
+         | CAST(SUM(tri_hits) AS BIGINT) AS n_tri_hits,
+         | CAST(SUM(bi_hits) AS BIGINT) AS n_bi_hits,
+         | CAST(SUM(uni_hits) AS BIGINT) AS n_uni_hits
+         |FROM f GROUP BY lang""".stripMargin,
+    "q119_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+         | array_to_string(list_transform(list_sort(list(doc_id))[1:8],
+         |   x -> CAST(x AS VARCHAR)), ',') AS head_postings
+         |FROM tf GROUP BY term HAVING COUNT(*) >= 5""".stripMargin,
   )
 }

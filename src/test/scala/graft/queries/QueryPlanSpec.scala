@@ -90,7 +90,9 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       "q107_hybrid_retrieval", // composes q23's shortlist + q91's scalars — both legs' broadcasts
       "q110_mmr_diverse", // q23's broadcast-query shortlist feeds the greedy
       "q112_cms_topk", // 1-row sketch-array broadcast onto the top-20
-      "q114_collocations") // 1-row n_total scalar broadcast
+      "q114_collocations", // 1-row n_total scalar broadcast
+      "q117_trigram_lm", // 1-row (n_total, V) model broadcast
+      "q118_pagerank") // 1-row node-count scalar broadcast
     QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // physical planning only — no execution (q45 excepted: its
       // component loop runs at construction)
