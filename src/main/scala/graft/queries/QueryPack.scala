@@ -144,6 +144,7 @@ object QueryPack
     "q117_trigram_lm"       -> (trigramSurprisal _),
     "q118_pagerank"         -> (pagerank _),
     "q119_inverted_index"   -> (invertedIndex _),
+    "q120_kmv_rollup"       -> (kmvRollup _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -310,6 +310,45 @@ private[queries] trait TextQueries {
       .select(col("lang"), col("n_exact"), col("n_kmv"))
   }
 
+  /** Two-level KMV sketch rollup — the SKETCH-TABLE workflow q105's
+    * one-shot form doesn't exercise: per (lang, source) the portable
+    * `kmv_hashes` array (the ≤ k retained minimum hashes — what a
+    * production pipeline WRITES per partition/day), then per lang a
+    * `kmv_union` re-roll of the stored arrays into the summary sketch.
+    * The union's k minimum distinct hashes are provably contained in
+    * the union of per-group k-min lists, so the re-rolled estimate is
+    * BIT-EQUAL to q105's single-pass estimate at the same k — the
+    * invariant that lets a 100 TB corpus answer distinct-counts over
+    * arbitrary group unions from k·groups stored longs, never
+    * re-scanning raw data. The exact per-language count rides along as
+    * the gate.
+    *
+    * Engine shape: one corpus-scale aggregate (bounded ≤ 8k-byte state
+    * per group×partition), then a groups-sized aggregate over sketch
+    * arrays — the second level never touches the corpus.
+    */
+  def kmvRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{SketchAggregates, TextHashExpressions}
+    val k = 16 // below the ~31-token vocabulary so the estimator branch fires (q105)
+    val num = (k - 1).toDouble * math.pow(2, 64)
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
+    val perSource = toks.groupBy(col("lang"), col("source"))
+      .agg(SketchAggregates.kmvHashes(
+        TextHashExpressions.mix64(TextHashExpressions.fnv64(col("t"))), k).as("sk_hashes"))
+    val exact = toks.groupBy(col("lang")).agg(countDistinct(col("t")).as("n_exact"))
+    val unsignedKth = when(col("sk.kth") < 0,
+      col("sk.kth").cast("double") + lit(math.pow(2, 64)))
+      .otherwise(col("sk.kth").cast("double"))
+    perSource.groupBy(col("lang"))
+      .agg(SketchAggregates.kmvUnion(col("sk_hashes"), k).as("sk"),
+        count(lit(1)).as("n_sources"))
+      .join(exact, Seq("lang"))
+      .withColumn("n_kmv", when(col("sk.n") < k, col("sk.n").cast("long"))
+        .otherwise(floor(lit(num) / unsignedKth).cast("long")))
+      .select(col("lang"), col("n_sources"), col("n_exact"), col("n_kmv"))
+  }
+
   /** Count-min sketch heavy hitters — KMV's frequency-side sibling
     * (`cms_sketch`, a fixed 4×64-counter TypedImperativeAggregate):
     * token counts estimated from ONE 2 KiB mergeable array instead of a
@@ -1232,6 +1271,30 @@ private[queries] trait TextQueries {
          |        MAX(nh) AS nh
          |        FROM r WHERE rn <= $k GROUP BY lang)
          |SELECT ex.lang, ex.n_exact,
+         | CASE WHEN kth.nh < $k THEN kth.nh
+         |      ELSE CAST(FLOOR($num / (CAST(hk AS DOUBLE) +
+         |             CASE WHEN hk < 0 THEN $two64 ELSE 0.0 END)) AS BIGINT) END AS n_kmv
+         |FROM ex JOIN kth USING (lang)""".stripMargin
+    },
+    "q120_kmv_rollup" -> {
+      // the union of per-source k-min lists carries the language's
+      // global k minimum distinct hashes, so the oracle replays the
+      // rollup as q105's direct global order statistics + n_sources
+      val k = 16
+      val num = (k - 1).toDouble * math.pow(2, 64)
+      val two64 = math.pow(2, 64)
+      s"""WITH toks AS (SELECT lang, source, unnest(${toksSql("text")}) AS t FROM documents),
+         |ex AS (SELECT lang, COUNT(DISTINCT t) AS n_exact,
+         |       COUNT(DISTINCT source) AS n_sources FROM toks GROUP BY lang),
+         |hf AS (SELECT DISTINCT lang, ${fnvSql("t")} AS hraw FROM toks),
+         |hs AS (SELECT lang, ${mixSql("hraw")} AS hu FROM hf),
+         |r AS (SELECT lang, hu,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hu) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS nh FROM hs),
+         |kth AS (SELECT lang, MAX(CASE WHEN rn = $k THEN ${signedSql("hu")} END) AS hk,
+         |        MAX(nh) AS nh
+         |        FROM r WHERE rn <= $k GROUP BY lang)
+         |SELECT ex.lang, ex.n_sources, ex.n_exact,
          | CASE WHEN kth.nh < $k THEN kth.nh
          |      ELSE CAST(FLOOR($num / (CAST(hk AS DOUBLE) +
          |             CASE WHEN hk < 0 THEN $two64 ELSE 0.0 END)) AS BIGINT) END AS n_kmv

@@ -109,6 +109,183 @@ case class KmvSketch(
     copy(child = newChild)
 }
 
+/** Shared KMV buffer machinery: a bounded unsigned-ordered TreeSet of
+  * the k minimum hash values, with the byte layout both aggregates
+  * serialize through. */
+private[graft] object KmvState {
+  def newSet(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](new java.util.Comparator[java.lang.Long] {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    })
+
+  def add(buf: java.util.TreeSet[java.lang.Long], k: Int, h: Long): Unit = {
+    buf.add(h)
+    if (buf.size() > k) buf.pollLast()
+  }
+
+  def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = newSet()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+}
+
+/** [[KmvSketch]]'s PORTABLE form: the same k-minimum-values state, but
+  * eval returns the retained hashes themselves (unsigned-ascending
+  * `array<bigint>`, ≤ k elements) instead of the (n, kth) summary — the
+  * column you WRITE to a sketch table. A distinct-count sketch is only
+  * mergeable if what you store carries the order statistics, so
+  * per-partition/per-day rollups persist `kmv_hashes` once and answer
+  * any coarser-grained distinct query later by [[KmvUnion]] — without
+  * re-scanning the raw corpus. (The summary form can't be merged:
+  * max(kth) over groups is NOT the union's kth minimum.)
+  */
+case class KmvHashes(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "kmv_hashes: k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_hashes expects a bigint hash column, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    KmvState.newSet()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) KmvState.add(buf, k, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvState.add(buf, k, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvState.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvHashes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvHashes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvHashes =
+    copy(child = newChild)
+}
+
+/** KMV sketch UNION: aggregates stored [[KmvHashes]] arrays back into
+  * one sketch — the k minimum distinct hashes of the union — and
+  * returns the (n, kth) summary [[KmvSketch]] would have produced over
+  * the raw rows. The identity that makes sketch tables work: the
+  * union's k-mins are contained in the union of per-group k-min lists,
+  * so merging ≤ k·groups stored longs is EXACT-equivalent to
+  * re-scanning the corpus, at sketch cost. Input arrays need not be
+  * sorted or bounded by this k (a coarser re-roll with smaller k is
+  * valid); null arrays are ignored.
+  */
+case class KmvUnion(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "kmv_union: k must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("kth", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_union"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_union expects an array<bigint> sketch column, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    KmvState.newSet()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        KmvState.add(buf, k, arr.getLong(i))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvState.add(buf, k, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val row = new GenericInternalRow(2)
+    row.setInt(0, buf.size())
+    row.setLong(1, if (buf.isEmpty) 0L else buf.last())
+    row
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvState.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvUnion =
+    copy(child = newChild)
+}
+
 /** Count-min sketch over a 64-bit hash column — the mergeable FREQUENCY
   * estimator (Cormode–Muthukrishnan) that pairs with [[KmvSketch]]'s
   * distinct estimator: `depth × width` counters, row i bucketing by
@@ -214,6 +391,20 @@ object SketchAggregates {
   def kmvSketch(hash: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvSketch(ExpressionUtils.expression(hash), k).toAggregateExpression())
+
+  /** Column form: `kmvHashes(fnv64(col("t")), 64)` → array<bigint> of
+    * the ≤ k retained minimum hashes (unsigned-ascending) — the
+    * portable sketch column [[kmvUnion]] re-rolls. */
+  def kmvHashes(hash: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvHashes(ExpressionUtils.expression(hash), k).toAggregateExpression())
+
+  /** Column form: `kmvUnion(col("sketch"), 64)` over stored
+    * [[kmvHashes]] arrays → struct(n, kth), the same summary
+    * [[kmvSketch]] yields over the raw rows. */
+  def kmvUnion(sketch: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvUnion(ExpressionUtils.expression(sketch), k).toAggregateExpression())
 
   /** Column form: `cmsSketch(fnv64(col("t")), 4, 64)` → array of
     * depth·width counters (row-major). */

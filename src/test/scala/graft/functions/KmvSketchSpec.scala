@@ -100,4 +100,63 @@ class KmvSketchSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(est - exact) / exact.toDouble < 0.30,
       s"KMV estimate $est vs exact $exact outside the k=64 error band")
   }
+
+  // ------------------------------------------------ sketch-table re-roll
+  private def hashCol = TextHashExpressions.mix64(TextHashExpressions.fnv64($"t"))
+
+  test("kmv_union over stored kmv_hashes equals kmv_sketch over the raw rows") {
+    val toks = docs.select($"source",
+      explode(TextFunctions.tokens($"text")).as("t"))
+    for (k <- Seq(8, 16, 64)) {
+      val direct = toks
+        .agg(SketchAggregates.kmvSketch(hashCol, k).as("sk"))
+        .select($"sk.n", $"sk.kth").collect().head
+      val rerolled = toks
+        .groupBy($"source")
+        .agg(SketchAggregates.kmvHashes(hashCol, k).as("hs"))
+        .agg(SketchAggregates.kmvUnion($"hs", k).as("sk"))
+        .select($"sk.n", $"sk.kth").collect().head
+      assert(rerolled == direct,
+        s"k=$k: union of per-source sketches must be bit-equal to the direct sketch")
+    }
+  }
+
+  test("kmv_hashes is bounded by k, unsigned-ascending, distinct") {
+    val rows = docs.select(explode(TextFunctions.tokens($"text")).as("t"))
+      .agg(SketchAggregates.kmvHashes(hashCol, 16).as("hs"))
+      .select($"hs").collect().head.getSeq[Long](0)
+    assert(rows.length == 16)
+    assert(rows.distinct.length == rows.length)
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(java.lang.Long.compareUnsigned(a, b) < 0, "ascending unsigned order")
+    }
+  }
+
+  test("kmv_union re-rolls stored k=64 sketches down to a valid k=8 summary") {
+    // coarser re-roll: stored wide sketches answer narrower-k queries —
+    // the k=8 summary from k=64 arrays equals the direct k=8 sketch
+    val toks = docs.select($"source", explode(TextFunctions.tokens($"text")).as("t"))
+    val direct = toks.agg(SketchAggregates.kmvSketch(hashCol, 8).as("sk"))
+      .select($"sk.n", $"sk.kth").collect().head
+    val rerolled = toks.groupBy($"source")
+      .agg(SketchAggregates.kmvHashes(hashCol, 64).as("hs"))
+      .agg(SketchAggregates.kmvUnion($"hs", 8).as("sk"))
+      .select($"sk.n", $"sk.kth").collect().head
+    assert(rerolled == direct)
+  }
+
+  test("kmv_union is partition-invariant and ignores empty groups") {
+    val toks = docs.select($"doc_id" % 13 as "g",
+      explode(TextFunctions.tokens($"text")).as("t"))
+    val hs = toks.groupBy($"g").agg(SketchAggregates.kmvHashes(hashCol, 16).as("hs"))
+    val a = hs.agg(SketchAggregates.kmvUnion($"hs", 16)).collect().head
+    val b = hs.repartition(11).agg(SketchAggregates.kmvUnion($"hs", 16)).collect().head
+    assert(a == b)
+    // an all-empty input yields the (0, 0) empty sketch
+    val empty = Seq.empty[String].toDF("t")
+      .agg(SketchAggregates.kmvHashes(TextHashExpressions.fnv64($"t"), 16).as("hs"))
+      .agg(SketchAggregates.kmvUnion($"hs", 16).as("sk"))
+      .select($"sk.n", $"sk.kth").collect().head
+    assert(empty.getInt(0) == 0 && empty.getLong(1) == 0L)
+  }
 }
