@@ -242,7 +242,113 @@ private[queries] trait EventQueries {
       .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Funnel analysis — the product-analytics query the reference's
+    * Amplitude sink feeds downstream (SendsToAmplitude ships events TO
+    * Amplitude; this computes the funnel IN-engine): per user, the
+    * first 'view', the first 'click' STRICTLY AFTER that view, the
+    * first 'purchase' strictly after that click — per step, users
+    * reaching it and their mean seconds-from-funnel-start. Ordered
+    * semantics (each step must follow the PREVIOUS step's timestamp,
+    * not merely exist) is what separates a funnel from three counts.
+    *
+    * Engine shape: one filtered min-aggregate per step plus a per-user
+    * equi-join onto the previous step's frontier — every join keys on
+    * user_id (same hash partitioning reused down the cascade), and the
+    * per-step output is a 1-row aggregate. No window over the raw
+    * event stream, no per-user event sort.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelSteps(Tables.events(s, dir), Seq("view", "click", "purchase"))
+
+  /** [[funnel]]'s core over any ordered step list — exposed for the
+    * spec's hand-built event sequences. */
+  private[graft] def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tk"))
+      .withColumn("t1", col("tk"))
+    def stepRow(idx: Int, name: String, frontier: DataFrame): DataFrame =
+      frontier.agg(count(lit(1)).as("n_users"),
+          davg((col("tk").cast("long") - col("t1").cast("long")).cast("double"))
+            .as("avg_secs_from_start"))
+        .select(lit(idx.toLong).as("step_idx"), lit(name).as("step"),
+          col("n_users"), col("avg_secs_from_start"))
+    var out = stepRow(1, steps.head, cur)
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      cur = events.filter(col("event_type") === st)
+        .join(cur.select(col("user_id"), col("t1"), col("tk").as("t_prev")),
+          Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("tk"))
+      out = out.unionByName(stepRow(i + 1, st, cur))
+    }
+    out
+  }
+
+  /** Cohort retention — users bucketed by FIRST-ACTIVITY week (epoch
+    * weeks: floor(epoch/604800), no calendar/timezone ambiguity), then
+    * for each (cohort, week offset) the distinct users active that
+    * week and the cohort's retention in ppm. The second classic
+    * product-analytics read over the reference's event stream.
+    *
+    * Engine shape: activity de-dups to (user, week) FIRST (the corpus-
+    * scale reduction — everything after is user×week sized), cohorts
+    * are a per-user min, the sizes table is cohort-count sized and
+    * joins broadcast. All keys are user_id or cohort_week — two hash
+    * aggregates and two equi-joins, no window.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetentionEvents(Tables.events(s, dir))
+
+  /** [[cohortRetention]]'s core — exposed for the spec's planted
+    * cohort fixtures. Needs (user_id, ts). */
+  private[graft] def cohortRetentionEvents(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), floor(col("ts").cast("long") / lit(604800L)).as("week"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retention_ppm",
+        floor(col("n_active") * lit(1000000L) / col("cohort_size")).cast("long"))
+      .select(col("cohort_week").cast("long").as("cohort_week"), col("week_offset").cast("long").as("week_offset"),
+        col("n_active"), col("cohort_size"), col("retention_ppm"))
+  }
+
   private[queries] def eventOracles: Map[String, String] = Map(
+    "q121_funnel" ->
+      s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, s1.t1, MIN(e.ts) AS tk FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id, s1.t1),
+         |s3 AS (SELECT e.user_id, s2.t1, MIN(e.ts) AS tk FROM events e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.tk GROUP BY e.user_id, s2.t1)
+         |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, COUNT(*) AS n_users,
+         | ${davgSql("0.0")} AS avg_secs_from_start FROM s1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'click', COUNT(*),
+         | ${davgSql("CAST(floor(epoch(tk)) - floor(epoch(t1)) AS DOUBLE)")} FROM s2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*),
+         | ${davgSql("CAST(floor(epoch(tk)) - floor(epoch(t1)) AS DOUBLE)")} FROM s3""".stripMargin,
+    "q122_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+        |       FROM c GROUP BY cohort_week),
+        |a AS (SELECT c.cohort_week, ev.week - c.cohort_week AS week_offset,
+        |      COUNT(DISTINCT ev.user_id) AS n_active
+        |      FROM ev JOIN c ON ev.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.n_active, sz.cohort_size,
+        | CAST(FLOOR(a.n_active * 1000000 / sz.cohort_size) AS BIGINT) AS retention_ppm
+        |FROM a JOIN sz USING (cohort_week)""".stripMargin,
     "q10_event_window_sum" ->
       s"""SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,
          | event_type, ${dsumSql("value")} AS sum_value, COUNT(*) AS n_events

@@ -145,6 +145,8 @@ object QueryPack
     "q118_pagerank"         -> (pagerank _),
     "q119_inverted_index"   -> (invertedIndex _),
     "q120_kmv_rollup"       -> (kmvRollup _),
+    "q121_funnel"           -> (funnel _),
+    "q122_cohort_retention" -> (cohortRetention _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */
