@@ -381,6 +381,58 @@ private[queries] trait DedupQueries {
       .select(col("id").as("doc_id"), col("rank"))
   }
 
+  /** Source-to-source Jaccard from GROUP-LEVEL MinHash signatures —
+    * the similarity-side member of the mergeable-sketch family (KMV
+    * q105/q120 = distinct, CMS q112 = frequency, MinHash here =
+    * similarity): a corpus-level signature per source whose components
+    * are `min over the source's bigram-shingle hashes of
+    * splitmix64(h XOR seed_i)`. MIN distributes over set union, so
+    * per-shard signatures merge element-wise into exactly the
+    * corpus signature (the property `MinHashSpec` pins on the native
+    * per-doc expression) — the sketch-table shape again: store m longs
+    * per (source × shard), compare sources without ever joining their
+    * shingle sets. The exact Jaccard (intersection/union counts) rides
+    * along as the gate, with both ratios floored to integer ppm.
+    *
+    * Engine shape: the signature build is ONE hash aggregate whose
+    * projection computes the m=32 seeded mixes per row map-side (no
+    * row×m explosion); the pairwise compare runs over sources² rows of
+    * m longs — group-count-sized, never corpus-sized. The exact leg
+    * self-joins distinct (source, shingle-hash) pairs — the leg a
+    * 100 TB run drops once the estimator is trusted.
+    */
+  def sourceMinhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{CmsSketch, TextHashExpressions}
+    val m = 32
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+      .select(col("source"), TextHashExpressions.fnv64(col("g")).as("h"))
+      .distinct()
+    val sigCols = (0 until m).map { i =>
+      min(TextHashExpressions.mix64(
+        col("h").bitwiseXOR(lit(CmsSketch.rowSeed(i))))).as(s"m$i")
+    }
+    val sig = sh.groupBy(col("source")).agg(sigCols.head, sigCols.tail: _*)
+    val est = sig.as("a").join(sig.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src1"), col("b.source").as("src2"),
+        expr(s"CAST((${(0 until m).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")}) * 1000000 div $m AS BIGINT)").as("est_ppm"))
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src1"), col("y.source").as("src2"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("src1", "src2"), "left")
+      .join(sizes.select(col("source").as("src1"), col("n").as("n1")), Seq("src1"))
+      .join(sizes.select(col("source").as("src2"), col("n").as("n2")), Seq("src2"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .withColumn("exact_ppm", expr("CAST(n_inter * 1000000 div n_union AS BIGINT)"))
+      .select(col("src1"), col("src2"), col("n_inter"), col("n_union"),
+        col("exact_ppm"), col("est_ppm"))
+  }
+
   /** [[pagerank]]'s iteration core over ANY (src, dst) edge list —
     * exposed for the spec's hand-walked graphs. Integer mass: total
     * 10¹², `base = S div n`, damping 0.85 via `div 100` arithmetic.
@@ -408,6 +460,37 @@ private[queries] trait DedupQueries {
   }
 
   private[queries] def dedupOracles: Map[String, String] = Map(
+    "q123_source_minhash" -> {
+      val m = 32
+      val seeds = (0 until m).map(i => java.lang.Long.toUnsignedString(
+        org.apache.spark.sql.graft.CmsSketch.rowSeed(i)))
+      val xCols = seeds.zipWithIndex.map { case (sd, i) =>
+        s"xor(h, CAST('$sd' AS UBIGINT)) AS x$i" }.mkString(", ")
+      val minCols = (0 until m).map(i =>
+        s"MIN(${signedSql(mixSql(s"x$i"))}) AS m$i").mkString(", ")
+      val matchSum = (0 until m).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH bg AS (SELECT source,
+         |   unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+         |  FROM (SELECT source, ${toksSql("text")} AS w FROM documents)),
+         |sh AS (SELECT DISTINCT source, ${fnvSql("g")} AS h FROM bg),
+         |xs AS (SELECT source, $xCols FROM sh),
+         |sig AS (SELECT source, $minCols FROM xs GROUP BY source),
+         |est AS (SELECT a.source AS src1, b.source AS src2,
+         |   CAST(($matchSum) * 1000000 // $m AS BIGINT) AS est_ppm
+         |  FROM sig a JOIN sig b ON a.source < b.source),
+         |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+         |itr AS (SELECT x.source AS src1, y.source AS src2, COUNT(*) AS n_inter
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2)
+         |SELECT est.src1, est.src2,
+         | COALESCE(itr.n_inter, 0) AS n_inter,
+         | s1.n + s2.n - COALESCE(itr.n_inter, 0) AS n_union,
+         | CAST(COALESCE(itr.n_inter, 0) * 1000000
+         |      // (s1.n + s2.n - COALESCE(itr.n_inter, 0)) AS BIGINT) AS exact_ppm,
+         | est.est_ppm
+         |FROM est LEFT JOIN itr ON est.src1 = itr.src1 AND est.src2 = itr.src2
+         |JOIN sz s1 ON est.src1 = s1.source JOIN sz s2 ON est.src2 = s2.source""".stripMargin
+    },
     "q118_pagerank" ->
       s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
          |e AS (SELECT src, dst FROM (

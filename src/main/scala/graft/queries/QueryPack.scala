@@ -147,6 +147,7 @@ object QueryPack
     "q120_kmv_rollup"       -> (kmvRollup _),
     "q121_funnel"           -> (funnel _),
     "q122_cohort_retention" -> (cohortRetention _),
+    "q123_source_minhash"   -> (sourceMinhash _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */
