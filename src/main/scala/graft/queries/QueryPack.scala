@@ -148,6 +148,7 @@ object QueryPack
     "q121_funnel"           -> (funnel _),
     "q122_cohort_retention" -> (cohortRetention _),
     "q123_source_minhash"   -> (sourceMinhash _),
+    "q124_hist_quantile"    -> (histQuantile _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

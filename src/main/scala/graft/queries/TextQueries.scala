@@ -349,6 +349,79 @@ private[queries] trait TextQueries {
       .select(col("lang"), col("n_sources"), col("n_exact"), col("n_kmv"))
   }
 
+  /** Quantiles from a mergeable histogram sketch — the DISTRIBUTION
+    * member of the sketch-table family (KMV q105/q120 = distinct, CMS
+    * q112 = frequency, group-MinHash q123 = similarity): per
+    * (lang, source) a fixed 64-bin equi-width count array over
+    * `n_chars` (`hist_sketch` — what a production pipeline WRITES per
+    * partition/day), re-rolled per language by `hist_merge`
+    * (element-wise addition, so the rollup is BIT-equal to a
+    * single-pass sketch over the raw rows — counts are additive over
+    * disjoint row sets). p50/p95 are then read from cumulative counts
+    * with rank interpolation inside the landing bin, ENTIRELY in
+    * integer `div` arithmetic (micro units), so the estimate replays
+    * exactly in SQL — unlike t-digest/KLL there is no float to drift.
+    * The exact rank statistics (the ceil(q·n)-th smallest values) ride
+    * along as the gate; `HistSketchSpec` pins |est − exact| ≤ width.
+    *
+    * Engine shape: one corpus-scale partial aggregate (512-byte state
+    * per group×partition), a groups-sized re-roll that never touches
+    * the corpus, and a nBins-sized read side — where the exact leg
+    * sorts every row per group. At 100 TB the exact leg is dropped and
+    * arbitrary group-union quantiles are answered from k·groups stored
+    * longs.
+    */
+  def histQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.SketchAggregates
+    val (lo, w, nBins) = (0L, 16L, 64)
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+    // level 1: the stored sketch table — one 512-byte array per (lang, source)
+    val perSource = docs.groupBy(col("lang"), col("source"))
+      .agg(SketchAggregates.histSketch(col("n_chars"), lo, w, nBins).as("hist"))
+    // level 2: re-roll per lang from stored arrays (corpus never re-read)
+    val rolled = perSource.groupBy(col("lang"))
+      .agg(SketchAggregates.histMerge(col("hist"), nBins).as("hist"),
+           count(lit(1)).as("n_sources"))
+    val bins = rolled.select(col("lang"), col("n_sources"),
+      posexplode(col("hist")).as(Seq("bin", "cnt")))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r95", expr("(19 * n + 19) div 20"))
+    // landing bin per quantile: smallest non-empty bin with cum ≥ rank
+    // (struct min is lexicographic and bin leads, so min picks it)
+    def landing(r: org.apache.spark.sql.Column) =
+      min(when(col("cum") >= r && col("cnt") > 0,
+        struct(col("bin"), (col("cum") - col("cnt")).as("cb"), col("cnt").as("c"))))
+    val picked = cum.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"), max(col("n_sources")).as("n_sources"),
+           max(col("r50")).as("r50"), max(col("r95")).as("r95"),
+           landing(col("r50")).as("b50"), landing(col("r95")).as("b95"))
+      .withColumn("p50_hist_micro",
+        (lit(lo) + col("b50.bin") * lit(w)) * lit(1000000L) +
+          expr(s"(${w * 1000000L} * (r50 - b50.cb)) div b50.c"))
+      .withColumn("p95_hist_micro",
+        (lit(lo) + col("b95.bin") * lit(w)) * lit(1000000L) +
+          expr(s"(${w * 1000000L} * (r95 - b95.cb)) div b95.c"))
+    // exact leg (the gate a 100 TB run drops): value at rank ceil(q·n)
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = docs.withColumn("rn", row_number().over(wRank))
+    val e50 = ranked.join(picked.select(col("lang"), col("r50")), Seq("lang"))
+      .filter(col("rn") === col("r50"))
+      .select(col("lang"), col("n_chars").as("p50_exact"))
+    val e95 = ranked.join(picked.select(col("lang"), col("r95")), Seq("lang"))
+      .filter(col("rn") === col("r95"))
+      .select(col("lang"), col("n_chars").as("p95_exact"))
+    picked.join(e50, Seq("lang")).join(e95, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        col("p50_exact"), col("p50_hist_micro"),
+        col("p95_exact"), col("p95_hist_micro"))
+  }
+
   /** Count-min sketch heavy hitters — KMV's frequency-side sibling
     * (`cms_sketch`, a fixed 4×64-counter TypedImperativeAggregate):
     * token counts estimated from ONE 2 KiB mergeable array instead of a
@@ -1212,6 +1285,48 @@ private[queries] trait TextQueries {
   }
 
   private[queries] def textOracles: Map[String, String] = Map(
+    "q124_hist_quantile" -> {
+      // element-wise addition makes the (lang, source) → lang rollup
+      // bit-equal to direct per-lang bin counts, so the oracle replays
+      // the two-level workflow as one pass (same identity as q120)
+      val (w, nBins) = (16L, 64)
+      s"""WITH d AS (SELECT lang, source, doc_id, n_chars FROM documents),
+         |c AS (SELECT lang, COUNT(*) AS n,
+         |      COUNT(DISTINCT source) AS n_sources FROM d GROUP BY lang),
+         |r AS (SELECT lang, n, n_sources,
+         |      (n + 1) // 2 AS r50, (19 * n + 19) // 20 AS r95 FROM c),
+         |b AS (SELECT lang,
+         |      LEAST(GREATEST(n_chars // $w, 0), ${nBins - 1}) AS bin FROM d),
+         |bc AS (SELECT lang, bin, COUNT(*) AS cnt FROM b GROUP BY lang, bin),
+         |cu AS (SELECT lang, bin, cnt,
+         |       SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM bc),
+         |s50 AS (SELECT cu.lang, bin, cnt, cum - cnt AS cb,
+         |        ROW_NUMBER() OVER (PARTITION BY cu.lang ORDER BY bin) AS k
+         |        FROM cu JOIN r USING (lang) WHERE cum >= r50 AND cnt > 0),
+         |s95 AS (SELECT cu.lang, bin, cnt, cum - cnt AS cb,
+         |        ROW_NUMBER() OVER (PARTITION BY cu.lang ORDER BY bin) AS k
+         |        FROM cu JOIN r USING (lang) WHERE cum >= r95 AND cnt > 0),
+         |rk AS (SELECT lang, n_chars,
+         |       ROW_NUMBER() OVER (PARTITION BY lang
+         |                          ORDER BY n_chars, doc_id) AS rn FROM d),
+         |e50 AS (SELECT rk.lang, n_chars AS p50_exact
+         |        FROM rk JOIN r USING (lang) WHERE rn = r50),
+         |e95 AS (SELECT rk.lang, n_chars AS p95_exact
+         |        FROM rk JOIN r USING (lang) WHERE rn = r95)
+         |SELECT r.lang, r.n AS n_docs, r.n_sources,
+         | e50.p50_exact,
+         | CAST(f50.bin * $w * 1000000 +
+         |      (${w * 1000000L} * (r.r50 - f50.cb)) // f50.cnt AS BIGINT)
+         |   AS p50_hist_micro,
+         | e95.p95_exact,
+         | CAST(f95.bin * $w * 1000000 +
+         |      (${w * 1000000L} * (r.r95 - f95.cb)) // f95.cnt AS BIGINT)
+         |   AS p95_hist_micro
+         |FROM r
+         |JOIN (SELECT * FROM s50 WHERE k = 1) f50 USING (lang)
+         |JOIN (SELECT * FROM s95 WHERE k = 1) f95 USING (lang)
+         |JOIN e50 USING (lang) JOIN e95 USING (lang)""".stripMargin
+    },
     "q99_c4_filter" -> {
       val stops = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
       s"""WITH t AS (SELECT lang, text, ${toksSql("text")} AS w FROM documents),

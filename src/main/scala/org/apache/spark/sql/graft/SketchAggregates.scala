@@ -386,6 +386,165 @@ object CmsSketch {
     (TextHashOps.mix64(h ^ rowSeed(i)) & (width - 1)).toInt
 }
 
+/** Equi-width histogram sketch over a bigint value column — the
+  * mergeable DISTRIBUTION estimator that completes the sketch-table
+  * family (KMV = distinct, CMS = frequency, group-MinHash = similarity,
+  * this = quantiles): a fixed array of `nBins` counters where value v
+  * increments bin `clamp((v − lo) div width, 0, nBins−1)` (floor
+  * division, so values below `lo` clamp to bin 0 and overflow clamps to
+  * the last bin — the clamps are part of the definition and replay in
+  * SQL). Any quantile is then answered from the cumulative counts with
+  * rank interpolation inside the landing bin, error bounded by `width`.
+  *
+  * Per-group state is a FIXED `nBins·8`-byte array merging by
+  * element-wise addition — a quantile over a billion rows shuffles one
+  * small array per (group × partition) where exact percentiles shuffle
+  * (or sort) every row. Every count is an integer, so unlike t-digest/
+  * KLL the whole estimator replays exactly in ANSI SQL.
+  */
+case class HistSketch(
+    child: Expression,
+    lo: Long,
+    width: Long,
+    nBins: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(width > 0, s"hist_sketch: width must be positive, got $width")
+  require(nBins > 0 && nBins <= 65536,
+    s"hist_sketch: nBins must be in [1,65536], got $nBins")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hist_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hist_sketch expects a bigint value column, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBins)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val b = Math.floorDiv(v.asInstanceOf[Long] - lo, width)
+      val clamped = if (b < 0L) 0 else if (b >= nBins) nBins - 1 else b.toInt
+      buf(clamped) += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](nBins)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistSketch =
+    copy(child = newChild)
+}
+
+/** Histogram sketch UNION: aggregates stored [[HistSketch]] arrays by
+  * element-wise addition — counts are additive over disjoint row sets,
+  * so re-rolling per-group sketch arrays is EXACT-equal to a single
+  * pass over the union's raw rows (bit-equal, not approximately: the
+  * sketch-table identity [[KmvUnion]] has for order statistics holds
+  * trivially here). Input arrays must all have `nBins` elements; null
+  * arrays are ignored; an empty group yields all-zero counts.
+  */
+case class HistMerge(
+    child: Expression,
+    nBins: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(nBins > 0 && nBins <= 65536,
+    s"hist_merge: nBins must be in [1,65536], got $nBins")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hist_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hist_merge expects an array<bigint> sketch column, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBins)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == nBins,
+        s"hist_merge: expected $nBins bins, got an array of ${arr.numElements()}")
+      var i = 0
+      while (i < nBins) { buf(i) += arr.getLong(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](nBins)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistMerge =
+    copy(child = newChild)
+}
+
 object SketchAggregates {
   /** Column form: `kmvSketch(fnv64(col("t")), 64)` → struct(n, kth). */
   def kmvSketch(hash: Column, k: Int): Column =
@@ -405,6 +564,22 @@ object SketchAggregates {
   def kmvUnion(sketch: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvUnion(ExpressionUtils.expression(sketch), k).toAggregateExpression())
+
+  /** Column form: `histSketch(col("n_chars"), 0, 16, 64)` → array of
+    * nBins counters — the portable distribution sketch [[histMerge]]
+    * re-rolls. */
+  def histSketch(value: Column, lo: Long, width: Long, nBins: Int): Column =
+    ExpressionUtils.column(
+      HistSketch(ExpressionUtils.expression(value), lo, width, nBins)
+        .toAggregateExpression())
+
+  /** Column form: `histMerge(col("hist"), 64)` over stored [[histSketch]]
+    * arrays → the element-wise-summed union sketch, bit-equal to a
+    * single-pass [[histSketch]] over the union's raw rows. */
+  def histMerge(sketch: Column, nBins: Int): Column =
+    ExpressionUtils.column(
+      HistMerge(ExpressionUtils.expression(sketch), nBins)
+        .toAggregateExpression())
 
   /** Column form: `cmsSketch(fnv64(col("t")), 4, 64)` → array of
     * depth·width counters (row-major). */

@@ -92,7 +92,8 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       "q112_cms_topk", // 1-row sketch-array broadcast onto the top-20
       "q114_collocations", // 1-row n_total scalar broadcast
       "q117_trigram_lm", // 1-row (n_total, V) model broadcast
-      "q118_pagerank") // 1-row node-count scalar broadcast
+      "q118_pagerank", // 1-row node-count scalar broadcast
+      "q123_source_minhash") // sources² signature compare — group-count-sized, never corpus-sized
     QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // physical planning only — no execution (q45 excepted: its
       // component loop runs at construction)
