@@ -149,6 +149,7 @@ object QueryPack
     "q122_cohort_retention" -> (cohortRetention _),
     "q123_source_minhash"   -> (sourceMinhash _),
     "q124_hist_quantile"    -> (histQuantile _),
+    "q125_scd2"             -> (scd2Orders _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

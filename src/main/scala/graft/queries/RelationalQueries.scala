@@ -369,7 +369,66 @@ private[queries] trait RelationalQueries {
           .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all")))
   }
 
+  /** CDC table maintenance over the orders log — [[graft.operators.Cdc]]
+    * end to end: orders replay as a per-customer update stream (key =
+    * o_custkey, version = o_orderdate, tie-break = o_orderkey;
+    * finalized orders with key ≡ 0 mod 9 synthesize deterministic
+    * tombstones), from which the query derives BOTH maintained forms —
+    * the SCD-type-2 history (validity intervals: n_versions / n_closed
+    * per key) and the latest-wins compacted snapshot (current price /
+    * status / valid-from; a key whose newest change is a delete is
+    * absent ⇒ is_deleted). An older delete followed by a newer upsert
+    * resurrects the key — the MERGE semantics the oracle replays.
+    *
+    * Scale shape: both forms are ONE shuffle on the key (window per
+    * key); the custkey slice commutes with the per-key windows (it
+    * filters whole partitions), so it applies at the scan — at 100 TB
+    * the same plan runs unsliced over a bucketed log as a zero-shuffle
+    * per-bucket sort, which is exactly Delta/Iceberg MERGE compaction.
+    */
+  def scd2Orders(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 100 === 0) // commutes with per-key windows
+      .withColumn("op",
+        when(col("o_orderstatus") === "F" && col("o_orderkey") % 9 === 0, "D")
+          .otherwise("U"))
+    val hist = graft.operators.Cdc.scd2(
+      log, Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_versions"),
+           count(col("valid_to")).as("n_closed"))
+    val snap = graft.operators.Cdc.applyChanges(
+      log, Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("op"))
+      .select(col("o_custkey").as("custkey"),
+        col("o_totalprice").as("cur_price"),
+        col("o_orderstatus").as("cur_status"),
+        unix_timestamp(col("o_orderdate")).as("cur_from"))
+    hist.join(snap, Seq("custkey"), "left")
+      .withColumn("is_deleted", col("cur_from").isNull)
+      .select(col("custkey"), col("n_versions"), col("n_closed"),
+        col("cur_price"), col("cur_status"), col("cur_from"), col("is_deleted"))
+  }
+
   private[queries] def relationalOracles: Map[String, String] = Map(
+    "q125_scd2" ->
+      s"""WITH u AS (SELECT o_custkey AS k, o_orderdate AS v,
+         |  o_orderkey AS tk, o_totalprice AS price, o_orderstatus AS status,
+         |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 9 = 0
+         |       THEN 'D' ELSE 'U' END AS op
+         | FROM orders WHERE o_custkey % 100 = 0),
+         |h AS (SELECT *, LEAD(v) OVER (PARTITION BY k ORDER BY v, tk)
+         |      AS valid_to FROM u),
+         |agg AS (SELECT k, COUNT(*) AS n_versions,
+         |        COUNT(valid_to) AS n_closed FROM h GROUP BY k),
+         |newest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+         |  (PARTITION BY k ORDER BY v DESC, tk DESC) AS rn FROM u)
+         |  WHERE rn = 1),
+         |snap AS (SELECT k, price, status, v FROM newest WHERE op <> 'D')
+         |SELECT agg.k AS custkey, agg.n_versions, agg.n_closed,
+         | snap.price AS cur_price, snap.status AS cur_status,
+         | CAST(epoch(snap.v) AS BIGINT) AS cur_from,
+         | snap.k IS NULL AS is_deleted
+         |FROM agg LEFT JOIN snap ON agg.k = snap.k""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${dsumSql("l_quantity")} AS sum_qty,
