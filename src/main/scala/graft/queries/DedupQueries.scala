@@ -363,11 +363,20 @@ private[queries] trait DedupQueries {
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val nRow = docs.agg(count(lit(1)).as("n"))
-    // deterministic link graph with real structure: one shuffled
-    // "random surfer" link (affine bijection), one HUB link (first
-    // tenth of ids absorb 10× in-degree — the host-concentration
-    // pattern real crawls have), one quadratic link (varying fan-in)
-    val edges = docs.crossJoin(broadcast(nRow))
+    pagerankRanks(docs, nRow, linkEdges(docs, nRow), iters = 3)
+      .orderBy(col("rank").desc, col("id").asc).limit(20)
+      .select(col("id").as("doc_id"), col("rank"))
+  }
+
+  /** The deterministic document link graph q118/q126 share — real
+    * structure so graph operators face real shapes: one shuffled
+    * "random surfer" link (affine bijection), one HUB link (first tenth
+    * of ids absorb 10× in-degree — the host-concentration pattern real
+    * crawls have), one quadratic link (varying fan-in). Derived purely
+    * from doc_id so the oracle replays the identical graph.
+    */
+  private[graft] def linkEdges(docs: DataFrame, nRow: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(nRow))
       .select(col("doc_id").as("src"), col("n"),
         explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
       .withColumn("dst",
@@ -376,9 +385,27 @@ private[queries] trait DedupQueries {
           .otherwise(pmod(col("src") * col("src") + 7, col("n"))))
       .filter(col("dst") =!= col("src"))
       .select(col("src"), col("dst"))
-    pagerankRanks(docs, nRow, edges, iters = 3)
-      .orderBy(col("rank").desc, col("id").asc).limit(20)
-      .select(col("id").as("doc_id"), col("rank"))
+
+  /** Triangle counting over the document link graph —
+    * [[graft.operators.Graph]]'s degree-oriented enumeration (the
+    * clustering-coefficient / community-density signal crawl curation
+    * ranks hosts by, and PageRank's structural sibling: q118 measures
+    * flow centrality, this measures closure). The top-15 nodes by
+    * triangle participation, count-then-id ordered; the oracle replays
+    * graph, orientation, wedge join and closing-edge join verbatim.
+    *
+    * Scale shape: orientation bounds wedge fan-out by the lower-degree
+    * endpoint, so candidates number Σ outdeg² ≤ m^{3/2} instead of the
+    * hub-quadratic Σ deg² — every join an equi-join, the final top-15 a
+    * TakeOrdered, no nested loop anywhere.
+    */
+  def triangleTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val und = graft.operators.Graph.undirected(linkEdges(docs, nRow), "src", "dst")
+    graft.operators.Graph.triangleCounts(und)
+      .orderBy(col("n_tri").desc, col("id").asc).limit(15)
+      .select(col("id").as("doc_id"), col("n_tri"))
   }
 
   /** Source-to-source Jaccard from GROUP-LEVEL MinHash signatures —
@@ -491,6 +518,32 @@ private[queries] trait DedupQueries {
          |FROM est LEFT JOIN itr ON est.src1 = itr.src1 AND est.src2 = itr.src2
          |JOIN sz s1 ON est.src1 = s1.source JOIN sz s2 ON est.src2 = s2.source""".stripMargin
     },
+    "q126_triangles" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |e0 AS (SELECT src, dst FROM (
+         |   SELECT doc_id AS src,
+         |    CASE WHEN j = 1 THEN (doc_id * 31 + 17) % n
+         |         WHEN j = 2 THEN doc_id % GREATEST(n // 10, 1)
+         |         ELSE (doc_id * doc_id + 7) % n END AS dst
+         |   FROM documents CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
+         |  WHERE dst <> src),
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |        FROM e0),
+         |deg AS (SELECT id, COUNT(*) AS d FROM (
+         |   SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+         |  GROUP BY id),
+         |o AS (SELECT
+         |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+         |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t,
+         |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dt
+         |  FROM und JOIN deg du ON und.u = du.id JOIN deg dv ON und.v = dv.id),
+         |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+         |      FROM o e1 JOIN o e2 ON e1.s = e2.s
+         |      WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+         |tri AS (SELECT a, b, c FROM w JOIN o ON w.b = o.s AND w.c = o.t),
+         |x AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         |SELECT doc_id, COUNT(*) AS n_tri FROM x GROUP BY doc_id
+         |ORDER BY n_tri DESC, doc_id ASC LIMIT 15""".stripMargin,
     "q118_pagerank" ->
       s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
          |e AS (SELECT src, dst FROM (

@@ -150,6 +150,7 @@ object QueryPack
     "q123_source_minhash"   -> (sourceMinhash _),
     "q124_hist_quantile"    -> (histQuantile _),
     "q125_scd2"             -> (scd2Orders _),
+    "q126_triangles"        -> (triangleTop _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */
