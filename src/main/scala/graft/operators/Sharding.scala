@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CmsSketch, TextHashExpressions}
+
+/** Rendezvous (highest-random-weight) sharding — consistent shard
+  * assignment for incremental pipelines: id goes to the shard s whose
+  * weight `mix64(id XOR seed_s)` is the unsigned maximum (seeds are the
+  * sketch family's splitmix row seeds, so the whole assignment replays
+  * in SQL). The HRW property that modulo hashing lacks: growing N → N+1
+  * shards moves ONLY the keys whose new-shard weight wins — every
+  * surviving shard's key set is a superset-invariant (no key ever moves
+  * BETWEEN old shards), so expanding a 1000-shard corpus layout
+  * re-shuffles 1/(N+1) of 100 TB instead of (N−1)/N of it, and every
+  * mover is a pure function of (id, N) — no coordination, no lookup
+  * table, no driver state.
+  *
+  * Pure column arithmetic (N structs + one array_max), codegen-friendly
+  * and map-side; ties (a mix64 collision across two seeds for the same
+  * id) resolve deterministically to the higher shard index via the
+  * struct's lexicographic max.
+  */
+object Sharding {
+
+  /** The HRW shard of `id` among `nShards`, as a column expression. */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards > 0 && nShards <= 4096,
+      s"rendezvousShard: nShards must be in [1,4096], got $nShards")
+    // unsigned order of mix64 == signed order of (mix64 XOR Long.MinValue)
+    val legs = (0 until nShards).map { s =>
+      struct(
+        TextHashExpressions.mix64(id.bitwiseXOR(lit(CmsSketch.rowSeed(s))))
+          .bitwiseXOR(lit(Long.MinValue)).as("w"),
+        lit(s).as("s"))
+    }
+    array_max(array(legs: _*)).getField("s")
+  }
+}

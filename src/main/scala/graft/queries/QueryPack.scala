@@ -151,6 +151,7 @@ object QueryPack
     "q124_hist_quantile"    -> (histQuantile _),
     "q125_scd2"             -> (scd2Orders _),
     "q126_triangles"        -> (triangleTop _),
+    "q127_rendezvous_shards" -> (rendezvousShards _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

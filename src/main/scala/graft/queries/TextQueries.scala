@@ -422,6 +422,30 @@ private[queries] trait TextQueries {
         col("p95_exact"), col("p95_hist_micro"))
   }
 
+  /** Rendezvous (HRW) shard layout under expansion —
+    * [[graft.operators.Sharding]] over the corpus at N=8 and N=9
+    * shards: per new-layout shard, the doc count and how many docs
+    * MOVED. The HRW invariant this exhibits (and `ShardingSpec` proves
+    * key-by-key): growing N → N+1 moves only keys won by the NEW shard
+    * — n_moved is 0 for every surviving shard and ≈ n/(N+1) for the
+    * new one, where modulo hashing would re-home (N−1)/N of the corpus.
+    * That is the difference between re-shuffling 11% and 89% of 100 TB
+    * when a shard is added to the layout.
+    *
+    * Scale shape: pure map-side column arithmetic (N seeded mixes + one
+    * array_max per row) feeding one aggregate — no join, no lookup
+    * table, no driver state; assignment is a pure function of (id, N),
+    * so producers and consumers agree without coordination.
+    */
+  def rendezvousShards(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+        graft.operators.Sharding.rendezvousShard(col("doc_id"), 8).as("s8"),
+        graft.operators.Sharding.rendezvousShard(col("doc_id"), 9).as("s9"))
+      .groupBy(col("s9").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("s8") =!= col("s9"), 1)).as("n_moved"))
+      .select(col("shard"), col("n_docs"), col("n_moved"))
+
   /** Count-min sketch heavy hitters — KMV's frequency-side sibling
     * (`cms_sketch`, a fixed 4×64-counter TypedImperativeAggregate):
     * token counts estimated from ONE 2 KiB mergeable array instead of a
@@ -1285,6 +1309,29 @@ private[queries] trait TextQueries {
   }
 
   private[queries] def textOracles: Map[String, String] = Map(
+    "q127_rendezvous_shards" -> {
+      // the engine's array_max over (w, s) structs == unsigned-max weight
+      // with ties to the higher shard index: ORDER BY w DESC, j DESC
+      val seeds = (0 until 9).map(i => java.lang.Long.toUnsignedString(
+        org.apache.spark.sql.graft.CmsSketch.rowSeed(i)))
+      val xCols = seeds.zipWithIndex.map { case (sd, j) =>
+        s"xor(CAST(doc_id AS UBIGINT), CAST('$sd' AS UBIGINT)) AS x$j" }.mkString(", ")
+      val legs = (0 until 9).map(j =>
+        s"SELECT doc_id, $j AS j, ${mixSql(s"x$j")} AS w FROM hx").mkString(" UNION ALL ")
+      s"""WITH hx AS (SELECT doc_id, $xCols FROM documents),
+         |l AS ($legs),
+         |a9 AS (SELECT doc_id, j AS s9 FROM (
+         |  SELECT doc_id, j, ROW_NUMBER() OVER
+         |    (PARTITION BY doc_id ORDER BY w DESC, j DESC) AS rn FROM l)
+         | WHERE rn = 1),
+         |a8 AS (SELECT doc_id, j AS s8 FROM (
+         |  SELECT doc_id, j, ROW_NUMBER() OVER
+         |    (PARTITION BY doc_id ORDER BY w DESC, j DESC) AS rn FROM l WHERE j < 8)
+         | WHERE rn = 1)
+         |SELECT a9.s9 AS shard, COUNT(*) AS n_docs,
+         | COUNT(CASE WHEN a8.s8 <> a9.s9 THEN 1 END) AS n_moved
+         |FROM a9 JOIN a8 USING (doc_id) GROUP BY a9.s9""".stripMargin
+    },
     "q124_hist_quantile" -> {
       // element-wise addition makes the (lang, source) → lang rollup
       // bit-equal to direct per-lang bin counts, so the oracle replays
