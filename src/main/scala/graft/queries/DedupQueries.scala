@@ -68,6 +68,44 @@ private[queries] trait DedupQueries {
       .select(col("node").as("doc_id"), col("cluster_id"))
   }
 
+  /** Split-leakage audit — near-dup clusters (q45's graph) crossed with
+    * the content-hash train/valid/test split (q46's buckets): every
+    * cluster whose members land in ≥ 2 splits is TRAIN/EVAL
+    * CONTAMINATION that exact-match decontamination (q55/q94) cannot
+    * see, because near-duplicates hash to different buckets by
+    * construction (they differ in text, so the split hash is
+    * independent of cluster membership — two near-dups co-split with
+    * probability 0.8² + 0.1² + 0.1² = 0.66, i.e. a third of 2-doc
+    * clusters leak). The audit is the reason curation pipelines dedup
+    * BEFORE splitting ([[graft.pipelines.CurationPipeline]] orders its
+    * stages exactly so); its output is the leak list a pipeline must
+    * drive to zero rows.
+    *
+    * Scale shape: the cluster side is q45's bounded slice; the split is
+    * one map-side hash; the audit itself is an id equi-join + a
+    * cluster-keyed aggregate — at full corpus the same plan runs over
+    * the near-dup pair output the pipeline already materializes.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", shingleSize = 2, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    val split = docs.select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+    clusters.join(split, clusters("node") === split("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("split")).as("n_splits"),
+           concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
+      .filter(col("n_splits") >= 2)
+      .select(col("cluster_id"), col("n_docs"), col("n_splits"), col("splits"))
+  }
+
   /** Normalize-then-dedup: lowercase, punctuation→space, collapsed
     * whitespace — the canonicalization pass that catches trivially-edited
     * duplicates exact hashing misses.
@@ -518,6 +556,36 @@ private[queries] trait DedupQueries {
          |FROM est LEFT JOIN itr ON est.src1 = itr.src1 AND est.src2 = itr.src2
          |JOIN sz s1 ON est.src1 = s1.source JOIN sz s2 ON est.src2 = s2.source""".stripMargin
     },
+    "q128_split_leakage" ->
+      s"""WITH RECURSIVE t AS (
+         | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         | FROM documents WHERE doc_id < 1000),
+         |d AS (
+         | SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+         | FROM t),
+         |p AS (
+         | SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM d a JOIN d b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+         |reach AS (
+         | SELECT u AS node, u AS r FROM e
+         | UNION
+         | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u),
+         |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+         | FROM (SELECT doc_id, (${fnvSql("text")} & 2147483647) % 100 AS bucket
+         |       FROM documents WHERE doc_id < 1000)),
+         |j AS (SELECT cluster_id, split FROM cl JOIN sp USING (doc_id))
+         |SELECT cluster_id, COUNT(*) AS n_docs,
+         | COUNT(DISTINCT split) AS n_splits,
+         | array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+         |FROM j GROUP BY cluster_id
+         |HAVING COUNT(DISTINCT split) >= 2""".stripMargin,
     "q126_triangles" ->
       s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
          |e0 AS (SELECT src, dst FROM (

@@ -152,6 +152,7 @@ object QueryPack
     "q125_scd2"             -> (scd2Orders _),
     "q126_triangles"        -> (triangleTop _),
     "q127_rendezvous_shards" -> (rendezvousShards _),
+    "q128_split_leakage"    -> (splitLeakage _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -93,7 +93,8 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       "q114_collocations", // 1-row n_total scalar broadcast
       "q117_trigram_lm", // 1-row (n_total, V) model broadcast
       "q118_pagerank", // 1-row node-count scalar broadcast
-      "q123_source_minhash") // sources² signature compare — group-count-sized, never corpus-sized
+      "q123_source_minhash", // sources² signature compare — group-count-sized, never corpus-sized
+      "q126_triangles") // shares q118's linkEdges (1-row node-count scalar broadcast); the triangle joins themselves are equi-joins (GraphSpec pins it)
     QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // physical planning only — no execution (q45 excepted: its
       // component loop runs at construction)
