@@ -23,10 +23,22 @@ import org.apache.spark.sql.graft.{CmsSketch, TextHashExpressions}
   */
 object Sharding {
 
-  /** The HRW shard of `id` among `nShards`, as a column expression. */
+  /** Past this shard count the per-shard literal legs stop paying:
+    * each leg is ~15 expression nodes, so N = 64 puts ~1k nodes in the
+    * plan (fine, codegen-unrolled) but N = 4096 puts ~60k (analysis
+    * cost + task-binary bloat — the same plan-size boundary
+    * `assignCellsAuto` draws for centroid literals). Beyond it the
+    * [[rendezvousShardWide]] form computes the SAME argmax from a
+    * generated `sequence(0, N−1)` — O(1) plan size for any N. */
+  val MaxLiteralLegs = 64
+
+  /** The HRW shard of `id` among `nShards`, as a column expression.
+    * Dispatches to the O(1)-plan-size wide form past [[MaxLiteralLegs]];
+    * both routes are bit-identical (`ShardingSpec`). */
   def rendezvousShard(id: Column, nShards: Int): Column = {
-    require(nShards > 0 && nShards <= 4096,
-      s"rendezvousShard: nShards must be in [1,4096], got $nShards")
+    require(nShards > 0 && nShards <= (1 << 20),
+      s"rendezvousShard: nShards must be in [1,2^20], got $nShards")
+    if (nShards > MaxLiteralLegs) return rendezvousShardWide(id, nShards)
     // unsigned order of mix64 == signed order of (mix64 XOR Long.MinValue)
     val legs = (0 until nShards).map { s =>
       struct(
@@ -35,5 +47,21 @@ object Sharding {
         lit(s).as("s"))
     }
     array_max(array(legs: _*)).getField("s")
+  }
+
+  /** [[rendezvousShard]] with the shard axis GENERATED instead of
+    * unrolled: `transform(sequence(0, N−1), s → (w, s))` + array_max —
+    * the seed `(s+1)·φ` is itself column arithmetic of the lambda
+    * variable, so plan size is constant in N. Bit-identical to the
+    * literal legs (same weights, same lexicographic tie rule). */
+  def rendezvousShardWide(id: Column, nShards: Int): Column = {
+    val maxed = array_max(transform(
+      sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        TextHashExpressions.mix64(
+          id.bitwiseXOR((s.cast("long") + 1L) * lit(CmsSketch.RowSeedGamma)))
+          .bitwiseXOR(lit(Long.MinValue)).as("w"),
+        s.as("s"))))
+    maxed.getField("s")
   }
 }

@@ -45,6 +45,22 @@ class ShardingSpec extends AnyFunSuite with SparkTest {
     assert(a == assign(9))
   }
 
+  test("wide route is bit-identical to the literal legs on either side of the boundary") {
+    val both = ids.select($"id",
+        Sharding.rendezvousShard($"id", 16).as("lit16"),
+        Sharding.rendezvousShardWide($"id", 16).as("wide16"))
+      .filter($"lit16" =!= $"wide16")
+    assert(both.count() == 0)
+    // past MaxLiteralLegs the public API dispatches to the wide form
+    val s512 = ids.select(Sharding.rendezvousShard($"id", 512).as("s"))
+    val w512 = ids.select(Sharding.rendezvousShardWide($"id", 512).as("s"))
+    assert(s512.collect().map(_.getInt(0)).toSeq ==
+      w512.collect().map(_.getInt(0)).toSeq)
+    // constant plan size: the wide form's plan doesn't grow with N
+    val p512 = s512.queryExecution.sparkPlan.toString.length
+    assert(p512 < 40000, s"wide-route plan unexpectedly large: $p512 chars")
+  }
+
   test("map-side: the assignment plans no exchange, no join") {
     val plan = ids.select(Sharding.rendezvousShard($"id", 16).as("s"))
       .queryExecution.sparkPlan.toString
