@@ -53,4 +53,59 @@ object Cdc {
       .filter(col("_rn") === 1 && op =!= lit(deleteOp))
       .drop("_rn")
   }
+
+  final case class CdcUpdate(key: Long, version: Long, tie: Long,
+                             value: String, op: String)
+  final case class CdcState(version: Long, tie: Long, value: String,
+                            deleted: Boolean)
+  final case class CdcCurrent(key: Long, version: Long, value: String,
+                              is_deleted: Boolean)
+
+  /** Streaming twin of [[applyChanges]]: latest-wins snapshot
+    * maintenance as updates ARRIVE. Per key the state is ONE
+    * (version, tie, value, deleted) tuple — the current row — updated
+    * only by strictly newer (version, tie) arrivals, so late/replayed
+    * CDC rows (a lower version landing in a later micro-batch) are
+    * ignored exactly as the batch form's window would ignore them, and
+    * the emitted changelog carries one [[CdcCurrent]] per key per batch
+    * in which its current row CHANGED (tombstones emit is_deleted; a
+    * later upsert resurrects). Folding the changelog by last-event-
+    * per-key reproduces [[applyChanges]] over the full log — the spec's
+    * equivalence gate.
+    *
+    * State is bounded by KEY CARDINALITY, not stream length (snapshot
+    * semantics: the state IS the table), and has no timeout — the
+    * retention question for a snapshot is compaction policy, not
+    * eviction. Expects columns (key, version, tie, value, op).
+    */
+  def streamingLatest(updates: DataFrame,
+                      deleteOp: String = "D"):
+      org.apache.spark.sql.Dataset[CdcCurrent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import updates.sparkSession.implicits._
+
+    def update(key: Long, rows: Iterator[CdcUpdate],
+               state: GroupState[CdcState]): Iterator[CdcCurrent] = {
+      var cur = state.getOption
+      var changed = false
+      // deterministic within-batch fold order
+      rows.toSeq.sortBy(r => (r.version, r.tie)).foreach { r =>
+        val newer = cur.forall(s =>
+          r.version > s.version || (r.version == s.version && r.tie > s.tie))
+        if (newer) {
+          cur = Some(CdcState(r.version, r.tie, r.value, r.op == deleteOp))
+          changed = true
+        }
+      }
+      if (changed) {
+        val s = cur.get
+        state.update(s)
+        Iterator.single(CdcCurrent(key, s.version, s.value, s.deleted))
+      } else Iterator.empty
+    }
+
+    updates.as[CdcUpdate]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
 }
