@@ -106,6 +106,41 @@ private[queries] trait DedupQueries {
       .select(col("cluster_id"), col("n_docs"), col("n_splits"), col("splits"))
   }
 
+  /** Corpus novelty attribution — per language, what fraction of
+    * bigram-shingle mass is FIRST-OCCURRENCE content (the shingle's
+    * minimum doc_id is this document): the marginal-contribution signal
+    * curation uses to rank sources/batches by how much NEW material
+    * they add, where dedup (q92/q95) only answers what is repeated. A
+    * wholly-duplicated document scores 0 novel shingles; the corpus's
+    * first document scores all of its shingles. Attribution is
+    * deterministic (min over doc_id), all counts exact integers, the
+    * ratio floored to ppm.
+    *
+    * Scale shape: distinct (doc, shingle-hash) pairs → one hash
+    * aggregate for the global first-seer per shingle (ids-only, the
+    * q92 layout) → an equi-join back on the hash → two rollups. No
+    * text ever shuffles; the join keys are 8-byte hashes.
+    */
+  def noveltyStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val sh = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+      .select(col("lang"), col("doc_id"),
+        TextHashExpressions.fnv64(col("g")).as("h"))
+      .distinct()
+    val firstSeen = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("h"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("total_shingles"),
+           count(when(col("doc_id") === col("first_doc"), 1)).as("total_novel"))
+      .withColumn("novelty_ppm",
+        expr("total_novel * 1000000 div total_shingles"))
+      .select(col("lang"), col("n_docs"), col("total_shingles"),
+        col("total_novel"), col("novelty_ppm"))
+  }
+
   /** Normalize-then-dedup: lowercase, punctuation→space, collapsed
     * whitespace — the canonicalization pass that catches trivially-edited
     * duplicates exact hashing misses.
@@ -555,6 +590,25 @@ private[queries] trait DedupQueries {
          | est.est_ppm
          |FROM est LEFT JOIN itr ON est.src1 = itr.src1 AND est.src2 = itr.src2
          |JOIN sz s1 ON est.src1 = s1.source JOIN sz s2 ON est.src2 = s2.source""".stripMargin
+    },
+    "q129_novelty" -> {
+      // shingles() is the same bigram builder toksSql feeds everywhere;
+      // distinct per (doc, hash) before attribution, min(doc_id) = the
+      // first seer, ppm floored — all integer arithmetic
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT lang, doc_id,
+         |  unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END) AS sgl
+         | FROM t),
+         |h AS (SELECT DISTINCT lang, doc_id, ${fnvSql("sgl")} AS hh FROM g),
+         |f AS (SELECT hh, MIN(doc_id) AS first_doc FROM h GROUP BY hh)
+         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+         | COUNT(*) AS total_shingles,
+         | COUNT(CASE WHEN doc_id = first_doc THEN 1 END) AS total_novel,
+         | (COUNT(CASE WHEN doc_id = first_doc THEN 1 END) * 1000000)
+         |   // COUNT(*) AS novelty_ppm
+         |FROM h JOIN f USING (hh) GROUP BY lang""".stripMargin
     },
     "q128_split_leakage" ->
       s"""WITH RECURSIVE t AS (

@@ -153,6 +153,7 @@ object QueryPack
     "q126_triangles"        -> (triangleTop _),
     "q127_rendezvous_shards" -> (rendezvousShards _),
     "q128_split_leakage"    -> (splitLeakage _),
+    "q129_novelty"          -> (noveltyStats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */
