@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-rule LEARNING — the tokenizer-training step of a
+  * data pipeline (Sennrich et al. 2016). [[graft.functions.TextFunctions
+  * .bpeTokenCount]] APPLIES a merge table; this learns one.
+  *
+  * Classic BPE trains on the word-frequency dictionary, not the corpus:
+  * one corpus-scale `groupBy(token)` builds (word, count) — corpus-
+  * SUBLINEAR, the same reduction SymSpell (q116) rides — and every merge
+  * iteration after that touches only the vocabulary. Per iteration:
+  * explode adjacent symbol pairs (weighted by word count), one hash
+  * aggregate, take the argmax pair (a single driver row — the learned
+  * rule itself, like a k-means centroid), and rewrite the vocabulary
+  * map-side with a string `replace`. Nothing corpus-sized is touched
+  * after the first aggregate; at 100 TB the vocab table is millions of
+  * short rows and each iteration is a metadata-scale shuffle.
+  *
+  * Symbol-sequence encoding (shared with the SQL oracle): a word's
+  * symbols are joined with TWO spaces and padded with one — `' h  e  l '`
+  * — so the pair (l, r) is the literal substring `' l  r '` and merging
+  * is `replace(s, ' l  r ', ' lr ')`. Both engines' `replace` scans
+  * left-to-right and resumes AFTER each replacement, which (a) exactly
+  * implements BPE's leftmost-non-overlapping merge ('a a a' + (a,a) →
+  * '(aa) a'), and (b) preserves the two-space invariant, because each
+  * replacement consumes one boundary space from each side and restores
+  * both. Symbols can never contain a space (words are whitespace-split),
+  * so no false substring match can cross a symbol boundary.
+  */
+object Bpe {
+
+  /** One row per learned merge: (step, left, right, merged, pair_count),
+    * `pair_count` being the corpus-weighted occurrence count that made
+    * the pair the argmax at its step (ties break lexicographically on
+    * (left, right) — deterministic across engines and partitionings).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // word-frequency dictionary; symbols start as single characters
+    // the word-frequency dictionary is the only corpus-scale aggregate;
+    // cache it so each merge iteration replays only map-side replaces
+    val base = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = base
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val best = vocab
+        .select(split(trim(col("s")), "  ").as("t"), col("cnt"))
+        // sequence() counts DOWN for size(t) < 2 — single-symbol words
+        // have no pairs, drop them before the transform
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS l, t[i] AS r))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, l + r, pc))
+        vocab = vocab.select(
+          call_function("replace", col("s"),
+            lit(s" $l  $r "), lit(s" $l$r ")).as("s"),
+          col("cnt"))
+      }
+    }
+    base.unpersist(false) // merges are already materialized (collected)
+    merges.result().toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** The evolving symbol vocabulary AFTER the learned merges — exposed
+    * for specs that assert the rewrite semantics directly. */
+  private[graft] def vocabAfter(docs: DataFrame, textCol: String,
+                                numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val m = learnMerges(docs, textCol, numMerges).collect()
+    var vocab = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+    m.sortBy(_.getInt(0)).foreach { row =>
+      val (l, r) = (row.getString(1), row.getString(2))
+      vocab = vocab.select(
+        call_function("replace", col("s"),
+          lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
+    }
+    vocab.select(trim(col("s")).as("symbols"), col("cnt"))
+  }
+}

@@ -1170,4 +1170,73 @@ object Dedup {
       .select(col("cluster_id"), col("kept_id"), col("n_members"),
         col("kept_score"))
   }
+
+  /** The persisted artifacts of an incremental-dedup pipeline: the LSH
+    * band index (id, band_id, bucket) and the shingle-hash-set table
+    * (id, sh) a deployment writes ONCE for the standing corpus, then
+    * probes on every ingest. Both are id-keyed and text-free — the
+    * index for a 100 TB corpus is ~bands × 16 B rows, the hash sets
+    * ~one long per shingle.
+    */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    lshBands(minHash(docs.select(col(idCol), col(textCol)), textCol,
+        numHashes, shingleSize).filter(col("minhash").isNotNull),
+        bands, numHashes / bands)
+      .select(col(idCol), col("band_id"), col("bucket"))
+  }
+
+  /** (id, sh) — the ascending-distinct shingle-hash sets the verify
+    * stage of [[incrementalNearDups]] joins against. */
+  def shingleHashSets(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int): DataFrame =
+    docs.select(col(idCol),
+      TextFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
+
+  /** Incremental ingest dedup — the production shape of near-dup
+    * detection at 100 TB: the standing corpus is NOT re-deduped per
+    * arrival; an arriving batch probes the corpus's persisted band
+    * index ([[minhashBandIndex]]) and checks itself for batch-internal
+    * pairs. Per-ingest cost is ∝ |batch| (signature + probe join +
+    * verify on the candidate sliver), never ∝ |corpus| — re-running
+    * [[nearDuplicatePairs]] over corpus+batch would re-pay the full
+    * corpus scan and quadratic bucket joins on every arrival.
+    *
+    * Output: one row per verified pair —
+    * (id, match_id, jaccard, src ∈ {corpus, batch}) with `id` from the
+    * batch; batch-internal pairs appear once (id < match_id).
+    */
+  def incrementalNearDups(
+      batch: DataFrame, idCol: String, textCol: String,
+      bandIndex: DataFrame, hashSets: DataFrame,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      jaccardThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val probe = minhashBandIndex(batch, idCol, textCol, numHashes, bands, shingleSize)
+    val batchSets = shingleHashSets(batch, idCol, textCol, shingleSize)
+    val sic = org.apache.spark.sql.graft.VectorExpressions.sortedIntersectCount _
+    def verified(cands: DataFrame, matchSets: DataFrame, src: String) =
+      cands
+        .join(batchSets.select(col(idCol).as("id"), col("sh").as("sh_a")), "id")
+        .join(matchSets.select(col(idCol).as("match_id"), col("sh").as("sh_b")),
+          "match_id")
+        .withColumn("inter", sic(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("id"), col("match_id"),
+          round(col("jaccard"), 6).as("jaccard"), lit(src).as("src"))
+    val corpusCands = probe.select(col(idCol).as("id"), col("band_id"), col("bucket"))
+      .join(bandIndex.select(col(idCol).as("match_id"), col("band_id"), col("bucket")),
+        Seq("band_id", "bucket"))
+      .select("id", "match_id").dropDuplicates("id", "match_id")
+    val batchCands = probe.select(col(idCol).as("id"), col("band_id"), col("bucket"))
+      .join(probe.select(col(idCol).as("match_id"), col("band_id"), col("bucket")),
+        Seq("band_id", "bucket"))
+      .filter(col("id") < col("match_id"))
+      .select("id", "match_id").dropDuplicates("id", "match_id")
+    verified(corpusCands, hashSets, "corpus")
+      .unionByName(verified(batchCands, batchSets, "batch"))
+  }
 }

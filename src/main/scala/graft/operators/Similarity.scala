@@ -1500,4 +1500,33 @@ object Similarity {
       .filter(col("_rk") > floor((col("_n") * lit(dropPermille.toLong)) / lit(1000L)))
       .drop("_proto", "_rk", "_n", "centroid")
   }
+
+  /** Corpus k-NN GRAPH via the IVF cells, restricted to MUTUAL edges —
+    * pairs (a, b) where each ranks in the other's top-k. The mutual-kNN
+    * graph is the robust similarity graph density-based clustering and
+    * graph-ANN builds start from (one-sided top-k edges from a dense
+    * region into a sparse one are exactly the hub edges mutuality
+    * prunes).
+    *
+    * Shape: [[ivfTopK]] with queries = corpus (cell-bounded in-cell
+    * joins — Σ|cell|·probes·|cell| ≈ n^1.5 at √n cells, never the n²
+    * all-pairs), then one ids-only self-join of the edge list on the
+    * reversed key. Nothing vector-sized moves through the mutuality
+    * join. At 2M+ vectors the probe stage swaps to the native
+    * `cell_argmax`/broadcast route ([[assignCellsAuto]]) exactly as
+    * [[ivfPqTopK]] does; the label-cell form here is the
+    * oracle-replayable twin (q38's quantizer).
+    */
+  def mutualKnnGraph(corpus: DataFrame, k: Int, dim: Int,
+                     nProbes: Int = 2): DataFrame = {
+    val q = corpus.select(col("vec_id").as("query_id"), col("embedding"))
+    val g = ivfTopK(q, corpus, k, dim, nProbes)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val rev = g.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), col("rank").as("rank_ba"))
+    g.join(rev, Seq("query_id", "neighbor_id"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+  }
 }

@@ -68,6 +68,42 @@ private[queries] trait DedupQueries {
       .select(col("node").as("doc_id"), col("cluster_id"))
   }
 
+  /** Incremental ingest dedup (q131) — the production arrival path: an
+    * arriving batch (every 10th doc) probes the standing corpus's
+    * persisted band index + hash-set table and checks itself, emitting
+    * a per-document admission decision. Same (64, 16, 2, 0.7) dials as
+    * q20, so the banding-equals-exact recall argument carries over and
+    * the oracle is the exact batch×corpus + batch×batch Jaccard replay.
+    * Per-ingest cost is ∝ |batch| — the point of the operator.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.minhashBandIndex(existing, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 2)
+    val sets = Dedup.shingleHashSets(existing, "doc_id", "text", shingleSize = 2)
+    val pairs = Dedup.incrementalNearDups(batch, "doc_id", "text",
+      index, sets, numHashes = 64, bands = 16, shingleSize = 2,
+      jaccardThreshold = 0.7)
+    val agg = pairs.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(when(col("src") === "corpus", 1L).otherwise(0L)).as("n_corpus_matches"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("jaccard").desc, col("match_id").asc)
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("match_id").as("best_match_id"),
+        col("jaccard").as("best_jaccard"))
+    batch.select(col("doc_id").as("id"))
+      .join(agg, Seq("id"), "left").join(best, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        col("best_match_id"), col("best_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** Split-leakage audit — near-dup clusters (q45's graph) crossed with
     * the content-hash train/valid/test split (q46's buckets): every
     * cluster whose members land in ≥ 2 splits is TRAIN/EVAL
@@ -560,6 +596,44 @@ private[queries] trait DedupQueries {
   }
 
   private[queries] def dedupOracles: Map[String, String] = Map(
+    // exact replay of the incremental admission decision: batch×corpus +
+    // batch×batch Jaccard (banding == exact at these dials — q20's
+    // argument), aggregated per batch doc with the same (jaccard DESC,
+    // match_id) best-match tie-break
+    "q131_incr_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        | FROM t),
+        |b AS (SELECT doc_id, s FROM d WHERE doc_id % 10 = 0 AND len(s) > 0),
+        |e AS (SELECT doc_id, s FROM d WHERE doc_id % 10 <> 0 AND len(s) > 0),
+        |pc AS (SELECT id, match_id, j, 'corpus' AS src FROM (
+        |  SELECT b.doc_id AS id, e.doc_id AS match_id,
+        |   CAST(len(list_intersect(b.s, e.s)) AS DOUBLE)
+        |     / (len(b.s) + len(e.s) - len(list_intersect(b.s, e.s))) AS j
+        |  FROM b, e) x WHERE j >= 0.7),
+        |pb AS (SELECT id, match_id, j, 'batch' AS src FROM (
+        |  SELECT a.doc_id AS id, c.doc_id AS match_id,
+        |   CAST(len(list_intersect(a.s, c.s)) AS DOUBLE)
+        |     / (len(a.s) + len(c.s) - len(list_intersect(a.s, c.s))) AS j
+        |  FROM b a JOIN b c ON a.doc_id < c.doc_id) x WHERE j >= 0.7),
+        |p AS (SELECT * FROM pc UNION ALL SELECT * FROM pb),
+        |agg AS (SELECT id, COUNT(*) AS n_matches,
+        |  CAST(SUM(CASE WHEN src = 'corpus' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corpus_matches
+        | FROM p GROUP BY id),
+        |best AS (SELECT id, match_id AS best_match_id, ROUND(j, 6) AS best_jaccard
+        | FROM (SELECT id, match_id, j, ROW_NUMBER() OVER (
+        |    PARTITION BY id ORDER BY ROUND(j, 6) DESC, match_id) AS rn FROM p) z
+        | WHERE rn = 1),
+        |bb AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+        |SELECT bb.doc_id, COALESCE(agg.n_matches, 0) AS n_matches,
+        | COALESCE(agg.n_corpus_matches, 0) AS n_corpus_matches,
+        | best.best_match_id, best.best_jaccard,
+        | COALESCE(agg.n_matches, 0) > 0 AS is_dup
+        |FROM bb LEFT JOIN agg ON agg.id = bb.doc_id
+        | LEFT JOIN best ON best.id = bb.doc_id""".stripMargin,
     "q123_source_minhash" -> {
       val m = 32
       val seeds = (0 until m).map(i => java.lang.Long.toUnsignedString(

@@ -154,6 +154,10 @@ object QueryPack
     "q127_rendezvous_shards" -> (rendezvousShards _),
     "q128_split_leakage"    -> (splitLeakage _),
     "q129_novelty"          -> (noveltyStats _),
+    "q130_bpe_learn"        -> (bpeLearn _),
+    "q131_incr_dedup"       -> (incrementalDedup _),
+    "q132_mutual_knn"       -> (mutualKnn _),
+    "q133_compaction_plan"  -> (compactionPlan _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -409,7 +409,57 @@ private[queries] trait RelationalQueries {
         col("cur_price"), col("cur_status"), col("cur_from"), col("is_deleted"))
   }
 
+  /** Small-file compaction planning (q133) — bin-pack a deterministic
+    * file manifest synthesized from lineitem: one "file" per
+    * (returnflag+linestatus partition, orderkey div 256), sized by its
+    * quantity mass in 4 KiB pages, with every 32nd file inflated 40× so
+    * both planner paths (keep vs compact) are exercised at every scale
+    * factor. The plan itself ([[graft.operators.Compaction.plan]]) is a
+    * single window + rollup over the manifest — metadata-sized work no
+    * matter how large the table the manifest describes.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val manifest = Tables.lineitem(s, dir)
+      .select(
+        concat(col("l_returnflag"), col("l_linestatus")).as("part_key"),
+        floor(col("l_orderkey") / lit(256.0)).cast("long").as("file_id"),
+        col("l_quantity"))
+      .groupBy(col("part_key"), col("file_id"))
+      .agg((sum(col("l_quantity").cast("long")) * lit(4096L) *
+        when(col("file_id") % 32 === 0, lit(40L)).otherwise(lit(1L)))
+        .as("size_bytes"))
+    graft.operators.Compaction.plan(manifest, targetBytes = 64L << 20)
+  }
+
   private[queries] def relationalOracles: Map[String, String] = Map(
+    "q133_compaction_plan" ->
+      """WITH m0 AS (
+        | SELECT l_returnflag || l_linestatus AS part_key,
+        |  CAST(FLOOR(l_orderkey / 256.0) AS BIGINT) AS file_id,
+        |  CAST(l_quantity AS BIGINT) AS q
+        | FROM lineitem),
+        |m AS (
+        | SELECT part_key, file_id,
+        |  CAST(SUM(q) * 4096 *
+        |   (CASE WHEN file_id % 32 = 0 THEN 40 ELSE 1 END) AS BIGINT) AS size_bytes
+        | FROM m0 GROUP BY part_key, file_id),
+        |k AS (
+        | SELECT part_key, 'keep' AS kind, file_id AS bin_id,
+        |  CAST(1 AS BIGINT) AS n_files, size_bytes AS bin_bytes,
+        |  file_id AS first_file, file_id AS last_file
+        | FROM m WHERE size_bytes >= 67108864),
+        |c0 AS (
+        | SELECT part_key, file_id, size_bytes,
+        |  SUM(size_bytes) OVER (PARTITION BY part_key
+        |    ORDER BY size_bytes DESC, file_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM m WHERE size_bytes < 67108864),
+        |c AS (
+        | SELECT part_key, 'compact' AS kind,
+        |  CAST(FLOOR(CAST(cum - size_bytes AS DOUBLE) / 67108864) AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes,
+        |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        | FROM c0 GROUP BY part_key, bin_id)
+        |SELECT * FROM k UNION ALL SELECT * FROM c""".stripMargin,
     "q125_scd2" ->
       s"""WITH u AS (SELECT o_custkey AS k, o_orderdate AS v,
          |  o_orderkey AS tk, o_totalprice AS price, o_orderstatus AS status,

@@ -1064,6 +1064,16 @@ private[queries] trait TextQueries {
         length(col("extracted")).cast("long").as("n_chars"))
   }
 
+  /** BPE merge-rule learning (q130) — six merge iterations of
+    * [[graft.operators.Bpe.learnMerges]] over the corpus word-frequency
+    * dictionary. The oracle unrolls the same six iterations as CTEs
+    * (pair explode → weighted argmax → `replace`-rewrite), so the
+    * learned rules, their tie-breaks, AND their corpus-weighted counts
+    * are all checked cross-engine.
+    */
+  def bpeLearn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learnMerges(Tables.documents(s, dir), "text", numMerges = 6)
+
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
     * whose tokens are ALL short (the per-row any/all quantifiers the
@@ -1323,6 +1333,31 @@ private[queries] trait TextQueries {
   }
 
   private[queries] def textOracles: Map[String, String] = Map(
+    "q130_bpe_learn" -> {
+      // six unrolled merge iterations over the word-frequency dict; the
+      // two-space symbol encoding makes each merge a plain replace()
+      // (both engines scan left-to-right and resume after a replacement
+      // — BPE's leftmost-non-overlapping rule)
+      val iters = (1 to 6).map { k =>
+        s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r, cnt FROM (
+           |  SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS pr, cnt
+           |  FROM (SELECT str_split(trim(s), '  ') AS t, cnt FROM v${k - 1}) z)),
+           |m$k AS (SELECT l, r, pc FROM (
+           |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM p$k GROUP BY l, r)
+           |  ORDER BY pc DESC, l, r LIMIT 1),
+           |v$k AS (SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
+           |    ' ' || m.l || m.r || ' ') AS s, cnt FROM v${k - 1}, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6).map { k =>
+        s"""SELECT $k AS step, l AS "left", r AS "right", l || r AS merged,
+           | pc AS pair_count FROM m$k""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH wc AS (SELECT w, COUNT(*) AS cnt FROM (
+         |  SELECT unnest(${toksSql("text")}) AS w FROM documents) u GROUP BY w),
+         |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM wc),
+         |$iters
+         |$out""".stripMargin
+    },
     "q127_rendezvous_shards" -> {
       // the engine's array_max over (w, s) structs == unsigned-max weight
       // with ties to the higher shard index: ORDER BY w DESC, j DESC

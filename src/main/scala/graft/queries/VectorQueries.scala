@@ -73,6 +73,16 @@ private[queries] trait VectorQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Mutual k-NN graph (q132) — every vector's top-5 within its probed
+    * IVF cells, kept only where the edge is reciprocal. Same label-cell
+    * quantizer and (cosine DESC, id) rank contract as q38, so the
+    * oracle replays probe → in-cell rank → reciprocal self-join exactly;
+    * only ids and ranks cross engines (the q23/q38 margin discipline).
+    */
+  def mutualKnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnnGraph(Tables.embeddings(s, dir), k = 5, dim = 64,
+      nProbes = 2)
+
   def centroidStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .groupBy(col("label"))
@@ -629,6 +639,30 @@ private[queries] trait VectorQueries {
     // same per-subspace L2 argmin with (dist, label) tie order as the
     // engine's strict-< fold, reconstruction by concatenated slices,
     // exact re-rank of raw query vs reconstruction.
+    "q132_mutual_knn" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cent AS (SELECT label, $centroid AS centroid FROM e GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e),
+         |probed AS (SELECT query_id, label FROM (
+         | SELECT q.query_id, cent.label,
+         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, cent.centroid) DESC, cent.label) AS pr
+         | FROM q CROSS JOIN cent) p WHERE pr <= 2),
+         |g AS (SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
+         | FROM q JOIN probed ON probed.query_id = q.query_id
+         |  JOIN e c ON c.label = probed.label AND c.vec_id <> q.query_id) t
+         |WHERE rank <= 5)
+         |SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+         | a.rank AS rank_ab, b.rank AS rank_ba
+         |FROM g a JOIN g b ON b.query_id = a.neighbor_id
+         |  AND b.neighbor_id = a.query_id
+         |WHERE a.query_id < a.neighbor_id""".stripMargin
+    },
     "q104_knn_pq" -> {
       val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bpe.learnMerges contract: the argmax pair each step is the corpus-
+  * weighted adjacent-pair count over the CURRENT symbol vocabulary
+  * (ties lexicographic on (left, right)), and the vocabulary rewrite is
+  * BPE's leftmost-non-overlapping merge — hand-walked on the classic
+  * low/lower/newest corpus, plus the overlap and adjacency edge words
+  * the two-space `replace` encoding must get right.
+  */
+class BpeSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("hand-walked merges on the Sennrich-style corpus") {
+    // words: low ×3, lower ×2, newest ×4
+    val d = docs("low low low", "lower lower", "newest newest", "newest newest")
+    val m = Bpe.learnMerges(d, "text", numMerges = 2)
+      .orderBy("step").collect()
+    // step 1 pair counts: (w,e) = 2 (lower) + 4 (newest) = 6 — the max
+    assert(m(0).getInt(0) == 1 && m(0).getString(1) == "w" &&
+      m(0).getString(2) == "e" && m(0).getString(3) == "we" &&
+      m(0).getLong(4) == 6L)
+    // step 2: lower → l o we r, newest → n e we s t;
+    // (l,o) = 3 + 2 = 5 beats (n,e)/(e,we)/(we,s)/(s,t) = 4
+    assert(m(1).getInt(0) == 2 && m(1).getString(1) == "l" &&
+      m(1).getString(2) == "o" && m(1).getLong(4) == 5L)
+  }
+
+  test("tie-break is lexicographic on (left, right)") {
+    val m = Bpe.learnMerges(docs("ba ba dc dc"), "text", 1).collect()
+    assert(m.head.getString(1) == "b" && m.head.getString(2) == "a")
+  }
+
+  test("overlapping occurrences merge leftmost-first: aaa + (a,a) -> [aa, a]") {
+    val d = docs("aaa")
+    val m = Bpe.learnMerges(d, "text", 1).collect()
+    assert(m.head.getString(3) == "aa" && m.head.getLong(4) == 2L)
+    val v = Bpe.vocabAfter(d, "text", 1).collect()
+    assert(v.map(_.getString(0)).toSet == Set("aa  a"))
+  }
+
+  test("adjacent disjoint occurrences both merge: abab + (a,b) -> [ab, ab]") {
+    val d = docs("abab abab xab")
+    val m = Bpe.learnMerges(d, "text", 1).collect()
+    assert(m.head.getString(3) == "ab" && m.head.getLong(4) == 5L)
+    val v = Bpe.vocabAfter(d, "text", 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("ab  ab" -> 2L, "x  ab" -> 1L))
+  }
+
+  test("merged symbols participate in later merges (multi-char pairs)") {
+    val v = Bpe.vocabAfter(docs("abab abab"), "text", 2).collect()
+    assert(v.map(_.getString(0)).toSet == Set("abab"))
+  }
+
+  test("deterministic across partitionings") {
+    val d = docs("low low low", "lower lower", "newest newest", "newest newest")
+    val a = Bpe.learnMerges(d, "text", 3).collect().toSeq
+    val b = Bpe.learnMerges(d.repartition(7), "text", 3).collect().toSeq
+    assert(a == b)
+  }
+
+  test("single-character and empty words contribute no pairs") {
+    val m = Bpe.learnMerges(docs("a b c d", "  ", "xy xy"), "text", 1).collect()
+    assert(m.head.getString(3) == "xy" && m.head.getLong(4) == 2L)
+  }
+}
