@@ -158,6 +158,7 @@ object QueryPack
     "q131_incr_dedup"       -> (incrementalDedup _),
     "q132_mutual_knn"       -> (mutualKnn _),
     "q133_compaction_plan"  -> (compactionPlan _),
+    "q134_host_stats"       -> (hostStats _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

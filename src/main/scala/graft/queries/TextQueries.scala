@@ -1009,8 +1009,11 @@ private[queries] trait TextQueries {
     * projection; the only shuffle is the fixed-width (canonical_url)
     * group-by with map-side partial aggregation.
     */
-  def urlDedup(s: SparkSession, dir: String): DataFrame = {
-    val raw = concat(
+  /** The deterministic noisy-URL synthesizer q109/q134 share: every
+    * alias axis (scheme/www/host case, root dot, :80, percent-encoding,
+    * empty path, utm + param order, fragment) as doc_id residue classes.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
       when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
       lit("://"),
       when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
@@ -1030,11 +1033,35 @@ private[queries] trait TextQueries {
         .when(col("doc_id") % 4 === 2, lit("?b=2&a=1"))
         .otherwise(lit("")),
       when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+
+  def urlDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextFunctions.canonicalizeUrl(raw).as("canonical_url"))
+      .select(col("doc_id"), TextFunctions.canonicalizeUrl(syntheticUrl).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_aliases"), min(col("doc_id")).as("first_doc_id"))
-  }
+
+  /** Host-level crawl aggregation (q134) — the curation decision a
+    * crawl pipeline takes per HOST, not per page: canonical-alias
+    * collapse rate, distinct-language spread, and byte mass, with a
+    * deterministic integer dup-rate (ppm) that gates spammy hosts.
+    * One map-side canonicalization projection, one host-keyed rollup;
+    * the distinct counts ride the same exchange (expand-based
+    * multi-distinct, no second shuffle).
+    */
+  def hostStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFunctions.canonicalizeUrl(syntheticUrl).as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_unique_urls"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("dup_ppm",
+        floor(((col("n_docs") - col("n_unique_urls")) * lit(1000000L)) /
+          col("n_docs").cast("double")).cast("long"))
+      .withColumn("is_spammy", col("dup_ppm") > lit(500000L))
 
   /** HTML text extraction (q111): deterministic HTML is synthesized
     * around each document (title, style/script blocks with embedded
@@ -1330,6 +1357,73 @@ private[queries] trait TextQueries {
           array_sort(collect_list(when(col("rn") <= k, col("doc_id"))))
             .cast("array<string>")).as("head_postings"))
       .filter(col("df") >= minDf)
+  }
+
+  /** Shared q109/q134 oracle plumbing: the CTE chain raw -> p7 that
+    * re-derives (doc_id, canonical_url) from the synthetic noisy URLs
+    * entirely in DuckDB SQL (percent-fold + unreserved decode + scheme/
+    * host/port/path/query/fragment normalization + utm strip + param
+    * sort). Callers append their own final SELECT over `p7`.
+    */
+  private def urlCanonOracleCtes: String = {
+      // uppercase-fold the two hex digits after each '%' (piece 1 of the
+      // split never follows a '%')
+      val foldSql = "array_to_string(list_transform(string_split(nofrag, '%'), " +
+        "(x, i) -> CASE WHEN i = 1 THEN x " +
+        "WHEN regexp_matches(x, '^[0-9a-fA-F]{2}') " +
+        "THEN '%' || upper(substr(x, 1, 2)) || substr(x, 3) " +
+        "ELSE '%' || x END), '')"
+      // decode the unreserved set — generated from the same table as
+      // the engine's replace chain, applied in the same order
+      val decodeSql = graft.functions.TextFunctions.UnreservedDecodes
+        .foldLeft(foldSql) { case (acc, (e, v)) =>
+          s"replace($acc, '$e', '$v')"
+        }
+      s"""raw AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+         |  source || '.Example.COM' ||
+         |  (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 9 = 0 THEN ''
+         |        WHEN doc_id % 13 = 0 THEN '/D%6fcs/' || CAST(doc_id % 100 AS VARCHAR)
+         |        WHEN doc_id % 13 = 1 THEN '/D%6Fcs/' || CAST(doc_id % 100 AS VARCHAR)
+         |        ELSE '/Docs/' || CAST(doc_id % 100 AS VARCHAR) END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+         |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+         |        WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+         | FROM documents),
+         |p0 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw),
+         |p1 AS (SELECT doc_id, $decodeSql AS nofrag FROM p0),
+         |p2 AS (SELECT doc_id, nofrag,
+         |  split_part(nofrag, '://', 1) AS scheme FROM p1),
+         |p3 AS (SELECT doc_id, scheme,
+         |  substr(nofrag, length(scheme) + 4) AS hostpathq FROM p2),
+         |p4 AS (SELECT doc_id, scheme, hostpathq,
+         |  split_part(hostpathq, '?', 1) AS hostpath,
+         |  CASE WHEN contains(hostpathq, '?')
+         |       THEN substr(hostpathq, length(split_part(hostpathq, '?', 1)) + 2)
+         |       ELSE '' END AS query FROM p3),
+         |p5 AS (SELECT doc_id, scheme, query,
+         |  split_part(hostpath, '/', 1) AS hostport,
+         |  CASE WHEN contains(hostpath, '/')
+         |       THEN substr(hostpath, length(split_part(hostpath, '/', 1)) + 2)
+         |       ELSE '' END AS path FROM p4),
+         |p6 AS (SELECT doc_id, scheme, query, path,
+         |  regexp_replace(regexp_replace(
+         |    lower(split_part(hostport, ':', 1)), '^www\\.', ''), '\\.+$$', '') ||
+         |  CASE WHEN contains(hostport, ':')
+         |        AND substr(hostport, length(split_part(hostport, ':', 1)) + 2) NOT IN ('', '80')
+         |       THEN ':' || substr(hostport, length(split_part(hostport, ':', 1)) + 2)
+         |       ELSE '' END AS host FROM p5),
+         |p7 AS (SELECT doc_id, lower(scheme) || '://' || host || '/' || path ||
+         |  CASE WHEN len(pp) > 0 THEN '?' || array_to_string(pp, '&') ELSE '' END
+         |    AS canonical_url
+         | FROM (SELECT doc_id, scheme, host, path,
+         |   list_sort(list_filter(string_split(query, '&'),
+         |     p -> NOT starts_with(p, 'utm_') AND p <> '')) AS pp FROM p6))"""
+      .stripMargin
   }
 
   private[queries] def textOracles: Map[String, String] = Map(
@@ -1960,68 +2054,29 @@ private[queries] trait TextQueries {
     // '/') → lower host, strip ^www., trailing root dots, default :80 —
     // non-default ports survive → drop utm_*/empty params → sort →
     // rejoin); paths stay case-sensitive on purpose
-    "q109_url_dedup" -> {
-      // uppercase-fold the two hex digits after each '%' (piece 1 of the
-      // split never follows a '%')
-      val foldSql = "array_to_string(list_transform(string_split(nofrag, '%'), " +
-        "(x, i) -> CASE WHEN i = 1 THEN x " +
-        "WHEN regexp_matches(x, '^[0-9a-fA-F]{2}') " +
-        "THEN '%' || upper(substr(x, 1, 2)) || substr(x, 3) " +
-        "ELSE '%' || x END), '')"
-      // decode the unreserved set — generated from the same table as
-      // the engine's replace chain, applied in the same order
-      val decodeSql = graft.functions.TextFunctions.UnreservedDecodes
-        .foldLeft(foldSql) { case (acc, (e, v)) =>
-          s"replace($acc, '$e', '$v')"
-        }
-      s"""WITH raw AS (SELECT doc_id,
-         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
-         |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
-         |  source || '.Example.COM' ||
-         |  (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END) ||
-         |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
-         |  (CASE WHEN doc_id % 9 = 0 THEN ''
-         |        WHEN doc_id % 13 = 0 THEN '/D%6fcs/' || CAST(doc_id % 100 AS VARCHAR)
-         |        WHEN doc_id % 13 = 1 THEN '/D%6Fcs/' || CAST(doc_id % 100 AS VARCHAR)
-         |        ELSE '/Docs/' || CAST(doc_id % 100 AS VARCHAR) END) ||
-         |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
-         |        WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
-         |        WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END) ||
-         |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
-         | FROM documents),
-         |p0 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw),
-         |p1 AS (SELECT doc_id, $decodeSql AS nofrag FROM p0),
-         |p2 AS (SELECT doc_id, nofrag,
-         |  split_part(nofrag, '://', 1) AS scheme FROM p1),
-         |p3 AS (SELECT doc_id, scheme,
-         |  substr(nofrag, length(scheme) + 4) AS hostpathq FROM p2),
-         |p4 AS (SELECT doc_id, scheme, hostpathq,
-         |  split_part(hostpathq, '?', 1) AS hostpath,
-         |  CASE WHEN contains(hostpathq, '?')
-         |       THEN substr(hostpathq, length(split_part(hostpathq, '?', 1)) + 2)
-         |       ELSE '' END AS query FROM p3),
-         |p5 AS (SELECT doc_id, scheme, query,
-         |  split_part(hostpath, '/', 1) AS hostport,
-         |  CASE WHEN contains(hostpath, '/')
-         |       THEN substr(hostpath, length(split_part(hostpath, '/', 1)) + 2)
-         |       ELSE '' END AS path FROM p4),
-         |p6 AS (SELECT doc_id, scheme, query, path,
-         |  regexp_replace(regexp_replace(
-         |    lower(split_part(hostport, ':', 1)), '^www\\.', ''), '\\.+$$', '') ||
-         |  CASE WHEN contains(hostport, ':')
-         |        AND substr(hostport, length(split_part(hostport, ':', 1)) + 2) NOT IN ('', '80')
-         |       THEN ':' || substr(hostport, length(split_part(hostport, ':', 1)) + 2)
-         |       ELSE '' END AS host FROM p5),
-         |p7 AS (SELECT doc_id, lower(scheme) || '://' || host || '/' || path ||
-         |  CASE WHEN len(pp) > 0 THEN '?' || array_to_string(pp, '&') ELSE '' END
-         |    AS canonical_url
-         | FROM (SELECT doc_id, scheme, host, path,
-         |   list_sort(list_filter(string_split(query, '&'),
-         |     p -> NOT starts_with(p, 'utm_') AND p <> '')) AS pp FROM p6))
+    "q109_url_dedup" ->
+      s"""WITH $urlCanonOracleCtes
          |SELECT canonical_url, COUNT(*) AS n_aliases,
          | MIN(doc_id) AS first_doc_id
-         |FROM p7 GROUP BY canonical_url""".stripMargin
-    },
+         |FROM p7 GROUP BY canonical_url""".stripMargin,
+    // host-level rollup over the SAME canonical chain; the ppm is pure
+    // integer-over-double floor (exact below 2^53), spam gate replayed
+    // as a wrapped projection
+    "q134_host_stats" ->
+      s"""WITH $urlCanonOracleCtes,
+         |h AS (SELECT p7.doc_id, canonical_url,
+         |   regexp_extract(canonical_url, '^[a-z]+://([^/]+)', 1) AS host,
+         |   d.lang, d.n_chars
+         |  FROM p7 JOIN documents d ON d.doc_id = p7.doc_id),
+         |a AS (SELECT host, COUNT(*) AS n_docs,
+         |   COUNT(DISTINCT canonical_url) AS n_unique_urls,
+         |   COUNT(DISTINCT lang) AS n_langs,
+         |   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |   CAST(FLOOR((COUNT(*) - COUNT(DISTINCT canonical_url)) * 1000000
+         |     / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS dup_ppm
+         |  FROM h GROUP BY host)
+         |SELECT host, n_docs, n_unique_urls, n_langs, total_chars, dup_ppm,
+         | dup_ppm > 500000 AS is_spammy FROM a""".stripMargin,
     "q78_quantifiers" ->
       s"""WITH t AS (SELECT lang, ${toksSql("text")} AS w FROM documents)
          |SELECT lang, COUNT(*) AS n_docs,
