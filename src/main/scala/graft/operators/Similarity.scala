@@ -1518,10 +1518,27 @@ object Similarity {
     * oracle-replayable twin (q38's quantizer).
     */
   def mutualKnnGraph(corpus: DataFrame, k: Int, dim: Int,
-                     nProbes: Int = 2): DataFrame = {
-    val q = corpus.select(col("vec_id").as("query_id"), col("embedding"))
-    val g = ivfTopK(q, corpus, k, dim, nProbes)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+                     nProbes: Int = 2): DataFrame =
+    mutualFromEdges(ivfTopK(
+      corpus.select(col("vec_id").as("query_id"), col("embedding")),
+      corpus, k, dim, nProbes))
+
+  /** [[mutualKnnGraph]] on the PRODUCTION quantizer: k-means cells
+    * auto-sized to ≈ √n ([[cellsForCorpus]]) with probes ≈ ⁴√n, so the
+    * in-cell join work stays ≈ n^(5/4) as the corpus grows — the
+    * label-cell form's fixed 20 cells go quadratic past ~10⁵ vectors.
+    * Same output contract; the quantizer is the only difference.
+    */
+  def mutualKnnGraphAuto(corpus: DataFrame, k: Int, dim: Int,
+                         iterations: Int = 5, nProbesOverride: Int = 0,
+                         planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes)
+      : DataFrame =
+    mutualFromEdges(ivfTopKAuto(
+      corpus.select(col("vec_id").as("query_id"), col("embedding")),
+      corpus, k, dim, iterations, nProbesOverride, planLiteralBudgetBytes))
+
+  private def mutualFromEdges(edges: DataFrame): DataFrame = {
+    val g = edges.select(col("query_id"), col("neighbor_id"), col("rank"))
     val rev = g.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"), col("rank").as("rank_ba"))
     g.join(rev, Seq("query_id", "neighbor_id"))

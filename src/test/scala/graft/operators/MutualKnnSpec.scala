@@ -70,6 +70,38 @@ class MutualKnnSpec extends AnyFunSuite with SparkTest {
     assert(g == Set((1L, 2L)))
   }
 
+  test("auto (k-means) quantizer recovers brute mutual edges on separable clusters") {
+    val rng = new scala.util.Random(9)
+    val d = 8
+    // 4 tight clusters of 12 around orthogonal axes — every top-2
+    // neighbor is in-cluster, so any quantizer that keeps clusters
+    // probe-reachable must reproduce the brute mutual graph
+    val rows = (0 until 48).map { i =>
+      val axis = i % 4
+      val v = (0 until d).map(j =>
+        (if (j == axis * 2) 1.0 else 0.0) + rng.nextDouble() * 0.05)
+      (i.toLong, v.map(_.toFloat), axis)
+    }
+    val df = vecs(rows: _*)
+    val auto = Similarity.mutualKnnGraphAuto(df, k = 2, dim = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = rows.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val topk = m.map { case (id, v) =>
+      id -> m.toSeq.filter(_._1 != id)
+        .map { case (j, u) => (j, cos(v, u)) }
+        .sortBy { case (j, c) => (-c, j) }.take(2).map(_._1).toSet
+    }
+    val brute = (for {
+      (i, ni) <- topk.toSeq; j <- ni
+      if i < j && topk(j).contains(i)
+    } yield (i, j)).toSet
+    assert(auto == brute)
+  }
+
   test("rank columns carry each direction's own rank") {
     val d = 4
     val df = vecs(
