@@ -76,22 +76,25 @@ object Bpe {
     merges.result().toDF("step", "left", "right", "merged", "pair_count")
   }
 
-  /** The evolving symbol vocabulary AFTER the learned merges — exposed
-    * for specs that assert the rewrite semantics directly. */
-  private[graft] def vocabAfter(docs: DataFrame, textCol: String,
-                                numMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** The word → symbol-sequence vocabulary AFTER the learned merges —
+    * (w, symbols, cnt) with `symbols` two-space-joined. This is the
+    * tokenizer a deployment SERVES (the word-level segmentation map);
+    * specs assert the rewrite semantics on it and q135 reads per-word
+    * subword counts off it.
+    */
+  def vocabAfter(docs: DataFrame, textCol: String,
+                 numMerges: Int): DataFrame = {
     val m = learnMerges(docs, textCol, numMerges).collect()
     var vocab = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
     m.sortBy(_.getInt(0)).foreach { row =>
       val (l, r) = (row.getString(1), row.getString(2))
-      vocab = vocab.select(
+      vocab = vocab.select(col("w"),
         call_function("replace", col("s"),
           lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
     }
-    vocab.select(trim(col("s")).as("symbols"), col("cnt"))
+    vocab.select(col("w"), trim(col("s")).as("symbols"), col("cnt"))
   }
 }

@@ -159,6 +159,8 @@ object QueryPack
     "q132_mutual_knn"       -> (mutualKnn _),
     "q133_compaction_plan"  -> (compactionPlan _),
     "q134_host_stats"       -> (hostStats _),
+    "q135_bpe_fertility"    -> (bpeFertility _),
+    "q136_mix_schedule"     -> (mixSchedule _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -1101,6 +1101,58 @@ private[queries] trait TextQueries {
   def bpeLearn(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.learnMerges(Tables.documents(s, dir), "text", numMerges = 6)
 
+  /** BPE fertility by language (q135) — subwords-per-token of the q130
+    * tokenizer, the standard "how well does this vocab fit each
+    * language" evaluation (fertility ≈ 1 means most words stay whole;
+    * high fertility = the language pays more sequence length per word).
+    * Reads per-word symbol counts off the served word→symbols map
+    * ([[graft.operators.Bpe.vocabAfter]]) and weights by per-language
+    * token counts — corpus-scale work is two token groupBys; everything
+    * else is vocabulary-sized.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.operators.Bpe.vocabAfter(docs, "text", numMerges = 6)
+      .select(col("w"), size(split(col("symbols"), "  ")).as("n_sym"))
+    val lw = docs.select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    lw.join(vocab, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_sym")).as("n_subwords"))
+      .withColumn("fertility_ppm",
+        floor((col("n_subwords") * lit(1000000.0)) / col("n_tokens"))
+          .cast("long"))
+  }
+
+  /** Deterministic mixture schedule (q136) — the data-mixing step that
+    * turns per-source weights into a reproducible global training
+    * order: within each source, docs take a content-hash rank (q61's
+    * deterministic order); a doc's schedule position is
+    * floor(rank·10⁶ / weight), so a weight-3 source emits 3× as densely
+    * as a weight-1 source (stride interleave — the GPT-3-style mixture
+    * without RNG state). Output: the first 100 scheduled docs.
+    * Scale shape: per-source window + TakeOrdered(100) — no global
+    * sort materializes; the final row_number runs on 100 rows.
+    */
+  def mixSchedule(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val docs = Tables.documents(s, dir)
+      .withColumn("weight", (length(col("source")) % 3 + 1).cast("long"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(TextHashExpressions.fnv64(col("text")).asc, col("doc_id").asc)
+    val pos = docs.withColumn("rn", row_number().over(wSrc).cast("long"))
+      .withColumn("sched_pos",
+        floor((col("rn") * lit(1000000.0)) / col("weight")).cast("long"))
+    val top = pos.orderBy(col("sched_pos").asc, col("source").asc,
+      col("doc_id").asc).limit(100)
+    top.withColumn("train_order", row_number().over(
+        Window.orderBy(col("sched_pos").asc, col("source").asc, col("doc_id").asc)))
+      .select(col("train_order"), col("doc_id"), col("source"), col("rn"),
+        col("sched_pos"))
+  }
+
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
     * whose tokens are ALL short (the per-row any/all quantifiers the
@@ -1426,32 +1478,71 @@ private[queries] trait TextQueries {
       .stripMargin
   }
 
+  /** q130/q135 shared oracle plumbing: word-frequency dict → six
+    * unrolled BPE merge iterations (pair explode → weighted argmax →
+    * `replace` rewrite; both engines' replace scans left-to-right and
+    * resumes after a replacement — BPE's leftmost-non-overlapping
+    * rule). v6 carries (w, s, cnt): the served word→symbols tokenizer.
+    */
+  private def bpeOracleCtes: String = {
+    val iters = (1 to 6).map { k =>
+      s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r, cnt FROM (
+         |  SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS pr, cnt
+         |  FROM (SELECT str_split(trim(s), '  ') AS t, cnt FROM v${k - 1}) z)),
+         |m$k AS (SELECT l, r, pc FROM (
+         |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM p$k GROUP BY l, r)
+         |  ORDER BY pc DESC, l, r LIMIT 1),
+         |v$k AS (SELECT w, replace(s, ' ' || m.l || '  ' || m.r || ' ',
+         |    ' ' || m.l || m.r || ' ') AS s, cnt FROM v${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS (SELECT w, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(${toksSql("text")}) AS w FROM documents) u GROUP BY w),
+       |v0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM wc),
+       |$iters""".stripMargin
+  }
+
   private[queries] def textOracles: Map[String, String] = Map(
     "q130_bpe_learn" -> {
-      // six unrolled merge iterations over the word-frequency dict; the
-      // two-space symbol encoding makes each merge a plain replace()
-      // (both engines scan left-to-right and resume after a replacement
-      // — BPE's leftmost-non-overlapping rule)
-      val iters = (1 to 6).map { k =>
-        s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r, cnt FROM (
-           |  SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS pr, cnt
-           |  FROM (SELECT str_split(trim(s), '  ') AS t, cnt FROM v${k - 1}) z)),
-           |m$k AS (SELECT l, r, pc FROM (
-           |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM p$k GROUP BY l, r)
-           |  ORDER BY pc DESC, l, r LIMIT 1),
-           |v$k AS (SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
-           |    ' ' || m.l || m.r || ' ') AS s, cnt FROM v${k - 1}, m$k m)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 6).map { k =>
         s"""SELECT $k AS step, l AS "left", r AS "right", l || r AS merged,
            | pc AS pair_count FROM m$k""".stripMargin
       }.mkString(" UNION ALL ")
-      s"""WITH wc AS (SELECT w, COUNT(*) AS cnt FROM (
-         |  SELECT unnest(${toksSql("text")}) AS w FROM documents) u GROUP BY w),
-         |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM wc),
-         |$iters
+      s"""WITH $bpeOracleCtes
          |$out""".stripMargin
     },
+    // fertility reads per-word subword counts off v6 (the served
+    // tokenizer) and weights them by per-language token counts; the
+    // ppm is the same mult-then-divide floor both engines run in IEEE
+    "q135_bpe_fertility" ->
+      s"""WITH $bpeOracleCtes,
+         |sym AS (SELECT w, len(str_split(trim(s), '  ')) AS n_sym FROM v6),
+         |lw AS (SELECT lang, w, COUNT(*) AS c FROM (
+         |  SELECT lang, unnest(${toksSql("text")}) AS w FROM documents) u
+         | GROUP BY lang, w),
+         |a AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |   CAST(SUM(c * n_sym) AS BIGINT) AS n_subwords
+         |  FROM lw JOIN sym USING (w) GROUP BY lang)
+         |SELECT lang, n_tokens, n_subwords,
+         | CAST(FLOOR(n_subwords * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+         |   AS fertility_ppm
+         |FROM a""".stripMargin,
+    // stride-interleave replay: same per-source content-hash rank as
+    // q61, same mult-then-divide position floor, same global tie order
+    "q136_mix_schedule" ->
+      s"""WITH h0 AS (SELECT doc_id, source, ${fnvSql("text")} AS ufh FROM documents),
+         |d AS (SELECT doc_id, source, ${signedSql("ufh")} AS fh,
+         |  CAST(length(source) % 3 + 1 AS BIGINT) AS weight FROM h0),
+         |p AS (SELECT doc_id, source, weight,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY fh, doc_id)
+         |    AS BIGINT) AS rn FROM d),
+         |sp AS (SELECT doc_id, source, rn,
+         |  CAST(FLOOR(rn * 1000000.0 / CAST(weight AS DOUBLE)) AS BIGINT)
+         |    AS sched_pos FROM p)
+         |SELECT * FROM (
+         | SELECT CAST(ROW_NUMBER() OVER (ORDER BY sched_pos, source, doc_id)
+         |    AS INT) AS train_order, doc_id, source, rn, sched_pos
+         | FROM sp) t
+         |WHERE train_order <= 100""".stripMargin,
     "q127_rendezvous_shards" -> {
       // the engine's array_max over (w, s) structs == unsigned-max weight
       // with ties to the higher shard index: ORDER BY w DESC, j DESC

@@ -41,7 +41,7 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     val m = Bpe.learnMerges(d, "text", 1).collect()
     assert(m.head.getString(3) == "aa" && m.head.getLong(4) == 2L)
     val v = Bpe.vocabAfter(d, "text", 1).collect()
-    assert(v.map(_.getString(0)).toSet == Set("aa  a"))
+    assert(v.map(r => (r.getString(0), r.getString(1))).toSet == Set(("aaa", "aa  a")))
   }
 
   test("adjacent disjoint occurrences both merge: abab + (a,b) -> [ab, ab]") {
@@ -49,13 +49,13 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     val m = Bpe.learnMerges(d, "text", 1).collect()
     assert(m.head.getString(3) == "ab" && m.head.getLong(4) == 5L)
     val v = Bpe.vocabAfter(d, "text", 1).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(v == Map("ab  ab" -> 2L, "x  ab" -> 1L))
   }
 
   test("merged symbols participate in later merges (multi-char pairs)") {
     val v = Bpe.vocabAfter(docs("abab abab"), "text", 2).collect()
-    assert(v.map(_.getString(0)).toSet == Set("abab"))
+    assert(v.map(_.getString(1)).toSet == Set("abab"))
   }
 
   test("deterministic across partitionings") {
