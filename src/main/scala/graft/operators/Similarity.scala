@@ -844,6 +844,11 @@ object Similarity {
     c.join(broadcast(probed), Seq("label"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
+      // drop both vectors BEFORE the rank window: the per-query
+      // hash exchange then moves (query_id, neighbor_id, cosine) —
+      // 24 B/row instead of 2 × dim × 8 B (≈ 40× at dim 64; pinned by
+      // QueryPlanSpec's no-vectors-in-exchange check)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -1518,24 +1523,78 @@ object Similarity {
     * oracle-replayable twin (q38's quantizer).
     */
   def mutualKnnGraph(corpus: DataFrame, k: Int, dim: Int,
-                     nProbes: Int = 2): DataFrame =
-    mutualFromEdges(ivfTopK(
-      corpus.select(col("vec_id").as("query_id"), col("embedding")),
-      corpus, k, dim, nProbes))
+                     nProbes: Int = 2): DataFrame = {
+    require(nProbes == 1 || nProbes == 2,
+      "probe cells are assigned map-side: nProbes must be 1 or 2")
+    // Per-label mean centroids as plan literals (k × dim doubles — the
+    // k-means literal rule). queries == corpus here, so the ivfTopK
+    // probe shape (crossJoin + broadcast of the PROBED QUERIES) would
+    // broadcast the whole corpus; instead both the probe cells and the
+    // member cells are assigned MAP-SIDE (native cell_top2/cell_argmax,
+    // the q89 discipline) and the only vector-carrying movement is the
+    // one label-keyed exchange the in-cell join needs.
+    val rows = centroidVectors(corpus, dim).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val labels = rows.map(_._1)
+    val matrix = typedlit(rows.map(_._2.toSeq).toSeq)
+    val qn = VectorFunctions.normalize(col("embedding"))
+    val ve = org.apache.spark.sql.graft.VectorExpressions
+    val cells =
+      if (nProbes == 1) array(ve.cellArgmax(qn, matrix))
+      else ve.top2Cells(ve.cellTop2(qn, matrix))
+    val probed = corpus
+      .withColumn("_cells", cells)
+      .filter(col("_cells").isNotNull)
+      .select(col("vec_id").as("query_id"), qn.as("q_emb"),
+        explode(col("_cells")).as("_cell"))
+      .withColumn("label", element_at(typedlit(labels.toSeq), col("_cell") + 1))
+      .drop("_cell")
+    mutualFromCells(corpus, probed, k)
+  }
 
   /** [[mutualKnnGraph]] on the PRODUCTION quantizer: k-means cells
-    * auto-sized to ≈ √n ([[cellsForCorpus]]) with probes ≈ ⁴√n, so the
-    * in-cell join work stays ≈ n^(5/4) as the corpus grows — the
+    * auto-sized to ≈ √n ([[cellsForCorpus]]), top-2 probe assignment,
+    * so the in-cell join work stays ≈ n^1.5 as the corpus grows — the
     * label-cell form's fixed 20 cells go quadratic past ~10⁵ vectors.
-    * Same output contract; the quantizer is the only difference.
+    * Same output contract and the same map-side assignment shape; the
+    * quantizer build is the only difference.
     */
   def mutualKnnGraphAuto(corpus: DataFrame, k: Int, dim: Int,
-                         iterations: Int = 5, nProbesOverride: Int = 0,
-                         planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes)
-      : DataFrame =
-    mutualFromEdges(ivfTopKAuto(
-      corpus.select(col("vec_id").as("query_id"), col("embedding")),
-      corpus, k, dim, iterations, nProbesOverride, planLiteralBudgetBytes))
+                         iterations: Int = 5): DataFrame = {
+    val nCells = cellsForCorpus(corpus.count())
+    val (_, cents) = kMeans(corpus, "vec_id", "embedding", nCells, dim, iterations)
+    val matrix = typedlit(cents.map(_.toSeq).toSeq)
+    val qn = VectorFunctions.normalize(col("embedding"))
+    val ve = org.apache.spark.sql.graft.VectorExpressions
+    val probed = corpus
+      .withColumn("_t2", ve.cellTop2(qn, matrix))
+      .filter(col("_t2").isNotNull)
+      .select(col("vec_id").as("query_id"), qn.as("q_emb"),
+        explode(ve.top2Cells(col("_t2"))).as("label"))
+    val members = corpus
+      .withColumn("label", ve.cellArgmax(qn, matrix))
+      .filter(col("label").isNotNull)
+    mutualFromCells(members, probed, k)
+  }
+
+  /** In-cell exact rank + reciprocal filter shared by the two graph
+    * builds: one label-keyed hash join (the only vector-carrying
+    * exchange), vectors projected away before the per-query rank
+    * window, ids-only mutuality self-join.
+    */
+  private def mutualFromCells(members: DataFrame, probed: DataFrame,
+                              k: Int): DataFrame = {
+    val m = members.select(col("label"), col("vec_id").as("neighbor_id"),
+      VectorFunctions.normalize(col("embedding")).as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    mutualFromEdges(m.join(probed, Seq("label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.dot(col("q_emb"), col("c_emb")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k))
+  }
 
   private def mutualFromEdges(edges: DataFrame): DataFrame = {
     val g = edges.select(col("query_id"), col("neighbor_id"), col("rank"))

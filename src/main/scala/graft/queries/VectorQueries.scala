@@ -640,16 +640,22 @@ private[queries] trait VectorQueries {
     // engine's strict-< fold, reconstruction by concatenated slices,
     // exact re-rank of raw query vs reconstruction.
     "q132_mutual_knn" -> {
+      // probe ranking replays cell_top2's contract (the q89 discipline):
+      // dot of the NORMALIZED query against the raw per-label mean,
+      // ties to the lower label
       val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |  FROM embeddings),
          |cent AS (SELECT label, $centroid AS centroid FROM e GROUP BY label),
          |q AS (SELECT vec_id AS query_id, emb AS qe FROM e),
+         |nrm AS (SELECT vec_id,
+         |  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS ne
+         | FROM e),
          |probed AS (SELECT query_id, label FROM (
-         | SELECT q.query_id, cent.label,
-         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |    ORDER BY list_cosine_similarity(q.qe, cent.centroid) DESC, cent.label) AS pr
-         | FROM q CROSS JOIN cent) p WHERE pr <= 2),
+         | SELECT nrm.vec_id AS query_id, cent.label,
+         |  ROW_NUMBER() OVER (PARTITION BY nrm.vec_id
+         |    ORDER BY list_dot_product(nrm.ne, cent.centroid) DESC, cent.label) AS pr
+         | FROM nrm CROSS JOIN cent) p WHERE pr <= 2),
          |g AS (SELECT query_id, neighbor_id, rank FROM (
          | SELECT q.query_id, c.vec_id AS neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id

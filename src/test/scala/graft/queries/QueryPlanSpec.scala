@@ -343,4 +343,78 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"centroid join must stay a hash join:\n$plan")
     assert(plan.contains("Window"), s"expected the per-cluster rank window in:\n$plan")
   }
+
+  test("q131: corpus index and hash sets stream — no shuffle carries arrays or buckets") {
+    val df = QueryPack.incrementalDedup(spark, dir)
+    df.collect() // finalize AQE on THIS QueryExecution (noop write plans its own)
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only rows that may hash-exchange are the candidate sliver and
+    // the per-doc decision rollups: ids + scalars. The corpus-sized
+    // band index (bucket cols) and shingle-hash sets (sh arrays) must
+    // reach their joins as STREAMED probe sides of broadcast joins —
+    // the 265 MB-shuffle regression this pin guards against.
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n.startsWith("sh") || n == "bucket" || n == "minhash"),
+        s"corpus-sized columns in a shuffle: $names")
+    }
+    // collect() walks the FINAL adaptive plan only (the executedPlan
+    // string also prints the pre-AQE initial plan)
+    val smjs = collect(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.isEmpty,
+      s"all probe/verify joins must be broadcast-hash, found ${smjs.size} sort-merge joins")
+  }
+
+  test("q132/q38: the per-query ANN rank exchange carries ids+cosine, never vectors") {
+    // q132's label-keyed in-cell join legitimately moves vectors ONCE;
+    // the per-query rank exchange (hashpartitioning on query_id) must
+    // not — ivfTopK/mutualFromCells project vectors away first
+    for (q <- Seq("q132_mutual_knn", "q38_knn_ivf")) {
+      val df = QueryPack.all(q)(spark, dir)
+      df.collect()
+      // the in-cell rank exchange is the one carrying `cosine` (q38's
+      // probe-rank exchange may carry its FEW query vectors — that side
+      // is query-set-sized by ivfTopK's contract, never corpus-sized)
+      val exchanges = collect(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "cosine") => e
+      }
+      assert(exchanges.nonEmpty, s"$q: expected the in-cell rank exchange")
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.exists(n => n == "q_emb" || n == "c_emb" || n == "embedding"),
+          s"$q shuffles raw vectors through the rank exchange: $names")
+      }
+    }
+    // and the graph build never broadcasts corpus-sized query vectors
+    val df = QueryPack.all("q132_mutual_knn")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q132 must assign probe cells map-side, not cross-join centroids:\n$plan")
+  }
+
+  test("q133: planning is window+rollup over the manifest — no join, bounded exchanges") {
+    val df = QueryPack.compactionPlan(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"compaction planning must not join:\n$plan")
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // manifest agg (×2 subtrees unless reused) + the part_key window;
+    // the bin rollup must REUSE the window's part_key clustering
+    assert(exchanges.size <= 3,
+      s"expected ≤ 3 shuffles (manifest aggs + window), got ${exchanges.size}:\n$plan")
+  }
+
+  test("q136: the schedule head is TakeOrdered — no global sort materializes") {
+    val plan = executedPlan(QueryPack.mixSchedule(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-100 cut in:\n$plan")
+  }
 }
