@@ -23,13 +23,19 @@ object Sessionize {
 
   /** Adds `session_seq`: 1-based session index per user, where a gap of
     * more than `gapSeconds` between consecutive events starts a session.
+    * `tieBreak` pins the order of equal timestamps — which session a
+    * tied row lands in is tie-invariant, but its cumulative session_seq
+    * is not, so consumers that key on session_seq (q139) pass a unique
+    * column; consumers that only count sessions (q13) don't need one.
     */
   def withSessionSeq(
       events: DataFrame,
       userCol: String,
       tsCol: String,
-      gapSeconds: Long): DataFrame = {
-    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+      gapSeconds: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
     val prevTs = lag(col(tsCol).cast("double"), 1).over(byUser)
     val isNew = when(
       prevTs.isNull || (col(tsCol).cast("double") - prevTs > gapSeconds.toDouble),

@@ -517,6 +517,32 @@ private[queries] trait DedupQueries {
       .select(col("id").as("doc_id"), col("n_tri"))
   }
 
+  /** Local clustering coefficient (q137) — per-node triangle closure
+    * over the shared q118/q126 link graph: coeff = 2·triangles /
+    * (d·(d−1)), the community-density signal that separates tightly
+    * knit link neighborhoods (link farms, boilerplate navigation
+    * rings) from organically connected ones. Integer-ppm floored;
+    * top-25 by (coeff, id). Same m^{3/2}-bounded triangle join as
+    * q126 plus one degree join — nothing new shuffles.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val und = graft.operators.Graph.undirected(linkEdges(docs, nRow), "src", "dst")
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val tri = graft.operators.Graph.triangleCounts(und)
+    deg.join(tri, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .filter(col("d") >= 2)
+      .withColumn("coeff_ppm",
+        floor((col("n_tri") * lit(2000000.0)) / (col("d") * (col("d") - lit(1L))))
+          .cast("long"))
+      .orderBy(col("coeff_ppm").desc, col("id").asc).limit(25)
+      .select(col("id").as("doc_id"), col("d"), col("n_tri"), col("coeff_ppm"))
+  }
+
   /** Source-to-source Jaccard from GROUP-LEVEL MinHash signatures —
     * the similarity-side member of the mergeable-sketch family (KMV
     * q105/q120 = distinct, CMS q112 = frequency, MinHash here =
@@ -714,6 +740,37 @@ private[queries] trait DedupQueries {
          | array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
          |FROM j GROUP BY cluster_id
          |HAVING COUNT(DISTINCT split) >= 2""".stripMargin,
+    "q137_clustering_coeff" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |e0 AS (SELECT src, dst FROM (
+         |   SELECT doc_id AS src,
+         |    CASE WHEN j = 1 THEN (doc_id * 31 + 17) % n
+         |         WHEN j = 2 THEN doc_id % GREATEST(n // 10, 1)
+         |         ELSE (doc_id * doc_id + 7) % n END AS dst
+         |   FROM documents CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
+         |  WHERE dst <> src),
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |        FROM e0),
+         |deg AS (SELECT id, COUNT(*) AS d FROM (
+         |   SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+         |  GROUP BY id),
+         |o AS (SELECT
+         |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+         |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t,
+         |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dt
+         |  FROM und JOIN deg du ON und.u = du.id JOIN deg dv ON und.v = dv.id),
+         |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+         |      FROM o e1 JOIN o e2 ON e1.s = e2.s
+         |      WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+         |tri AS (SELECT a, b, c FROM w JOIN o ON w.b = o.s AND w.c = o.t),
+         |tc AS (SELECT doc_id, COUNT(*) AS n_tri FROM (
+         |   SELECT unnest([a, b, c]) AS doc_id FROM tri) x GROUP BY doc_id)
+         |SELECT deg.id AS doc_id, deg.d, COALESCE(tc.n_tri, 0) AS n_tri,
+         | CAST(FLOOR(COALESCE(tc.n_tri, 0) * 2000000.0
+         |   / CAST(deg.d * (deg.d - 1) AS DOUBLE)) AS BIGINT) AS coeff_ppm
+         |FROM deg LEFT JOIN tc ON tc.doc_id = deg.id
+         |WHERE deg.d >= 2
+         |ORDER BY coeff_ppm DESC, doc_id ASC LIMIT 25""".stripMargin,
     "q126_triangles" ->
       s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
          |e0 AS (SELECT src, dst FROM (

@@ -242,6 +242,56 @@ private[queries] trait EventQueries {
       .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Daily-volume anomaly gate (q138) — the monitoring query the
+    * reference's aggregators feed dashboards for (error spikes,
+    * enrollment surges): per (event_type, day), flag days whose count
+    * deviates from the trailing-7-day mean by more than 2 Poisson
+    * standard deviations. A fixed multiplicative gate can't scale —
+    * relative daily noise shrinks as 1/√volume, so "2× the mean" fires
+    * only on tiny corpora; the Poisson-z form ((n−μ)² > 4μ) is
+    * volume-adaptive. ENTIRELY integer arithmetic, cross-multiplied to
+    * clear the μ = sum7/cnt7 fraction: `(n·cnt7 − sum7)² > 4·sum7·cnt7`
+    * — no float can flip a flag cross-engine (the squared term needs
+    * DECIMAL past ~10⁹ events/day/type; longs carry every realistic
+    * per-type daily volume). One day-rollup exchange + one RANGE-framed
+    * window on the same (event_type) partitioning.
+    */
+  def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("ts").cast("long") / lit(86400L)).as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rangeBetween(-7, -1)
+    val dev = col("n") * col("cnt7") - col("sum7")
+    perDay
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("cnt7", count(col("n")).over(w))
+      .filter(col("cnt7") > 0 && dev * dev > col("sum7") * col("cnt7") * 4)
+      .select(col("event_type"), col("d"), col("n"), col("sum7"), col("cnt7"))
+  }
+
+  /** Session co-occurrence mining (q139) — market-basket support over
+    * gap-sessionized activity: for each event-type pair, the number of
+    * sessions containing BOTH (distinct-per-session first, so dense
+    * sessions don't inflate support). Top-20 by support. The pair join
+    * is keyed by (user, session) with ≤ |event types| rows per key —
+    * bounded fan-out regardless of session length.
+    */
+  def sessionPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sessionize.withSessionSeq(Tables.events(s, dir), "user_id", "ts",
+        1800L, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    val a = ev.select(col("user_id"), col("session_seq"), col("event_type").as("t1"))
+    val b = ev.select(col("user_id"), col("session_seq"), col("event_type").as("t2"))
+    a.join(b, Seq("user_id", "session_seq"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("t1").asc, col("t2").asc)
+      .limit(20)
+  }
+
   /** Funnel analysis — the product-analytics query the reference's
     * Amplitude sink feeds downstream (SendsToAmplitude ships events TO
     * Amplitude; this computes the funnel IN-engine): per user, the
@@ -472,5 +522,35 @@ private[queries] trait EventQueries {
         |                                    (SELECT MAX(d) FROM e))) AS d)
         |SELECT r.d, COALESCE(pd.n_events, 0) AS n_events
         |FROM r LEFT JOIN pd USING (d)""".stripMargin,
+    "q138_event_anomalies" ->
+      """WITH pd AS (
+        | SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |  COUNT(*) AS n
+        | FROM events GROUP BY event_type, d),
+        |t AS (SELECT event_type, d, n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS sum7,
+        |  CAST(COUNT(n) OVER w AS BIGINT) AS cnt7
+        | FROM pd WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, d, n, sum7, cnt7
+        |FROM t WHERE cnt7 > 0
+        | AND (n * cnt7 - sum7) * (n * cnt7 - sum7) > 4 * sum7 * cnt7""".stripMargin,
+    "q139_session_pairs" ->
+      """WITH g AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type,
+        |  SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM g),
+        |d AS (SELECT DISTINCT user_id, session_seq, event_type FROM s)
+        |SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_sessions
+        |FROM d a JOIN d b ON a.user_id = b.user_id
+        |  AND a.session_seq = b.session_seq AND a.event_type < b.event_type
+        |GROUP BY t1, t2
+        |ORDER BY n_sessions DESC, t1, t2 LIMIT 20""".stripMargin,
   )
 }

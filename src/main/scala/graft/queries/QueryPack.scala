@@ -161,6 +161,10 @@ object QueryPack
     "q134_host_stats"       -> (hostStats _),
     "q135_bpe_fertility"    -> (bpeFertility _),
     "q136_mix_schedule"     -> (mixSchedule _),
+    "q137_clustering_coeff" -> (clusteringCoeff _),
+    "q138_event_anomalies"  -> (eventAnomalies _),
+    "q139_session_pairs"    -> (sessionPairs _),
+    "q140_embedding_drift"  -> (embeddingDrift _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

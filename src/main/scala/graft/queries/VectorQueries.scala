@@ -83,6 +83,37 @@ private[queries] trait VectorQueries {
     Similarity.mutualKnnGraph(Tables.embeddings(s, dir), k = 5, dim = 64,
       nProbes = 2)
 
+  /** Embedding drift monitor (q140) — per label, the cosine between the
+    * centroids of two corpus halves (even/odd vec_id): the
+    * distribution-shift gate an embedding pipeline runs between
+    * ingestion batches / model versions (centroid cosine ≈ 1 means the
+    * class geometry is stable). Per-dimension centroids go through the
+    * exact-decimal [[ExactNum.favg]] so the centroid VALUES are
+    * bit-identical cross-engine and the ppm floor can't straddle an ulp;
+    * the final cosine is then one deterministic IEEE dag on identical
+    * inputs. One grouped aggregate (64 exact avgs × 2 halves) + a
+    * label-keyed self-join of 20-row tables.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val dims = 1 to 64
+    val cents = Tables.embeddings(s, dir)
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+      .groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"),
+        dims.map(i => favg(element_at(col("embedding"), i)).as(s"c$i")): _*)
+      .select(col("label") +: col("half") +: col("n") +:
+        Seq(array(dims.map(i => col(s"c$i")): _*).as("c")): _*)
+    val a = cents.filter(col("half") === 0)
+      .select(col("label"), col("c").as("ca"), col("n").as("n_even"))
+    val b = cents.filter(col("half") === 1)
+      .select(col("label"), col("c").as("cb"), col("n").as("n_odd"))
+    a.join(b, Seq("label"))
+      .withColumn("drift_ppm",
+        floor(VectorFunctions.cosine(col("ca"), col("cb")) * lit(1000000.0))
+          .cast("long"))
+      .select(col("label"), col("n_even"), col("n_odd"), col("drift_ppm"))
+  }
+
   def centroidStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .groupBy(col("label"))
@@ -639,6 +670,25 @@ private[queries] trait VectorQueries {
     // same per-subspace L2 argmin with (dist, label) tie order as the
     // engine's strict-< fold, reconstruction by concatenated slices,
     // exact re-rank of raw query vs reconstruction.
+    // drift replay: the same exact-decimal per-dim avgs (favgSql), the
+    // same cosine dag (dot / (sqrt(dot)·sqrt(dot))), the same ppm floor
+    "q140_embedding_drift" -> {
+      val avgs = (1 to 64).map(i => favgSql(s"emb[$i]")).mkString("[", ",", "]")
+      s"""WITH e AS (SELECT vec_id % 2 AS half, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         | FROM embeddings),
+         |cent AS (SELECT label, half, COUNT(*) AS n, $avgs AS c
+         | FROM e GROUP BY label, half),
+         |a AS (SELECT label, c AS ca, n AS n_even FROM cent WHERE half = 0),
+         |b AS (SELECT label, c AS cb, n AS n_odd FROM cent WHERE half = 1)
+         |SELECT a.label, n_even, n_odd,
+         | CAST(FLOOR(CASE WHEN sqrt(list_dot_product(ca, ca))
+         |                    * sqrt(list_dot_product(cb, cb)) = 0 THEN 0.0
+         |   ELSE list_dot_product(ca, cb)
+         |     / (sqrt(list_dot_product(ca, ca)) * sqrt(list_dot_product(cb, cb)))
+         |   END * 1000000.0) AS BIGINT) AS drift_ppm
+         |FROM a JOIN b ON a.label = b.label""".stripMargin
+    },
     "q132_mutual_knn" -> {
       // probe ranking replays cell_top2's contract (the q89 discipline):
       // dot of the NORMALIZED query against the raw per-label mean,
