@@ -529,6 +529,13 @@ private[queries] trait DedupQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val nRow = docs.agg(count(lit(1)).as("n"))
     val und = graft.operators.Graph.undirected(linkEdges(docs, nRow), "src", "dst")
+    clusteringFromGraph(und)
+      .orderBy(col("coeff_ppm").desc, col("doc_id").asc).limit(25)
+  }
+
+  /** Per-node coefficient table over a canonical undirected edge set —
+    * exposed for the hand-graph spec. */
+  private[graft] def clusteringFromGraph(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -539,7 +546,6 @@ private[queries] trait DedupQueries {
       .withColumn("coeff_ppm",
         floor((col("n_tri") * lit(2000000.0)) / (col("d") * (col("d") - lit(1L))))
           .cast("long"))
-      .orderBy(col("coeff_ppm").desc, col("id").asc).limit(25)
       .select(col("id").as("doc_id"), col("d"), col("n_tri"), col("coeff_ppm"))
   }
 

@@ -256,8 +256,12 @@ private[queries] trait EventQueries {
     * per-type daily volume). One day-rollup exchange + one RANGE-framed
     * window on the same (event_type) partitioning.
     */
-  def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
-    val perDay = Tables.events(s, dir)
+  def eventAnomalies(s: SparkSession, dir: String): DataFrame =
+    eventAnomaliesCore(Tables.events(s, dir))
+
+  /** [[eventAnomalies]]'s core — exposed for the planted-spike spec. */
+  private[graft] def eventAnomaliesCore(events: DataFrame): DataFrame = {
+    val perDay = events
       .select(col("event_type"),
         floor(col("ts").cast("long") / lit(86400L)).as("d"))
       .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
@@ -278,8 +282,12 @@ private[queries] trait EventQueries {
     * is keyed by (user, session) with ≤ |event types| rows per key —
     * bounded fan-out regardless of session length.
     */
-  def sessionPairs(s: SparkSession, dir: String): DataFrame = {
-    val ev = Sessionize.withSessionSeq(Tables.events(s, dir), "user_id", "ts",
+  def sessionPairs(s: SparkSession, dir: String): DataFrame =
+    sessionPairsCore(Tables.events(s, dir))
+
+  /** [[sessionPairs]]'s core — exposed for the hand-session spec. */
+  private[graft] def sessionPairsCore(events: DataFrame): DataFrame = {
+    val ev = Sessionize.withSessionSeq(events, "user_id", "ts",
         1800L, tieBreak = Seq("event_id"))
       .select(col("user_id"), col("session_seq"), col("event_type"))
       .distinct()
