@@ -165,6 +165,7 @@ object QueryPack
     "q138_event_anomalies"  -> (eventAnomalies _),
     "q139_session_pairs"    -> (sessionPairs _),
     "q140_embedding_drift"  -> (embeddingDrift _),
+    "q141_dataset_card"     -> (datasetCard _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

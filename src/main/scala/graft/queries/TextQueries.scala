@@ -1153,6 +1153,29 @@ private[queries] trait TextQueries {
         col("sched_pos"))
   }
 
+  /** Dataset card (q141) — the per-source corpus report a data release
+    * ships: volume (docs/tokens/chars), exact-duplicate mass (distinct
+    * full-text fingerprints vs rows, as integer ppm), and language
+    * spread. One rollup with the distinct count riding the same
+    * exchange; every output column integer-exact.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextHashExpressions.fnv64(col("text")).as("fh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fh")).as("n_unique_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("dup_ppm",
+        floor(((col("n_docs") - col("n_unique_texts")) * lit(1000000L)) /
+          col("n_docs").cast("double")).cast("long"))
+  }
+
   /** exists / forall higher-order predicates over the token array —
     * per language, documents containing any long token and documents
     * whose tokens are ALL short (the per-row any/all quantifiers the
@@ -1525,6 +1548,23 @@ private[queries] trait TextQueries {
          |SELECT lang, n_tokens, n_subwords,
          | CAST(FLOOR(n_subwords * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
          |   AS fertility_ppm
+         |FROM a""".stripMargin,
+    "q141_dataset_card" ->
+      s"""WITH t AS (SELECT source, lang, n_chars,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  ${fnvSql("text")} AS fh
+         | FROM documents),
+         |a AS (SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT fh) AS n_unique_texts,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         | FROM t GROUP BY source)
+         |SELECT source, n_docs, n_unique_texts, n_langs, total_tokens,
+         | total_chars,
+         | CAST(FLOOR((n_docs - n_unique_texts) * 1000000
+         |   / CAST(n_docs AS DOUBLE)) AS BIGINT) AS dup_ppm
          |FROM a""".stripMargin,
     // stride-interleave replay: same per-source content-hash rank as
     // q61, same mult-then-divide position floor, same global tie order
