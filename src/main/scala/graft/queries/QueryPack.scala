@@ -183,5 +183,8 @@ object QueryPack
     */
   val replayTwins: Set[String] = Set(
     "q22_jaccard_pairs", "q27_emb_neardup", "q28_emb_neardup_lsh",
-    "q88_emb_neardup_ids")
+    "q88_emb_neardup_ids",
+    // bounded fixed-cell twin of mutualKnnGraphAuto (the √n-cell
+    // production quantizer, spec-gated + measured in SCALING.md)
+    "q132_mutual_knn")
 }

@@ -78,10 +78,19 @@ private[queries] trait VectorQueries {
     * quantizer and (cosine DESC, id) rank contract as q38, so the
     * oracle replays probe → in-cell rank → reciprocal self-join exactly;
     * only ids and ranks cross engines (the q23/q38 margin discipline).
+    *
+    * Bounded to vec_id < 4000 (the q89 slice discipline): a no-op at
+    * every gate scale (sf ≤ 0.1 holds ≤ 2000 vectors), it caps the
+    * FIXED-cell twin's n²/20 in-cell work on the replicated /tmp
+    * corpora, where 200k vectors on 20 label cells would run for hours.
+    * The production quantizer is [[Similarity.mutualKnnGraphAuto]]
+    * (√n k-means cells — measured 15× faster already at 20k;
+    * SCALING.md round 13), spec-gated in `MutualKnnSpec`.
     */
   def mutualKnn(s: SparkSession, dir: String): DataFrame =
-    Similarity.mutualKnnGraph(Tables.embeddings(s, dir), k = 5, dim = 64,
-      nProbes = 2)
+    Similarity.mutualKnnGraph(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 4000),
+      k = 5, dim = 64, nProbes = 2)
 
   /** Embedding drift monitor (q140) — per label, the cosine between the
     * centroids of two corpus halves (even/odd vec_id): the
@@ -695,7 +704,7 @@ private[queries] trait VectorQueries {
       // ties to the lower label
       val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |  FROM embeddings),
+         |  FROM embeddings WHERE vec_id < 4000),
          |cent AS (SELECT label, $centroid AS centroid FROM e GROUP BY label),
          |q AS (SELECT vec_id AS query_id, emb AS qe FROM e),
          |nrm AS (SELECT vec_id,
