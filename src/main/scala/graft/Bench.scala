@@ -30,6 +30,17 @@ object Bench {
       // cliff.
       .config("spark.sql.codegen.hugeMethodLimit",
         sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
+      // Split sizing for the BENCH corpora, not for 100 TB: the default
+      // 128 MB maxPartitionBytes + 4 MB per-file open cost are sized for
+      // multi-TB tables on clusters; here whole tables are 10 MB–1 GB in
+      // ~100 files, so default packing folds a 100-file scan into 2–9
+      // input splits and strands 32 cores (measured: q01 12.8 s vs 4 s
+      // at sf10 — a 3× parallelism loss, not a data cost). 16 MB/1 MB
+      // re-splits these corpora to ≈ core-count splits; a real cluster
+      // keeps the defaults (files there ARE 128 MB+ — see Compaction).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader init should not be
