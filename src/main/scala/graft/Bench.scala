@@ -30,17 +30,17 @@ object Bench {
       // cliff.
       .config("spark.sql.codegen.hugeMethodLimit",
         sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
-      // Split sizing for the BENCH corpora, not for 100 TB: the default
-      // 128 MB maxPartitionBytes + 4 MB per-file open cost are sized for
-      // multi-TB tables on clusters; here whole tables are 10 MB–1 GB in
-      // ~100 files, so default packing folds a 100-file scan into 2–9
-      // input splits and strands 32 cores (measured: q01 12.8 s vs 4 s
-      // at sf10 — a 3× parallelism loss, not a data cost). 16 MB/1 MB
-      // re-splits these corpora to ≈ core-count splits; a real cluster
-      // keeps the defaults (files there ARE 128 MB+ — see Compaction).
+      // Split sizing stays at the Spark defaults (128 MB
+      // maxPartitionBytes / 4 MB open cost). An A/B at sf1/sf10 (round
+      // 13) tested 16 MB/1 MB against the small-file bench corpora on
+      // the split-packing theory for a slow sweep; the measured effect
+      // was inside the ±20% same-day host swing (median 1.2× SLOWER at
+      // sf10, 1.2× faster on one isolated q01) — the swing, not split
+      // packing, explains cross-run drift, so the defaults stand and
+      // SPARK_GRAFT_MAX_PARTITION_BYTES stays available for real
+      // cluster-side tuning.
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
-      .config("spark.sql.files.openCostInBytes", "1m")
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader init should not be
