@@ -35,9 +35,22 @@ object Bpe {
     * `pair_count` being the corpus-weighted occurrence count that made
     * the pair the argmax at its step (ties break lexicographically on
     * (left, right) — deterministic across engines and partitionings).
+    *
+    * Real tokenizers learn 10³–10⁴ merges, and each step rewrites the
+    * vocabulary with one lazy `replace` projection — left unchecked,
+    * step t would replay all t−1 prior rewrites from the cached base
+    * (O(merges²) replace work) AND analyze a t-deep Catalyst plan
+    * (O(merges²) planning). `checkpointEvery` bounds both: every N
+    * applied merges the rewritten vocabulary is localCheckpoint'd
+    * (eager — plan truncates to a leaf, materialized rows replace the
+    * replay), so per-step work is ≤ N replays over the vocab table and
+    * total work stays LINEAR in merges for fixed N (measured: see
+    * SCALING.md's BpeScale rows at 64→1024 merges).
     */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  checkpointEvery: Int = 32): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     // word-frequency dictionary; symbols start as single characters
@@ -49,8 +62,11 @@ object Bpe {
       .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var vocab = base
+    var lastCp: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (step <- 1 to numMerges) {
+    var exhausted = false
+    var step = 1
+    while (step <= numMerges && !exhausted) {
       val best = vocab
         .select(split(trim(col("s")), "  ").as("t"), col("cnt"))
         // sequence() counts DOWN for size(t) < 2 — single-symbol words
@@ -70,8 +86,21 @@ object Bpe {
           call_function("replace", col("s"),
             lit(s" $l  $r "), lit(s" $l$r ")).as("s"),
           col("cnt"))
+        if (step % checkpointEvery == 0 && step < numMerges) {
+          val cp = vocab.localCheckpoint(true)
+          lastCp.foreach(_.unpersist(false))
+          lastCp = Some(cp)
+          vocab = cp
+        }
+      } else {
+        // no adjacent pair left anywhere in the vocabulary: every later
+        // step would see the identical (unchanged) vocab and also come
+        // back empty — stop instead of running empty argmax jobs
+        exhausted = true
       }
+      step += 1
     }
+    lastCp.foreach(_.unpersist(false))
     base.unpersist(false) // merges are already materialized (collected)
     merges.result().toDF("step", "left", "right", "merged", "pair_count")
   }
@@ -83,17 +112,23 @@ object Bpe {
     * subword counts off it.
     */
   def vocabAfter(docs: DataFrame, textCol: String,
-                 numMerges: Int): DataFrame = {
-    val m = learnMerges(docs, textCol, numMerges).collect()
+                 numMerges: Int, checkpointEvery: Int = 32): DataFrame = {
+    val m = learnMerges(docs, textCol, numMerges, checkpointEvery).collect()
     var vocab = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+    // same plan-depth bound as learnMerges: the serve-side rewrite
+    // stacks one replace per learned merge, so truncate every N
+    var applied = 0
     m.sortBy(_.getInt(0)).foreach { row =>
       val (l, r) = (row.getString(1), row.getString(2))
       vocab = vocab.select(col("w"),
         call_function("replace", col("s"),
           lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
+      applied += 1
+      if (applied % checkpointEvery == 0 && applied < m.length)
+        vocab = vocab.localCheckpoint(true)
     }
     vocab.select(col("w"), trim(col("s")).as("symbols"), col("cnt"))
   }

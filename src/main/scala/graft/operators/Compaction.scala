@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * The packing rule is a deterministic first-fit over the size-descending
   * file order: within each table partition, sort small files by
   * (size DESC, file_id ASC), take the running byte total, and assign
-  * `bin = floor((cumsative_before) / targetBytes)`. Every bin's payload
-  * lands in [targetBytes − max_member, targetBytes + max_member) — the
-  * same bounded-overshoot guarantee greedy FFD gives — but unlike true
+  * `bin = floor((cumsative_before) / targetBytes)`. Every NON-FINAL
+  * bin's payload lands in [targetBytes − max_member, targetBytes +
+  * max_member) — the same bounded-overshoot guarantee greedy FFD gives
+  * (each partition's LAST bin holds the leftover tail and may undershoot
+  * arbitrarily, exactly like FFD's final bin) — but unlike true
   * FFD (a sequential loop over bins) the cumulative-quotient rule is ONE
   * window over the manifest, so planning stays a metadata-sized
   * distributed query: no driver loop, no per-bin state, and the manifest

@@ -1205,7 +1205,11 @@ object Dedup {
     *
     * Output: one row per verified pair —
     * (id, match_id, jaccard, src ∈ {corpus, batch}) with `id` from the
-    * batch; batch-internal pairs appear once (id < match_id).
+    * batch. Batch-internal pairs appear once with `id` the LATER
+    * (higher) id — the keep-FIRST admission orientation: rolling the
+    * pair set up by `id` flags the later duplicate and admits the first
+    * occurrence, matching the corpus-match orientation (the standing
+    * corpus is always "first", the arriving doc the duplicate).
     */
   def incrementalNearDups(
       batch: DataFrame, idCol: String, textCol: String,
@@ -1242,7 +1246,7 @@ object Dedup {
     val batchCands = probe.select(col(idCol).as("id"), col("band_id"), col("bucket"))
       .join(probe.select(col(idCol).as("match_id"), col("band_id"), col("bucket")),
         Seq("band_id", "bucket"))
-      .filter(col("id") < col("match_id"))
+      .filter(col("id") > col("match_id"))
       .select("id", "match_id").dropDuplicates("id", "match_id")
     verified(corpusCands, hashSets, "corpus")
       .unionByName(verified(batchCands, batchSets, "batch"))

@@ -75,6 +75,11 @@ private[queries] trait DedupQueries {
     * q20, so the banding-equals-exact recall argument carries over and
     * the oracle is the exact batch×corpus + batch×batch Jaccard replay.
     * Per-ingest cost is ∝ |batch| — the point of the operator.
+    *
+    * Admission semantics are keep-FIRST: batch-internal pairs carry the
+    * LATER (higher) id on the flagged side, so the rollup admits the
+    * first occurrence and marks the later duplicate `is_dup` — the same
+    * orientation as corpus matches (corpus content is always "first").
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -649,7 +654,7 @@ private[queries] trait DedupQueries {
         |  SELECT a.doc_id AS id, c.doc_id AS match_id,
         |   CAST(len(list_intersect(a.s, c.s)) AS DOUBLE)
         |     / (len(a.s) + len(c.s) - len(list_intersect(a.s, c.s))) AS j
-        |  FROM b a JOIN b c ON a.doc_id < c.doc_id) x WHERE j >= 0.7),
+        |  FROM b a JOIN b c ON a.doc_id > c.doc_id) x WHERE j >= 0.7),
         |p AS (SELECT * FROM pc UNION ALL SELECT * FROM pb),
         |agg AS (SELECT id, COUNT(*) AS n_matches,
         |  CAST(SUM(CASE WHEN src = 'corpus' THEN 1 ELSE 0 END) AS BIGINT)

@@ -1506,6 +1506,11 @@ private[queries] trait TextQueries {
     * `replace` rewrite; both engines' replace scans left-to-right and
     * resumes after a replacement — BPE's leftmost-non-overlapping
     * rule). v6 carries (w, s, cnt): the served word→symbols tokenizer.
+    * Each rewrite is a LEFT JOIN against the 1-row argmax with a
+    * COALESCE fallback: on a degenerate corpus that exhausts mergeable
+    * pairs before step 6, m$k is empty and the vocabulary must pass
+    * through UNCHANGED (the engine's learnMerges skips such steps) —
+    * an inner join would empty v$k and every later step.
     */
   private def bpeOracleCtes: String = {
     val iters = (1 to 6).map { k =>
@@ -1515,8 +1520,9 @@ private[queries] trait TextQueries {
          |m$k AS (SELECT l, r, pc FROM (
          |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM p$k GROUP BY l, r)
          |  ORDER BY pc DESC, l, r LIMIT 1),
-         |v$k AS (SELECT w, replace(s, ' ' || m.l || '  ' || m.r || ' ',
-         |    ' ' || m.l || m.r || ' ') AS s, cnt FROM v${k - 1}, m$k m)""".stripMargin
+         |v$k AS (SELECT w, COALESCE(replace(s, ' ' || m.l || '  ' || m.r || ' ',
+         |    ' ' || m.l || m.r || ' '), s) AS s, cnt
+         |  FROM v${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""wc AS (SELECT w, COUNT(*) AS cnt FROM (
        |  SELECT unnest(${toksSql("text")}) AS w FROM documents) u GROUP BY w),

@@ -69,4 +69,31 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     val m = Bpe.learnMerges(docs("a b c d", "  ", "xy xy"), "text", 1).collect()
     assert(m.head.getString(3) == "xy" && m.head.getLong(4) == 2L)
   }
+
+  test("lineage checkpoint is semantics-free: every-step checkpoint == none") {
+    // checkpointEvery = 1 truncates the plan after EVERY merge — the
+    // two-space replace invariant must survive each materialization
+    // boundary (symbols re-read from checkpointed rows, not the lazy
+    // replace chain). Compare against an interval the 4-merge run never
+    // reaches.
+    val d = docs("low low low", "lower lower", "newest newest", "newest newest")
+    val every = Bpe.learnMerges(d, "text", 4, checkpointEvery = 1)
+      .orderBy("step").collect().toSeq
+    val never = Bpe.learnMerges(d, "text", 4, checkpointEvery = 1000)
+      .orderBy("step").collect().toSeq
+    assert(every == never && every.size == 4)
+    val va = Bpe.vocabAfter(d, "text", 4, checkpointEvery = 1)
+      .orderBy("w").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val vb = Bpe.vocabAfter(d, "text", 4, checkpointEvery = 1000)
+      .orderBy("w").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(va == vb)
+  }
+
+  test("merge exhaustion stops early and returns only attainable steps") {
+    // 'ab' has exactly 1 learnable pair; steps 2..5 have no pairs left
+    val m = Bpe.learnMerges(docs("ab ab ab"), "text", 5).collect()
+    assert(m.length == 1 && m.head.getString(3) == "ab")
+    val v = Bpe.vocabAfter(docs("ab ab ab"), "text", 5).collect()
+    assert(v.map(_.getString(1)).toSet == Set("ab"))
+  }
 }

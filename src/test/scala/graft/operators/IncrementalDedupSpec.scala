@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** incrementalNearDups contract: an arriving batch probed against the
   * persisted corpus index finds exactly the pairs a full re-dedup of
   * corpus+batch would attribute to the batch — corpus matches, batch-
-  * internal matches once (id < match_id), nothing self-paired, nothing
+  * internal matches once with id the LATER (higher) doc — the keep-first
+  * admission orientation — nothing self-paired, nothing
   * corpus-internal (the standing corpus is NOT re-checked; that is the
   * operator's cost contract).
   */
@@ -40,7 +41,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
   test("corpus match, batch-internal match, clean and empty docs") {
     val pairs = run().collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
-    assert(pairs == Set((10L, 1L, "corpus"), (11L, 12L, "batch")))
+    assert(pairs == Set((10L, 1L, "corpus"), (12L, 11L, "batch")))
   }
 
   test("agrees with full-corpus nearDuplicatePairs restricted to batch-involved pairs") {
@@ -57,11 +58,13 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
     assert(inc == full)
   }
 
-  test("batch-internal pairs emit once with id < match_id; no self pairs") {
+  test("batch-internal pairs emit once, keep-first (id > match_id); no self pairs") {
     val rows = run().collect()
     rows.foreach { r =>
       assert(r.getLong(0) != r.getLong(1))
-      if (r.getString(3) == "batch") assert(r.getLong(0) < r.getLong(1))
+      // keep-first: the flagged (left) side is the LATER arrival, so the
+      // per-id rollup admits the first occurrence and drops the duplicate
+      if (r.getString(3) == "batch") assert(r.getLong(0) > r.getLong(1))
       assert(r.getLong(0) >= 10L, "left side is always a batch doc")
     }
   }
