@@ -556,19 +556,39 @@ object Similarity {
     * assignment ties go to the lowest code; empty codes keep their
     * previous centroid.
     *
-    * Scale shape per iteration: ONE corpus pass — codes for all
+    * Scale shape per iteration: ONE training-set pass — codes for all
     * subspaces are a single map-side projection against the literal
     * books, the update explodes to (s, code, subvector) fixed-width rows
     * and aggregates with [[VectorFunctions.vectorAvg]] (nSub·kPerSub
     * groups). Books live on the driver (nSub·kPerSub·subDim doubles —
     * the k-means literal rule); nothing corpus-sized collects.
+    *
+    * Like [[kMeans]], codebooks are ESTIMATED, so training runs on a
+    * bounded deterministic sample (256·kPerSub rows — 256 subvectors
+    * per code in every subspace, the same density rule): `iterations`
+    * full-corpus passes were the linear-but-5× tax on every PQ build;
+    * the caller's ENCODE pass still covers every vector. Same
+    * hash-threshold sample and Int.MaxValue escape as kMeans.
     */
   def pqTrainCodebooks(corpus: DataFrame, dim: Int, nSub: Int,
-                       kPerSub: Int, iterations: Int = 5): Array[Array[Array[Double]]] = {
+                       kPerSub: Int, iterations: Int = 5,
+                       trainSampleCap: Int = -1): Array[Array[Array[Double]]] = {
     require(nSub > 0 && dim % nSub == 0 && kPerSub > 0 && iterations > 0)
+    require(trainSampleCap == -1 || trainSampleCap >= kPerSub,
+      "trainSampleCap must be -1 (auto) or at least kPerSub")
     val sub = dim / nSub
-    val valid = corpus.filter(wellFormedVec(col("embedding"), dim))
+    val allValid = corpus.filter(wellFormedVec(col("embedding"), dim))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("_e"))
+    val cap = if (trainSampleCap == -1) trainCapForCells(kPerSub) else trainSampleCap
+    val nVecs = allValid.count()
+    val valid = {
+      if (nVecs <= cap) allValid
+      else {
+        val m = 1L << 24
+        val thresh = math.max(1L, (m.toDouble * cap.toDouble / nVecs.toDouble).toLong)
+        allValid.filter(pmod(xxhash64(col("vec_id")), lit(m)) < lit(thresh))
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = valid.orderBy(col("vec_id")).limit(kPerSub).collect()
       .map(_.getSeq[Double](1).toArray)
     require(seeds.length == kPerSub, s"corpus has fewer than $kPerSub vectors")
@@ -590,6 +610,7 @@ object Similarity {
       })
       it += 1
     }
+    valid.unpersist(false)
     books
   }
 
@@ -718,6 +739,35 @@ object Similarity {
         v, sc.broadcast(centroids))
   }
 
+  /** Training-sample budget for [[kMeans]]: 256 vectors per centroid is
+    * the standard quantizer-training density (FAISS trains IVF coarse
+    * quantizers on 30–256 points/centroid); beyond it the centroid
+    * estimate's variance is sampling-noise-bounded, not data-bounded, so
+    * extra rows buy recall nothing while each k-means iteration pays for
+    * them. */
+  def trainCapForCells(k: Int): Int =
+    math.min(256L * k, Int.MaxValue.toLong).toInt
+
+  /** Spherical k-means with SAMPLE-trained centroids — the scale-safe
+    * quantizer build. Centroid ESTIMATION needs only a bounded sample
+    * (≈256 rows per centroid, [[trainCapForCells]]): iterating over all
+    * n vectors against k ≈ √n centroids costs n^1.5 per iteration — the
+    * one super-linear build edge in the IVF family (measured: the 2M
+    * full-trained build, SCALING.md) — while a capped sample holds
+    * per-iteration cost at 256·k² = O(n) and leaves recall unchanged
+    * (assignment still covers every vector, and centroids estimated from
+    * 256 points/cell are sampling-noise-tight). Only the final
+    * ASSIGNMENT pass — which is irreducible and embarrassingly parallel
+    * — scans the full corpus, once.
+    *
+    * The training sample is deterministic and id-decorrelated: rows with
+    * `xxhash64(id) mod M < M·cap/n` (ids often correlate with content —
+    * crawl time, source — so an id-prefix sample would train on a biased
+    * slice). When the corpus fits the cap, training runs on all of it
+    * and the build is EXACTLY the pre-sampling behavior. Pass
+    * `trainSampleCap = Int.MaxValue` to force full-corpus training (the
+    * recall-parity A/B in KMeansSampleSpec); `-1` selects the auto cap.
+    */
   def kMeans(
       corpus: DataFrame,
       idCol: String,
@@ -725,9 +775,12 @@ object Similarity {
       k: Int,
       dim: Int,
       iterations: Int,
-      planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes)
+      planLiteralBudgetBytes: Long = DefaultPlanLiteralBudgetBytes,
+      trainSampleCap: Int = -1)
       : (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iterations > 0)
+    require(trainSampleCap == -1 || trainSampleCap >= k,
+      "trainSampleCap must be -1 (auto) or at least k")
     // drop malformed vectors (null, wrong length, null/non-finite
     // element) BEFORE normalizing: one dirty row would otherwise
     // surface as a null cell in the update collect (NPE on r.getInt —
@@ -736,7 +789,24 @@ object Similarity {
     val normalized = corpus
       .filter(wellFormedVec(col(vecCol), dim))
       .select(col(idCol), VectorFunctions.normalize(col(vecCol)).as("_v"))
-    // seeds: the k lowest-id vectors, SKIPPING near-duplicate
+    // bounded training set (see scaladoc): one column-pruned count
+    // decides whether sampling applies — it REPLACES `iterations` full
+    // corpus passes, it does not add to them. The hash-threshold filter
+    // is a map-side predicate (no shuffle, no single-partition gather),
+    // so the sample materializes in one distributed pass and is cached
+    // for the iteration loop.
+    val cap = if (trainSampleCap == -1) trainCapForCells(k) else trainSampleCap
+    val nVecs = normalized.count()
+    val train = {
+      if (nVecs <= cap) normalized
+      else {
+        val m = 1L << 24
+        val thresh = math.max(1L, (m.toDouble * cap.toDouble / nVecs.toDouble).toLong)
+        normalized.filter(
+          pmod(xxhash64(col(idCol)), lit(m)) < lit(thresh))
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeds: the k lowest-id TRAINING vectors, SKIPPING near-duplicate
     // directions (cosine > 0.9999 to an already-kept seed, scanned over
     // a 4k id-ordered oversample). Duplicate seeds are provably wasted
     // cells — two identical centroids fragment one near-dup family
@@ -748,9 +818,9 @@ object Similarity {
     // may come back SHORTER than k — callers size probes from
     // centroids.length). Deterministic: id order, strict-greater skip.
     val sampleSize = math.max(4 * k, 256)
-    val sample = normalized.orderBy(col(idCol)).limit(sampleSize).collect()
+    val sample = train.orderBy(col(idCol)).limit(sampleSize).collect()
       .map(_.getSeq[Double](1).toArray)
-    require(sample.length >= k, s"corpus has fewer than $k vectors")
+    require(sample.length >= k, s"training sample has fewer than $k vectors")
     def dotv(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -772,7 +842,7 @@ object Similarity {
 
     var it = 0
     while (it < iterations) {
-      val assigned = normalized.withColumn("cell", assignExpr)
+      val assigned = train.withColumn("cell", assignExpr)
       val updated = assigned.groupBy(col("cell"))
         .agg(VectorFunctions.vectorAvg(col("_v"), dim).as("c"))
         .collect()
@@ -789,6 +859,8 @@ object Similarity {
       }
       it += 1
     }
+    train.unpersist(false)
+    // the ONE full-corpus pass: assignment of every vector to its cell
     (normalized.withColumn("cell", assignExpr).select(col(idCol), col("cell")),
       centroids)
   }
