@@ -161,12 +161,44 @@ object Bench {
     }
     val (calSt, calMt) = hostCal()
     System.err.println(f"[bench cal] single-thread ${calSt}%.0f Mops/s, all-threads ${calMt}%.0f Mops/s")
-    val passA = sweep("A", selected)
-    val passB = sweep("B", selected.reverse)
-    // second stamp AFTER the passes: a regime shift mid-sweep shows as
-    // pre/post divergence instead of silently skewing pass A vs pass B
-    val (calSt2, calMt2) = hostCal()
-    System.err.println(f"[bench cal] post-sweep single-thread ${calSt2}%.0f Mops/s, all-threads ${calMt2}%.0f Mops/s")
+    // QUIESCE GUARD (round 14): r13's pass A ran under concurrent host
+    // load (a 22.8× pass ratio on one query; host cal dropped 20%
+    // round-over-round) and min-of-two-passes had to absorb it, halving
+    // the noise margin. Each pass now carries its own post-pass cal
+    // stamp; a pass whose stamp sits >10% below the pre-run value is
+    // re-run ONCE (per-query min across the two runs) and the artifact
+    // records pass-level cal + rerun + a contamination flag, so a noisy
+    // sweep is visible in BENCH_r{N}.json instead of inferred.
+    def runPassChecked(name: String,
+        qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)])
+        : (Map[String, Double], (Double, Double), Boolean) = {
+      var res = sweep(name, qs)
+      var (st, mt) = hostCal()
+      System.err.println(f"[bench cal] post-pass-$name single-thread ${st}%.0f Mops/s, all-threads ${mt}%.0f Mops/s")
+      var rerun = false
+      if (mt < 0.9 * calMt || st < 0.9 * calSt) {
+        System.err.println(f"[bench cal] pass $name contaminated (>10%% below pre-run) — re-running once")
+        rerun = true
+        val res2 = sweep(s"$name-rerun", qs)
+        val (st2, mt2) = hostCal()
+        System.err.println(f"[bench cal] post-rerun-$name single-thread ${st2}%.0f Mops/s, all-threads ${mt2}%.0f Mops/s")
+        res = res.map { case (k, v) =>
+          val v2 = res2(k)
+          k -> (if (v < 0) v2 else if (v2 < 0) v else math.min(v, v2))
+        }
+        st = st2; mt = mt2
+      }
+      (res, (st, mt), rerun)
+    }
+    val (passA, calPassA, rerunA) = runPassChecked("A", selected)
+    val (passB, calPassB, rerunB) = runPassChecked("B", selected.reverse)
+    // post stamp = the last pass's stamp: a regime shift mid-sweep shows
+    // as pre/post divergence instead of silently skewing pass A vs B
+    val (calSt2, calMt2) = calPassB
+    val contaminated =
+      calPassA._2 < 0.9 * calMt || calPassA._1 < 0.9 * calSt ||
+      calPassB._2 < 0.9 * calMt || calPassB._1 < 0.9 * calSt
     val results = selected.map { case (name, _) =>
       val times = Seq(passA(name), passB(name)).filter(_ >= 0)
       name -> (if (times.nonEmpty) times.min else -1.0)
@@ -196,7 +228,7 @@ object Bench {
       selected.map { case (k, _) => s"\"" + k + "\":" + p(k) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson =
-      f"""{"pre":{"st_mops":$calSt%.0f,"mt_mops":$calMt%.0f},"post":{"st_mops":$calSt2%.0f,"mt_mops":$calMt2%.0f}}"""
+      f"""{"pre":{"st_mops":$calSt%.0f,"mt_mops":$calMt%.0f},"post":{"st_mops":$calSt2%.0f,"mt_mops":$calMt2%.0f},"pass_a":{"st_mops":${calPassA._1}%.0f,"mt_mops":${calPassA._2}%.0f,"rerun":$rerunA},"pass_b":{"st_mops":${calPassB._1}%.0f,"mt_mops":${calPassB._2}%.0f,"rerun":$rerunB},"contaminated":$contaminated}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_production":$totalProduction,"replay_cost":$replayCost,"n_failed":${failed.size},"failed":$failedJson,"host_cal":$calJson,"queries":$qs,"queries_pass_a":${passJson(passA)},"queries_pass_b":${passJson(passB)},"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout (~2 KB) and parses what

@@ -1251,4 +1251,29 @@ object Dedup {
     verified(corpusCands, hashSets, "corpus")
       .unionByName(verified(batchCands, batchSets, "batch"))
   }
+
+  /** Close the ingest loop: append an ADMITTED batch's probe artifacts
+    * to the persisted index directories, so the NEXT arrival's
+    * [[incrementalNearDups]] probe finds this one. `admitted` is the
+    * batch minus whatever the admission decision dropped — appending
+    * rejected duplicates would make every later copy match the REJECTED
+    * doc too, inflating the index with ids that aren't in the corpus.
+    *
+    * Cost ∝ |admitted|: two signature passes over the batch only, and
+    * parquet `append` adds files without touching existing ones — the
+    * standing index is never read, rewritten, or compacted here (file-
+    * count hygiene is [[graft.operators.Compaction]]'s job, on the
+    * manifest, offline). Every probe/append step of a perpetual ingest
+    * pipeline therefore does work proportional to its own arrival, never
+    * to the corpus.
+    */
+  def appendToIndex(admitted: DataFrame, idCol: String, textCol: String,
+                    bandIndexDir: String, hashSetsDir: String,
+                    numHashes: Int, bands: Int, shingleSize: Int): Unit = {
+    minhashBandIndex(admitted, idCol, textCol, numHashes, bands, shingleSize)
+      .write.mode("append").parquet(bandIndexDir)
+    shingleHashSets(admitted, idCol, textCol, shingleSize)
+      .filter(size(col("sh")) > 0)
+      .write.mode("append").parquet(hashSetsDir)
+  }
 }

@@ -66,4 +66,57 @@ object Graph {
     triangles(und)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+
+  /** Community curation over a similarity graph — the decision step of
+    * graph-clustered semantic dedup / cluster-balanced sampling: given
+    * an undirected edge list (e.g. [[Similarity.mutualKnnGraphAuto]]'s
+    * mutual pairs), form communities (connected components, min-id
+    * label), then per community pick
+    *   - a SURVIVOR: the max-degree member (most-connected ≈ medoid;
+    *     degree is an integer so no float ulp can flip the pick; ties
+    *     to the lowest id), and
+    *   - a budget-proportional SAMPLE: ceil(n_members / sampleDenom)
+    *     members in (fnv64-low-20-bits, id) order — deterministic
+    *     pseudo-random, replayable in plain SQL.
+    * Output: one row per community —
+    * (cluster_id, n_members, kept_id, max_degree, n_sampled,
+    *  sum_sampled_ids).
+    *
+    * Scale shape: everything past the caller's graph build is ids-only.
+    * Degree is one hash aggregate over edges; membership⋈degree an id
+    * equi-join; community size, survivor argmax, and sample rank all
+    * ride windows over ONE cluster_id hash partitioning (no second
+    * exchange); the final rollup groups the sampled sliver.
+    */
+  def communityCuration(edges: DataFrame, aCol: String, bCol: String,
+                        sampleDenom: Int = 10): DataFrame = {
+    require(sampleDenom > 0, "sampleDenom must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+    val cc = Dedup.connectedComponents(e, "id_a", "id_b")
+    val deg = e.select(col("id_a").as("node"))
+      .unionByName(e.select(col("id_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val w = Window.partitionBy(col("cluster_id"))
+    val hw = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("h").asc, col("node").asc)
+    cc.join(deg, Seq("node"))
+      // low 20 bits of fnv64: two's-complement low bits equal the
+      // unsigned value's low bits, so the signed engine hash and a SQL
+      // replay's UBIGINT order identically
+      .withColumn("h",
+        pmod(org.apache.spark.sql.graft.TextHashExpressions
+          .fnv64(col("node").cast("string")), lit(1048576L)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("max_degree", max(col("degree")).over(w))
+      .withColumn("kept_id",
+        min(when(col("degree") === col("max_degree"), col("node"))).over(w))
+      .withColumn("hr", row_number().over(hw))
+      .filter(col("hr") <= expr(s"(n_members + ${sampleDenom - 1}) div $sampleDenom"))
+      .groupBy(col("cluster_id"), col("n_members"), col("kept_id"),
+        col("max_degree"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("node")).as("sum_sampled_ids"))
+      .select(col("cluster_id"), col("n_members"), col("kept_id"),
+        col("max_degree"), col("n_sampled"), col("sum_sampled_ids"))
+  }
 }

@@ -274,8 +274,8 @@ object Layout {
     * same file set `spark.read.parquet(dir)` would scan, and sidecar
     * metadata (e.g. the [[writeStatsTable]] `_graft_stats` directory)
     * is never mistaken for data. */
-  private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
-                               root: org.apache.hadoop.fs.Path)
+  private[operators] def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                          root: org.apache.hadoop.fs.Path)
       : Array[org.apache.hadoop.fs.Path] = {
     def hidden(name: String) =
       name.startsWith("_") || name.startsWith(".")

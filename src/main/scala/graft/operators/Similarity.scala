@@ -429,6 +429,125 @@ object Similarity {
         col("pair_ts").as("ts_a"), round(col("cosine"), 6).as("cosine"))
   }
 
+  final case class BucketedVec(id: Long, tsMs: Long, emb: Array[Double],
+                               homes: Array[Long], table: Int, bucket: Long,
+                               ts: java.sql.Timestamp)
+  final case class BucketResident(id: Long, tsMs: Long, emb: Array[Double],
+                                  homes: Array[Long])
+  final case class BucketState(entries: Seq[BucketResident])
+  final case class StreamNearDup(id_a: Long, id_b: Long,
+                                 ts_a: java.sql.Timestamp, cosine: Double)
+
+  /** [[streamingNearDupPairs]] restructured as BUCKET-KEYED state — the
+    * batch path's layout held in `flatMapGroupsWithState` instead of a
+    * stream-stream join. Same candidate rule (per table, hamming ≤ 1
+    * between home buckets — one-sided multi-probe), same exact-cosine
+    * verify, same retention (a resident pairs with arrivals within
+    * `intervalSeconds` of event time; eviction at watermark − interval).
+    *
+    * Why it beats the join at throughput: the symmetric hash join writes
+    * per-ROW state on both sides every trigger and the cross-table pair
+    * dedup is a second stateful operator — the measured RocksDB wall
+    * (SCALING.md round 13: 127 rows/s, state writes dominant). Here each
+    * (table, bucket) group does ONE state get + ONE put per trigger
+    * regardless of how many rows land in it, and cross-table/probe
+    * dedup is STRUCTURAL — a pair is emitted only from its canonical
+    * group: the minimum qualifying table t*, bucket = min of the two
+    * home buckets at t* (for hamming 1 exactly two groups hold the
+    * pair; for hamming 0 the home group plus probe groups — the rule
+    * picks one in both cases), so no dedup state exists at all.
+    *
+    * Each vector resides (with its normalized embedding + per-table
+    * home buckets) in its home bucket and its nPlanes hamming-1 probe
+    * buckets per table — the same ×tables·(probes+1) amplification the
+    * join twin's probe side pays.
+    */
+  def streamingNearDupPairsBucketed(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      intervalSeconds: Long,
+      threshold: Double,
+      nPlanes: Int = 4,
+      nTables: Int = 2): org.apache.spark.sql.Dataset[StreamNearDup] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import vectors.sparkSession.implicits._
+    val intervalMs = intervalSeconds * 1000L
+    val probesPerBucket = (0 until nPlanes).toArray
+    val banded = vectors
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("id"),
+        (col(tsCol).cast("double") * 1000).cast("long").as("tsMs"),
+        VectorFunctions.normalize(col(vecCol)).as("emb"),
+        VectorFunctions.hyperplaneBuckets(col(vecCol), nPlanes, nTables)
+          .as("homes"),
+        col(tsCol).as("ts"))
+      // residency: home + the nPlanes hamming-1 flips, per table
+      .select(col("id"), col("tsMs"), col("emb"), col("homes"), col("ts"),
+        posexplode(col("homes")))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "home"))
+      .select(col("id"), col("tsMs"), col("emb"), col("homes"), col("table"),
+        explode(array(col("home") +: probesPerBucket.toSeq.map(b =>
+          col("home").bitwiseXOR(lit(1L << b))): _*)).as("bucket"),
+        col("ts"))
+      .as[BucketedVec]
+
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def update(key: (Int, Long), rows: Iterator[BucketedVec],
+               state: GroupState[BucketState]): Iterator[StreamNearDup] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val (table, bucket) = key
+        val wm = state.getCurrentWatermarkMs()
+        var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+          .filter(_.tsMs >= wm - intervalMs)
+        val out = Seq.newBuilder[StreamNearDup]
+        rows.toSeq.sortBy(r => (r.tsMs, r.id)).foreach { r =>
+          entries.foreach { c =>
+            if (c.id != r.id && math.abs(c.tsMs - r.tsMs) <= intervalMs) {
+              // canonical group: minimum table where the pair qualifies
+              // (hamming ≤ 1 between HOME buckets), bucket = min home
+              var tStar = -1
+              var t = 0
+              while (tStar < 0 && t < nTables) {
+                if (hamming(r.homes(t), c.homes(t)) <= 1) tStar = t
+                t += 1
+              }
+              if (tStar == table &&
+                  bucket == math.min(r.homes(tStar), c.homes(tStar))) {
+                var cos = 0.0
+                var i = 0
+                while (i < r.emb.length) { cos += r.emb(i) * c.emb(i); i += 1 }
+                if (cos >= threshold)
+                  out += StreamNearDup(math.min(r.id, c.id),
+                    math.max(r.id, c.id),
+                    new java.sql.Timestamp(math.min(r.tsMs, c.tsMs)),
+                    round6(cos))
+              }
+            }
+          }
+          entries = entries :+ BucketResident(r.id, r.tsMs, r.emb, r.homes)
+        }
+        if (entries.isEmpty) state.remove()
+        else {
+          state.update(BucketState(entries))
+          state.setTimeoutTimestamp(
+            math.max(entries.map(_.tsMs).max + intervalMs, wm + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    banded.groupByKey(r => (r.table, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Per-label centroid statistics — the IVF coarse-quantizer building
     * block (k-means assignment step = argmin distance to these centroids).
     */
@@ -589,7 +708,9 @@ object Similarity {
         allValid.filter(pmod(xxhash64(col("vec_id")), lit(m)) < lit(thresh))
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = valid.orderBy(col("vec_id")).limit(kPerSub).collect()
+    // seeds keep the pre-sampling contract: the kPerSub lowest-id CORPUS
+    // vectors (one TakeOrdered pass), independent of iteration sampling
+    val seeds = allValid.orderBy(col("vec_id")).limit(kPerSub).collect()
       .map(_.getSeq[Double](1).toArray)
     require(seeds.length == kPerSub, s"corpus has fewer than $kPerSub vectors")
     var books: Array[Array[Array[Double]]] = Array.tabulate(nSub)(s =>
@@ -806,7 +927,12 @@ object Similarity {
           pmod(xxhash64(col(idCol)), lit(m)) < lit(thresh))
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seeds: the k lowest-id TRAINING vectors, SKIPPING near-duplicate
+    // seeds: the k lowest-id CORPUS vectors (a one-pass TakeOrdered —
+    // seed choice is part of the build's deterministic contract and
+    // stays fixed whether or not iteration sampling engages; measured on
+    // the 2M rotated-replica corpus, moving seeds into the hash sample
+    // scattered them across the rotation shards and cost 4 recall
+    // points at unchanged probes), SKIPPING near-duplicate
     // directions (cosine > 0.9999 to an already-kept seed, scanned over
     // a 4k id-ordered oversample). Duplicate seeds are provably wasted
     // cells — two identical centroids fragment one near-dup family
@@ -818,9 +944,9 @@ object Similarity {
     // may come back SHORTER than k — callers size probes from
     // centroids.length). Deterministic: id order, strict-greater skip.
     val sampleSize = math.max(4 * k, 256)
-    val sample = train.orderBy(col(idCol)).limit(sampleSize).collect()
+    val sample = normalized.orderBy(col(idCol)).limit(sampleSize).collect()
       .map(_.getSeq[Double](1).toArray)
-    require(sample.length >= k, s"training sample has fewer than $k vectors")
+    require(sample.length >= k, s"corpus has fewer than $k vectors")
     def dotv(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }

@@ -166,6 +166,7 @@ object QueryPack
     "q139_session_pairs"    -> (sessionPairs _),
     "q140_embedding_drift"  -> (embeddingDrift _),
     "q141_dataset_card"     -> (datasetCard _),
+    "q142_graph_curation"   -> (graphCuration _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */
@@ -186,5 +187,9 @@ object QueryPack
     "q88_emb_neardup_ids",
     // bounded fixed-cell twin of mutualKnnGraphAuto (the √n-cell
     // production quantizer, spec-gated + measured in SCALING.md)
-    "q132_mutual_knn")
+    "q132_mutual_knn",
+    // its curation composition rides the same fixed-cell twin graph;
+    // the production composition (mutualKnnGraphAuto + CC + curation)
+    // is GraphCurationSpec-gated and measured in KnnGraphScale
+    "q142_graph_curation")
 }

@@ -92,6 +92,32 @@ private[queries] trait VectorQueries {
       Tables.embeddings(s, dir).filter(col("vec_id") < 4000),
       k = 5, dim = 64, nProbes = 2)
 
+  /** Graph-clustered semantic curation (q142) — the composition the
+    * mutual-kNN graph (q132) and connected components (q45's operator)
+    * exist FOR: communities of mutually-similar vectors, then per
+    * community (a) a DEGREE-ranked survivor — the most-connected member
+    * is the medoid proxy, and degree is an INTEGER so no float ulp can
+    * flip the pick cross-engine (ties to the lowest id) — and (b) a
+    * budget-proportional sample, ceil(10%) of members in FNV-hash order
+    * (q136's budget discipline applied per community instead of per
+    * language: cluster-balanced sampling). Same bounded fixed-cell twin
+    * slice as q132 (vec_id < 4000, a no-op at gate scales); the
+    * production path composes [[Similarity.mutualKnnGraphAuto]] +
+    * [[Dedup.connectedComponents]] and is spec-gated on a
+    * planted-community corpus (GraphCurationSpec) and measured in
+    * SCALING.md's KnnGraphScale rows.
+    *
+    * Scale shape: every stage is ids-only past the graph build —
+    * degree is one hash aggregate over edges, membership⋈degree an id
+    * equi-join, and all three per-community reads (size, survivor,
+    * sample rank) ride windows over ONE cluster_id hash partitioning.
+    */
+  def graphCuration(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 4000)
+    val edges = Similarity.mutualKnnGraph(emb, k = 5, dim = 64, nProbes = 2)
+    graft.operators.Graph.communityCuration(edges, "id_a", "id_b")
+  }
+
   /** Embedding drift monitor (q140) — per label, the cosine between the
     * centroids of two corpus halves (even/odd vec_id): the
     * distribution-shift gate an embedding pipeline runs between
@@ -727,6 +753,60 @@ private[queries] trait VectorQueries {
          |FROM g a JOIN g b ON b.query_id = a.neighbor_id
          |  AND b.neighbor_id = a.query_id
          |WHERE a.query_id < a.neighbor_id""".stripMargin
+    },
+    // q132's probe → rank → mutual chain verbatim, then: transitive
+    // closure (q45's recursive CTE), per-node degree over both edge
+    // directions, the integer degree-argmax survivor, and the
+    // hash-ordered ceil(10%) sample — low-20-bit fnv so UBIGINT and the
+    // engine's signed long order identically
+    "q142_graph_curation" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      val h = fnvSql("CAST(m.node AS VARCHAR)")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id < 4000),
+         |cent AS (SELECT label, $centroid AS centroid FROM e GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e),
+         |nrm AS (SELECT vec_id,
+         |  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS ne
+         | FROM e),
+         |probed AS (SELECT query_id, label FROM (
+         | SELECT nrm.vec_id AS query_id, cent.label,
+         |  ROW_NUMBER() OVER (PARTITION BY nrm.vec_id
+         |    ORDER BY list_dot_product(nrm.ne, cent.centroid) DESC, cent.label) AS pr
+         | FROM nrm CROSS JOIN cent) p WHERE pr <= 2),
+         |g AS (SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
+         | FROM q JOIN probed ON probed.query_id = q.query_id
+         |  JOIN e c ON c.label = probed.label AND c.vec_id <> q.query_id) t
+         |WHERE rank <= 5),
+         |mu AS (SELECT a.query_id AS u, a.neighbor_id AS v
+         | FROM g a JOIN g b ON b.query_id = a.neighbor_id
+         |  AND b.neighbor_id = a.query_id
+         | WHERE a.query_id < a.neighbor_id),
+         |ed AS (SELECT u, v FROM mu UNION SELECT v AS u, u AS v FROM mu),
+         |reach AS (
+         | SELECT u AS node, u AS r FROM ed
+         | UNION
+         | SELECT reach.node, ed.v AS r FROM reach JOIN ed ON reach.r = ed.u),
+         |cl AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |deg AS (SELECT u AS node, COUNT(*) AS degree FROM ed GROUP BY u),
+         |m AS (SELECT cl.node, cl.cluster_id, deg.degree FROM cl JOIN deg USING (node)),
+         |x AS (SELECT m.node, m.cluster_id, m.degree,
+         |  ($h % 1048576) AS h,
+         |  COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members,
+         |  MAX(m.degree) OVER (PARTITION BY m.cluster_id) AS max_degree
+         | FROM m),
+         |x2 AS (SELECT *,
+         |  MIN(CASE WHEN degree = max_degree THEN node END)
+         |    OVER (PARTITION BY cluster_id) AS kept_id,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY h, node) AS hr
+         | FROM x)
+         |SELECT cluster_id, n_members, kept_id, max_degree,
+         | COUNT(*) AS n_sampled, CAST(SUM(node) AS BIGINT) AS sum_sampled_ids
+         |FROM x2 WHERE hr <= (n_members + 9) // 10
+         |GROUP BY 1, 2, 3, 4""".stripMargin
     },
     "q104_knn_pq" -> {
       val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"

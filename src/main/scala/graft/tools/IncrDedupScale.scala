@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * from the corpus tail by id residue (same near-dup structure as the
   * corpus), so (a) and (c) answer the same admission question.
   *
+  * Mode `ingest` drives the FULL production loop: 3 sequential
+  * arrivals (id residues 1..3), each probing the stored index,
+  * admitting its non-duplicates, and `appendToIndex`-ing them so the
+  * next arrival sees them — per-step wall/shuffle must stay flat
+  * (cost ∝ batch, not corpus or step number).
+  *
   * Usage: runMain graft.tools.IncrDedupScale <sfDir> <workDir>
-  *                [batchResidue=100] [full|probe|both]
+  *                [batchResidue=100] [full|probe|both|ingest]
   */
 object IncrDedupScale {
   def main(args: Array[String]): Unit = {
@@ -73,6 +79,38 @@ object IncrDedupScale {
         spark.read.parquet(s"$work/hash_sets"),
         numHashes = 64, bands = 16, shingleSize = 2,
         jaccardThreshold = 0.7).count())
+    }
+
+    if (mode == "ingest") {
+      val bandDir = s"$work/band_index"; val setsDir = s"$work/hash_sets"
+      val standing = docs.filter(
+        col("doc_id") % residue === 0 || col("doc_id") % residue > 3)
+      run("index_build") {
+        graft.operators.Dedup.minhashBandIndex(standing, "doc_id", "text",
+          64, 16, 2).write.mode("overwrite").parquet(bandDir)
+        graft.operators.Dedup.shingleHashSets(standing, "doc_id", "text", 2)
+          .write.mode("overwrite").parquet(setsDir)
+        spark.read.parquet(bandDir).count()
+      }
+      for (step <- 1 to 3) {
+        val b = docs.filter(col("doc_id") % residue === step)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        run(s"ingest_$step") {
+          val pairs = graft.operators.Dedup.incrementalNearDups(
+              b, "doc_id", "text",
+              spark.read.parquet(bandDir), spark.read.parquet(setsDir),
+              64, 16, 2, 0.7)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nPairs = pairs.count()
+          val dup = pairs.select(col("id")).distinct()
+          val admitted = b.join(dup, b("doc_id") === dup("id"), "left_anti")
+          graft.operators.Dedup.appendToIndex(admitted, "doc_id", "text",
+            bandDir, setsDir, 64, 16, 2)
+          pairs.unpersist(false)
+          nPairs
+        }
+        b.unpersist(false)
+      }
     }
     spark.stop()
   }

@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
   * the cell/probe dials are tuned from data rather than guessed (see
   * SCALING.md "ANN/LSH at scale").
   *
-  * Usage: runMain graft.tools.IvfTune <sfDir> <nQueries> [nProbes]
-  *        (nProbes omitted or 0 → auto via probesForCells)
+  * Usage: runMain graft.tools.IvfTune <sfDir> <nQueries> [nProbes] [trainCap]
+  *        (nProbes omitted or 0 → auto via probesForCells;
+  *         trainCap omitted or 0 → auto 256·k sample, -1 → full-corpus
+  *         training, else the explicit row cap — the sample-vs-full A/B)
   */
 object IvfTune {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nQueries = args(1).toInt
     val probesOverride = if (args.length > 2) args(2).toInt else 0
+    val trainCap = args.lift(3).map(_.toInt).getOrElse(0) match {
+      case 0 => -1            // kMeans auto rule
+      case -1 => Int.MaxValue // full-corpus training
+      case c => c
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,7 +56,7 @@ object IvfTune {
     // a real deployment writes it out once.
     val t0 = System.nanoTime()
     val (_, centroids) = Similarity.kMeans(corpus, "vec_id", "embedding",
-      nCells, dim, iterations = 5)
+      nCells, dim, iterations = 5, trainSampleCap = trainCap)
     val relabeled = corpus.select(col("vec_id"), col("embedding"),
         Similarity.assignCells(
           graft.functions.VectorFunctions.normalize(col("embedding")), centroids)

@@ -179,6 +179,32 @@ object StreamBench {
           source().select($"offset".as("vid"), emb.as("emb"), $"ts"),
           "vid", "emb", "ts", watermarkDelay = "1 minute",
           intervalSeconds = 5L, threshold = 0.9)
+      },
+      time("near_dup_bucketed") {
+        // identical corpus and dials to near_dup — the bucket-keyed
+        // flatMapGroupsWithState restructure of the same twin, so the
+        // rows/s ratio reads directly as the state-layout win
+        val base = ($"offset" / 2L).cast("long")
+        val emb = array((0 until 8).map(j =>
+          ((pmod(hash(base, lit(j)).cast("long"), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0).cast("float")): _*)
+        Similarity.streamingNearDupPairsBucketed(
+          source().select($"offset".as("vid"), emb.as("emb"), $"ts"),
+          "vid", "emb", "ts", watermarkDelay = "1 minute",
+          intervalSeconds = 5L, threshold = 0.9).toDF()
+      },
+      time("funnel") {
+        // sessionKeys users cycling view → click → purchase → view …;
+        // every third event advances a frontier, so state = one frontier
+        // row per user + the in-flight buffer the watermark drains
+        val step = when($"offset" % 3L === 0L, "view")
+          .when($"offset" % 3L === 1L, "click").otherwise("purchase")
+        graft.operators.Funnel.streamingFunnel(
+          source().select(($"offset" % sessionKeys).as("user_id"),
+            step.as("event_type"), $"ts"),
+          "user_id", "event_type", "ts",
+          steps = Seq("view", "click", "purchase"),
+          watermarkDelay = "1 minute").toDF()
       }).flatten
 
     def r0(v: Double): Long = math.round(v)

@@ -65,4 +65,59 @@ class CompactionSpec extends AnyFunSuite with SparkTest {
       .map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("compactTo executes the plan: conservation, bin-count, keeps byte-identical, stats regenerated") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = s"$work/src"; val out = s"$work/out"
+    // 12 small files + 1 big file (append) so the plan has both kinds
+    spark.range(0, 6000).select(col("id"), (col("id") * 7 % 101).as("x"),
+        concat(lit("row-"), col("id")).as("s"))
+      .repartition(12).write.parquet(src)
+    spark.range(6000, 60000).select(col("id"), (col("id") * 7 % 101).as("x"),
+        concat(lit("row-"), col("id")).as("s"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    def dataFiles(dir: String) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    val smallMax = dataFiles(src).map(fs.getFileStatus(_).getLen).sorted
+      .dropRight(1).max
+    val target = smallMax * 4 // big file kept; smalls pack ~4 per bin
+    val result = Compaction.compactTo(spark, src, out, target,
+      statsColumns = Seq("x"))
+    val rows = result.collect()
+    // output file count = plan bin count, one output file per result row
+    val outFiles = dataFiles(out).map(_.getName).toSet
+    assert(outFiles == rows.map(_.getString(2)).toSet)
+    assert(rows.count(_.getString(0) == "keep") == 1)
+    assert(rows.count(_.getString(0) == "compact") >= 2)
+    // row-count and CONTENT conservation (exact multiset equality)
+    val before = spark.read.parquet(src)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 60000L)
+    assert(before.exceptAll(after).count() == 0)
+    assert(after.exceptAll(before).count() == 0)
+    // keep files are byte-identical copies
+    val keepRow = rows.find(_.getString(0) == "keep").get
+    val keptSrcName = keepRow.getString(2).stripPrefix("keep-")
+    def bytes(p: org.apache.hadoop.fs.Path) = {
+      val in = fs.open(p)
+      try { val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(b); b } finally in.close()
+    }
+    assert(java.util.Arrays.equals(
+      bytes(new org.apache.hadoop.fs.Path(s"$src/$keptSrcName")),
+      bytes(new org.apache.hadoop.fs.Path(s"$out/${keepRow.getString(2)}"))))
+    // stats sidecar regenerated for the NEW file set and usable to plan
+    val statRows = spark.read.parquet(s"$out/_graft_stats")
+    assert(statRows.select("file").distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+      .toSet == outFiles)
+    val pruned = Layout.tableStatsPrunedParquet(spark, out,
+      Seq(Layout.ColRange("x", 10, 20))).filter(col("x") >= 10 && col("x") <= 20)
+    assert(pruned.count() ==
+      after.filter(col("x") >= 10 && col("x") <= 20).count())
+  }
 }

@@ -69,6 +69,40 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("appendToIndex closes the loop: arrival B finds its dups against admitted arrival A") {
+    val work = java.nio.file.Files.createTempDirectory("incrdedup").toString
+    val bandDir = s"$work/bands"; val setsDir = s"$work/sets"
+    // persist the standing corpus's artifacts (the one-time build)
+    Dedup.minhashBandIndex(existing, "doc_id", "text", 64, 16, 2)
+      .write.parquet(bandDir)
+    Dedup.shingleHashSets(existing, "doc_id", "text", 2).write.parquet(setsDir)
+    def probe(b: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDups(b, "doc_id", "text",
+        spark.read.parquet(bandDir), spark.read.parquet(setsDir),
+        64, 16, 2, 0.5)
+    // arrival A: 20 duplicates corpus doc 1 (REJECTED), 21 is novel (ADMITTED)
+    val arrivalA = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (21L, "entirely new material arriving in the first ingest wave")
+    ).toDF("doc_id", "text")
+    val pairsA = probe(arrivalA)
+    val dupA = pairsA.select(col("id")).distinct()
+    val admittedA = arrivalA.join(dupA, arrivalA("doc_id") === dupA("id"), "left_anti")
+    assert(admittedA.collect().map(_.getLong(0)).toSet == Set(21L))
+    Dedup.appendToIndex(admittedA, "doc_id", "text", bandDir, setsDir, 64, 16, 2)
+    // arrival B: 30 near-dups A's ADMITTED doc 21 — must be found as a
+    // CORPUS match now; 31 near-dups A's REJECTED doc 20 — 20 was never
+    // admitted, so 31 must only match 20's surviving twin (corpus doc 1)
+    val arrivalB = Seq(
+      (30L, "entirely new material arriving in the first ingest rush"),
+      (31L, "the quick brown fox jumps over the lazy dog forever")
+    ).toDF("doc_id", "text")
+    val pairsB = probe(arrivalB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(pairsB == Set((30L, 21L, "corpus"), (31L, 1L, "corpus")),
+      s"got $pairsB")
+  }
+
   test("probe cost is batch-shaped: corpus-internal dups are not re-found") {
     val dupCorpus = existing.unionByName(Seq(
       (4L, "the quick brown fox jumps over the lazy dog today")

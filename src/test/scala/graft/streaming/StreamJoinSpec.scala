@@ -175,4 +175,75 @@ class StreamJoinSpec extends AnyFunSuite with SparkTest {
         s"join state must hold only live vectors: perVec=$perVec after=$joinStateAfter")
     } finally query.stop()
   }
+
+  test("bucket-keyed near-dup twin matches the join twin and bounds its state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dim = 8
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(j => math.sin(seed * 37.0 + j * 11.0))
+    def close(v: Seq[Double]): Seq[Double] = v.map(_ + 0.01)
+
+    // same choreography as the join-twin test PLUS a same-batch pair
+    // (11, 12) and a cross-batch pair (21 then 22 a trigger later) —
+    // the two arrival shapes the group function handles differently
+    val data1 = Seq(
+      (1L, vec(3), ts(10)), (2L, close(vec(3)), ts(15)),
+      (3L, vec(3), ts(130)),
+      (4L, vec(8), ts(12)),
+      (11L, vec(5), ts(20)), (12L, close(vec(5)), ts(21)),
+      // the cross-batch pair sits ABOVE the watermark batch 1 leaves
+      // behind (max ts 150 − 1 min delay = 149): 22 @ 152 is on time
+      (21L, vec(6), ts(150)))
+    val data2 = Seq((22L, close(vec(6)), ts(152)))
+    val flush = Seq((99L, vec(20), ts(300)))
+
+    def runTwin(name: String,
+                build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : (Set[(Long, Long, Timestamp, Double)], org.apache.spark.sql.streaming.StreamingQuery,
+           MemoryStream[(Long, Seq[Double], Timestamp)]) = {
+      val vectors = MemoryStream[(Long, Seq[Double], Timestamp)]
+      val out = build(vectors.toDF().toDF("vec_id", "embedding", "ts"))
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      vectors.addData(data1: _*); query.processAllAvailable()
+      vectors.addData(data2: _*); query.processAllAvailable()
+      vectors.addData(flush: _*); query.processAllAvailable()
+      val got = spark.table(name)
+        .select("id_a", "id_b", "ts_a", "cosine")
+        .as[(Long, Long, Timestamp, Double)].collect().toSet
+      (got, query, vectors)
+    }
+
+    val (joinGot, joinQ, _) = runTwin("twin_join",
+      df => graft.operators.Similarity.streamingNearDupPairs(
+        df, "vec_id", "embedding", "ts", watermarkDelay = "1 minute",
+        intervalSeconds = 600L, threshold = 0.95, nPlanes = 4, nTables = 4))
+    joinQ.stop()
+    val (bucketGot, bucketQ, bucketStream) = runTwin("twin_bucket",
+      df => graft.operators.Similarity.streamingNearDupPairsBucketed(
+        df, "vec_id", "embedding", "ts", watermarkDelay = "1 minute",
+        intervalSeconds = 600L, threshold = 0.95, nPlanes = 4, nTables = 4).toDF())
+    try {
+      assert(bucketGot == joinGot,
+        s"bucketed twin diverged:\n bucket=$bucketGot\n join=$joinGot")
+      assert(bucketGot.map(p => (p._1, p._2)) ==
+        Set((1L, 2L), (11L, 12L), (21L, 22L)))
+      // state boundedness: after the ts(300) flush only the flush
+      // vector's residency rows remain; pushing event time far forward
+      // must evict those groups too (timeout), leaving the two new
+      // vectors' residencies only
+      val perVec = bucketQ.lastProgress.stateOperators
+        .find(_.operatorName.contains("flatMapGroupsWithState")).get.numRowsTotal
+      bucketStream.addData((100L, vec(21), ts(5000)))
+      bucketQ.processAllAvailable()
+      bucketStream.addData((101L, vec(22), ts(5001)))
+      bucketQ.processAllAvailable()
+      val after = bucketQ.lastProgress.stateOperators
+        .find(_.operatorName.contains("flatMapGroupsWithState")).get.numRowsTotal
+      assert(after <= 2 * perVec,
+        s"bucket state must hold only live vectors: perVec=$perVec after=$after")
+    } finally bucketQ.stop()
+  }
 }
