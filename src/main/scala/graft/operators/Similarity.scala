@@ -875,11 +875,15 @@ object Similarity {
     * n vectors against k ≈ √n centroids costs n^1.5 per iteration — the
     * one super-linear build edge in the IVF family (measured: the 2M
     * full-trained build, SCALING.md) — while a capped sample holds
-    * per-iteration cost at 256·k² = O(n) and leaves recall unchanged
-    * (assignment still covers every vector, and centroids estimated from
-    * 256 points/cell are sampling-noise-tight). Only the final
-    * ASSIGNMENT pass — which is irreducible and embarrassingly parallel
-    * — scans the full corpus, once.
+    * per-iteration cost at 256·k² = O(n). The LAST update pass runs over
+    * the FULL corpus (warm-start refinement: one Lloyd's step from the
+    * sample-converged positions snaps every centroid to its true cell
+    * mean — the sample's estimation noise was worth 1.5–2 recall points
+    * on the adversarial 2M corpus, and neither doubling the sample nor
+    * +26% probes recovered it; the refinement pass does), and the final
+    * ASSIGNMENT pass scans everything once — so a sampled build totals
+    * ~2 full passes + O(n) iteration work, linear in n regardless of
+    * `iterations`.
     *
     * The training sample is deterministic and id-decorrelated: rows with
     * `xxhash64(id) mod M < M·cap/n` (ids often correlate with content —
@@ -968,7 +972,18 @@ object Similarity {
 
     var it = 0
     while (it < iterations) {
-      val assigned = train.withColumn("cell", assignExpr)
+      // warm-start refinement: when sampling is engaged, the LAST
+      // update pass runs over the FULL corpus — Lloyd's final step from
+      // the sample-converged positions snaps every centroid to its true
+      // cell mean, recovering the estimation noise the sample leaves
+      // (measured on the adversarial 2M rotated-replica corpus:
+      // sample-only 0.975/0.980 recall@10 at 256/512 rows per centroid
+      // vs full-trained 0.995 — the refined build closes the gap at
+      // ~2 full passes total instead of `iterations`). Under the cap
+      // train IS the corpus, so behavior is bit-identical there.
+      val iterSource =
+        if (it == iterations - 1 && nVecs > cap) normalized else train
+      val assigned = iterSource.withColumn("cell", assignExpr)
       val updated = assigned.groupBy(col("cell"))
         .agg(VectorFunctions.vectorAvg(col("_v"), dim).as("c"))
         .collect()

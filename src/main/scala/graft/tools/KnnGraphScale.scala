@@ -39,6 +39,13 @@ object KnnGraphScale {
     if (mode == "label" || mode == "both")
       run("label20")(graft.operators.Similarity
         .mutualKnnGraph(emb, k, dim = 64, nProbes = 2).count())
+    // q142's production composition: auto graph → connected components →
+    // per-community survivor + hash sample — the decade row for the
+    // curation stage on top of the graph build
+    if (mode == "curation")
+      run("curation")(graft.operators.Graph.communityCuration(
+        graft.operators.Similarity.mutualKnnGraphAuto(emb, k, dim = 64),
+        "id_a", "id_b").count())
     spark.stop()
   }
 }

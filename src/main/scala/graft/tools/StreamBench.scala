@@ -50,6 +50,12 @@ import org.apache.spark.sql.functions._
   * outgrows executor memory. `sessionKeys` sizes the sessionization /
   * dedup key space (state rows), the dial the tax depends on.
   *
+  * Round 14 adds `near_dup_bucketed` (the same near-dup twin
+  * restructured as bucket-keyed flatMapGroupsWithState — its rows/s
+  * against `near_dup` reads directly as the state-layout win) and
+  * `funnel` (per-user ordered-step frontier, state bounded by user
+  * cardinality plus the watermark buffer).
+  *
   * Usage: runMain graft.tools.StreamBench
   *   [totalRows] [rowsPerBatch] [sessionKeys] [retentionSeconds] [pipelines]
   * `pipelines` is an optional comma list (e.g. "span_dup,near_dup") —
