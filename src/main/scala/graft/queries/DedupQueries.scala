@@ -182,6 +182,94 @@ private[queries] trait DedupQueries {
         col("total_novel"), col("novelty_ppm"))
   }
 
+  /** Sketch-based cross-corpus overlap — KMV SET OPERATIONS on top of
+    * the q105/q120 distinct machinery: estimate the train/test shingle
+    * intersection and Jaccard from two k-minimum-value sketches alone
+    * (Beyer et al., SIGMOD'07). The combined sketch U = the k smallest
+    * distinct hashes of A ∪ B is itself a uniform sample of the union,
+    * so |U ∩ A ∩ B| / |U| estimates the Jaccard and scales the union
+    * estimate ((k−1)·2⁶⁴ / kth-min) into an intersection count. This is
+    * the CONTAMINATION-ESTIMATE primitive at 100 TB: where q55/q94
+    * answer "which exact rows leak" (a join) and q128 audits near-dup
+    * clusters, this answers "how big is the distinct overlap" from
+    * 2·k stored longs — no join, no re-scan, and the per-corpus
+    * `kmv_hashes` arrays are the same artifacts a sketch table already
+    * persists per partition/day (q120's rollup re-rolls them). Exact
+    * counts ride along as the gate (they are the expensive leg — the
+    * production path emits only the sketch columns).
+    *
+    * Determinism: the k-min arrays are exact order statistics of the
+    * shared fnv64∘mix64 hash, the combined-sketch membership counts are
+    * integers, and the only division is floored — the estimate replays
+    * bit-for-bit in SQL (same contract as q105).
+    *
+    * Scale shape: one shingle-mass pass feeds two bounded aggregates
+    * (≤ 8k bytes of state per split×partition); everything after the
+    * groupBy is arithmetic over two ≤ k-long arrays on a 1×1 broadcast
+    * join. The exact-gate legs are one distinct + one 2-key aggregate,
+    * dropped at production scale.
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val docs = Tables.documents(s, dir)
+    // q128's content-hash split; valid excluded so the overlap reads
+    // train-vs-test contamination
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    val sh = docs
+      .select(when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"),
+        explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+      .filter(col("split") =!= "valid")
+      .select(col("split"),
+        TextHashExpressions.mix64(TextHashExpressions.fnv64(col("g"))).as("hu"))
+    kmvOverlapOf(sh, k = 64)
+  }
+
+  /** [[kmvOverlap]]'s core over any (split ∈ {train, test}, hu) frame —
+    * exposed for the spec's planted-overlap fixtures. */
+  private[graft] def kmvOverlapOf(sh: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.SketchAggregates
+    val num = (k - 1).toDouble * math.pow(2, 64)
+    val sk = sh.groupBy(col("split"))
+      .agg(SketchAggregates.kmvHashes(col("hu"), k).as("mins"),
+           countDistinct(col("hu")).as("n_exact"))
+    // exact intersection — the gate column
+    val nBoth = sh.distinct()
+      .groupBy(col("hu")).agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") === 2)
+      .agg(count(lit(1)).as("n_intersect_exact"))
+    val train = sk.filter(col("split") === "train")
+      .select(col("mins").as("a"), col("n_exact").as("n_train_exact"))
+    val test = sk.filter(col("split") === "test")
+      .select(col("mins").as("b"), col("n_exact").as("n_test_exact"))
+    // KMV order is UNSIGNED: flip the sign bit so array_sort's signed
+    // order matches, then flip back for membership checks
+    val flip = lit(Long.MinValue)
+    val combined = train.crossJoin(test).crossJoin(nBoth)
+      .withColumn("u_flipped",
+        slice(array_sort(transform(array_distinct(concat(col("a"), col("b"))),
+          x => x.bitwiseXOR(flip))), 1, k))
+      .withColumn("u", transform(col("u_flipped"), x => x.bitwiseXOR(flip)))
+      .withColumn("u_size", size(col("u")).cast("long"))
+      .withColumn("m", size(array_intersect(
+        array_intersect(col("u"), col("a")), col("b"))).cast("long"))
+      .withColumn("kth", element_at(col("u"), size(col("u"))))
+    val unsignedKth = when(col("kth") < 0,
+      col("kth").cast("double") + lit(math.pow(2, 64)))
+      .otherwise(col("kth").cast("double"))
+    combined
+      // u smaller than k ⇒ both sketches are complete sets ⇒ exact
+      .withColumn("n_union_kmv", when(col("u_size") < k, col("u_size"))
+        .otherwise(floor(lit(num) / unsignedKth).cast("long")))
+      .withColumn("n_intersect_kmv",
+        expr("m * n_union_kmv div u_size"))
+      .withColumn("jaccard_kmv_ppm", expr("m * 1000000 div u_size"))
+      .select(col("n_train_exact"), col("n_test_exact"),
+        col("n_intersect_exact"), col("n_union_kmv"),
+        col("n_intersect_kmv"), col("jaccard_kmv_ppm"))
+  }
+
   /** Normalize-then-dedup: lowercase, punctuation→space, collapsed
     * whitespace — the canonicalization pass that catches trivially-edited
     * duplicates exact hashing misses.
@@ -701,6 +789,47 @@ private[queries] trait DedupQueries {
          | est.est_ppm
          |FROM est LEFT JOIN itr ON est.src1 = itr.src1 AND est.src2 = itr.src2
          |JOIN sz s1 ON est.src1 = s1.source JOIN sz s2 ON est.src2 = s2.source""".stripMargin
+    },
+    "q143_kmv_overlap" -> {
+      // replay the estimator as order statistics over the shared
+      // fnv64∘mix64 hash: per split the k smallest distinct shingle
+      // hashes, combined-sketch membership counts, floored divisions —
+      // every intermediate an integer or a shared IEEE double (q105's
+      // contract, extended to the set-operation estimator)
+      val k = 64
+      val num = (k - 1).toDouble * math.pow(2, 64)
+      s"""WITH t AS (SELECT text,
+         |  CASE WHEN (${fnvSql("text")} & 2147483647) % 100 < 80 THEN 'train'
+         |       WHEN (${fnvSql("text")} & 2147483647) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT split,
+         |  unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END) AS sgl
+         | FROM t WHERE split <> 'valid'),
+         |h0 AS (SELECT DISTINCT split, ${fnvSql("sgl")} AS hraw FROM g),
+         |sh AS (SELECT DISTINCT split, ${mixSql("hraw")} AS hu FROM h0),
+         |exs AS (SELECT
+         |  COUNT(DISTINCT CASE WHEN split = 'train' THEN hu END) AS n_train_exact,
+         |  COUNT(DISTINCT CASE WHEN split = 'test' THEN hu END) AS n_test_exact
+         | FROM sh),
+         |itx AS (SELECT COUNT(*) AS n_intersect_exact FROM
+         |  (SELECT hu FROM sh GROUP BY hu HAVING COUNT(DISTINCT split) = 2)),
+         |a AS (SELECT hu FROM sh WHERE split = 'train' ORDER BY hu LIMIT $k),
+         |b AS (SELECT hu FROM sh WHERE split = 'test' ORDER BY hu LIMIT $k),
+         |uk AS (SELECT hu FROM (SELECT hu, ROW_NUMBER() OVER (ORDER BY hu) AS rn
+         |  FROM (SELECT hu FROM a UNION SELECT hu FROM b)) WHERE rn <= $k),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS u_size, MAX(hu) AS kth,
+         |  CAST(COUNT(CASE WHEN hu IN (SELECT hu FROM a)
+         |    AND hu IN (SELECT hu FROM b) THEN 1 END) AS BIGINT) AS m FROM uk),
+         |fin AS (SELECT u_size, m,
+         |  CASE WHEN u_size < $k THEN u_size
+         |       ELSE CAST(FLOOR($num / CAST(kth AS DOUBLE)) AS BIGINT)
+         |  END AS n_union_kmv FROM st)
+         |SELECT n_train_exact, n_test_exact, n_intersect_exact, n_union_kmv,
+         | m * n_union_kmv // u_size AS n_intersect_kmv,
+         | m * 1000000 // u_size AS jaccard_kmv_ppm
+         |FROM exs, itx, fin""".stripMargin
     },
     "q129_novelty" -> {
       // shingles() is the same bigram builder toksSql feeds everywhere;

@@ -167,6 +167,7 @@ object QueryPack
     "q140_embedding_drift"  -> (embeddingDrift _),
     "q141_dataset_card"     -> (datasetCard _),
     "q142_graph_curation"   -> (graphCuration _),
+    "q143_kmv_overlap"      -> (kmvOverlap _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -52,9 +52,10 @@ import org.apache.spark.sql.functions._
   *
   * Round 14 adds `near_dup_bucketed` (the same near-dup twin
   * restructured as bucket-keyed flatMapGroupsWithState — its rows/s
-  * against `near_dup` reads directly as the state-layout win) and
+  * against `near_dup` reads directly as the state-layout win),
   * `funnel` (per-user ordered-step frontier, state bounded by user
-  * cardinality plus the watermark buffer).
+  * cardinality plus the watermark buffer), and `retention` (per-user
+  * cohort + new-week hits, the q122 twin, state bounded the same way).
   *
   * Usage: runMain graft.tools.StreamBench
   *   [totalRows] [rowsPerBatch] [sessionKeys] [retentionSeconds] [pipelines]
@@ -198,6 +199,16 @@ object StreamBench {
           source().select($"offset".as("vid"), emb.as("emb"), $"ts"),
           "vid", "emb", "ts", watermarkDelay = "1 minute",
           intervalSeconds = 5L, threshold = 0.9).toDF()
+      },
+      time("retention") {
+        // sessionKeys users, 1 event/s round-robin; weekSeconds shrunk
+        // to 3600 so the bounded replay spans ~totalRows/3600 weekly
+        // buckets — state = one cohort row per user + the trimmed
+        // emitted-weeks list
+        graft.operators.Retention.streamingRetention(
+          source().select(($"offset" % sessionKeys).as("user_id"), $"ts"),
+          "user_id", "ts", watermarkDelay = "1 minute",
+          weekSeconds = 3600L).toDF()
       },
       time("funnel") {
         // sessionKeys users cycling view → click → purchase → view …;
