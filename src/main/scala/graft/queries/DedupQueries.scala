@@ -209,28 +209,31 @@ private[queries] trait DedupQueries {
     * join. The exact-gate legs are one distinct + one 2-key aggregate,
     * dropped at production scale.
     */
-  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame =
+    kmvOverlapOf(splitShingleHashes(Tables.documents(s, dir)), k = 64)
+
+  /** q143's input builder: q128's content-hash split (valid excluded so
+    * the overlap reads train-vs-test contamination) × distinct-ready
+    * bigram-shingle hashes. Shared with `DecontamScale`. */
+  private[graft] def splitShingleHashes(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.TextHashExpressions
-    val docs = Tables.documents(s, dir)
-    // q128's content-hash split; valid excluded so the overlap reads
-    // train-vs-test contamination
     val bucket = TextHashExpressions.fnv64(col("text"))
       .bitwiseAND(lit(0x7FFFFFFFL)) % 100
-    val sh = docs
+    docs
       .select(when(bucket < 80, "train").when(bucket < 90, "valid")
           .otherwise("test").as("split"),
         explode(TextFunctions.shingles(col("text"), 2)).as("g"))
       .filter(col("split") =!= "valid")
       .select(col("split"),
         TextHashExpressions.mix64(TextHashExpressions.fnv64(col("g"))).as("hu"))
-    kmvOverlapOf(sh, k = 64)
   }
 
   /** [[kmvOverlap]]'s core over any (split ∈ {train, test}, hu) frame —
-    * exposed for the spec's planted-overlap fixtures. */
+    * exposed for the spec's planted-overlap fixtures. Carries the exact
+    * gate columns; [[kmvOverlapSketch]] is the production (sketch-only)
+    * form the `DecontamScale` A/B measures. */
   private[graft] def kmvOverlapOf(sh: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.SketchAggregates
-    val num = (k - 1).toDouble * math.pow(2, 64)
     val sk = sh.groupBy(col("split"))
       .agg(SketchAggregates.kmvHashes(col("hu"), k).as("mins"),
            countDistinct(col("hu")).as("n_exact"))
@@ -243,10 +246,35 @@ private[queries] trait DedupQueries {
       .select(col("mins").as("a"), col("n_exact").as("n_train_exact"))
     val test = sk.filter(col("split") === "test")
       .select(col("mins").as("b"), col("n_exact").as("n_test_exact"))
+    combineKmvSketches(train.crossJoin(test).crossJoin(nBoth), k)
+      .select(col("n_train_exact"), col("n_test_exact"),
+        col("n_intersect_exact"), col("n_union_kmv"),
+        col("n_intersect_kmv"), col("jaccard_kmv_ppm"))
+  }
+
+  /** The production path: estimates only, no exact legs — the whole
+    * query is one shingle-mass aggregate pass plus arithmetic on two
+    * ≤ k-long arrays. */
+  private[graft] def kmvOverlapSketch(sh: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.SketchAggregates
+    val sk = sh.groupBy(col("split"))
+      .agg(SketchAggregates.kmvHashes(col("hu"), k).as("mins"))
+    val train = sk.filter(col("split") === "train").select(col("mins").as("a"))
+    val test = sk.filter(col("split") === "test").select(col("mins").as("b"))
+    combineKmvSketches(train.crossJoin(test), k)
+      .select(col("n_union_kmv"), col("n_intersect_kmv"),
+        col("jaccard_kmv_ppm"))
+  }
+
+  /** Combined-sketch arithmetic over a frame carrying k-min arrays `a`
+    * (train) and `b` (test): U = the k smallest distinct hashes of
+    * A ∪ B, m = |U ∩ A ∩ B|, estimates floored onto the integer grid. */
+  private def combineKmvSketches(joined: DataFrame, k: Int): DataFrame = {
+    val num = (k - 1).toDouble * math.pow(2, 64)
     // KMV order is UNSIGNED: flip the sign bit so array_sort's signed
     // order matches, then flip back for membership checks
     val flip = lit(Long.MinValue)
-    val combined = train.crossJoin(test).crossJoin(nBoth)
+    val combined = joined
       .withColumn("u_flipped",
         slice(array_sort(transform(array_distinct(concat(col("a"), col("b"))),
           x => x.bitwiseXOR(flip))), 1, k))
@@ -265,9 +293,6 @@ private[queries] trait DedupQueries {
       .withColumn("n_intersect_kmv",
         expr("m * n_union_kmv div u_size"))
       .withColumn("jaccard_kmv_ppm", expr("m * 1000000 div u_size"))
-      .select(col("n_train_exact"), col("n_test_exact"),
-        col("n_intersect_exact"), col("n_union_kmv"),
-        col("n_intersect_kmv"), col("jaccard_kmv_ppm"))
   }
 
   /** Normalize-then-dedup: lowercase, punctuation→space, collapsed

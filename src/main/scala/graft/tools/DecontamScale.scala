@@ -1,22 +1,26 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Decontamination-path measurement: runs the q55 join path and the q94
-  * Bloom-prefilter path over the same corpus/eval split and reports
-  * rows + wall + TOTAL SHUFFLE BYTES WRITTEN per path, so SCALING.md's
-  * "fixed-byte eval index" claim carries measured bytes, not argument
-  * (see the LshTune precedent). Also prints the serialized Bloom size —
-  * the broadcast payload that replaces the eval hash relation.
+/** Contamination-estimate scale measurement (q143): against the same
+  * train/test shingle stream, compare
+  *   (a) the SKETCH path (`kmvOverlapSketch`) — two k-min aggregates +
+  *       arithmetic on 2·k longs, the production shape that at 100 TB
+  *       runs from per-partition `kmv_hashes` arrays without touching
+  *       raw data again; and
+  *   (b) the EXACT legs (per-split distinct counts + the distinct
+  *       intersection) — what q143 carries as its gate and what a
+  *       join-based decontamination sizing would pay.
+  * Reports wall + the estimate/exact values, so the row reads as both
+  * a cost ratio and an accuracy check at scale.
   *
-  * Usage: runMain graft.tools.DecontamScale <sfDir> [join|bloom|both]
+  * Usage: runMain graft.tools.DecontamScale <sfDir> [k=64]
   */
 object DecontamScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val mode = args.lift(1).getOrElse("both")
+    val k = args.lift(1).map(_.toInt).getOrElse(64)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -28,36 +32,55 @@ object DecontamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            shuffleBytes.addAndGet(
+              e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
 
-    def run(name: String)(body: => Long): Unit = {
-      shuffleBytes.set(0L)
+    val docs = graft.Tables.documents(spark, dir)
+    val n = docs.count() // also warms the scan
+
+    def timed[T](body: => T): (T, Double, Long) = {
+      // listener events drain asynchronously — the short settle after
+      // the blocking action keeps per-leg shuffle attribution honest
+      Thread.sleep(500)
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
-      val rows = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""{"path":"$name","rows":$rows,"sec":${math.round(sec * 1000) / 1000.0},"shuffle_bytes":${shuffleBytes.get()}}""")
+      val r = body
+      Thread.sleep(500)
+      (r, (System.nanoTime() - t0) / 1e9, shuffleBytes.get() - b0)
     }
 
-    if (mode == "join" || mode == "both")
-      run("join")(graft.queries.QueryPack.decontamination(spark, dir).count())
-    if (mode == "bloom" || mode == "both") {
-      // surface the fixed-size index payload alongside the run
-      val docs = graft.Tables.documents(spark, dir)
-      run("bloom")(graft.operators.Dedup.bloomDecontaminate(
-        docs.filter(col("doc_id") % 100 =!= 0),
-        docs.filter(col("doc_id") % 100 === 0),
-        "doc_id", "text").count())
-      val evalSh = docs.filter(col("doc_id") % 100 === 0)
-        .select(explode(graft.functions.TextFunctions
-          .shingleHashes(col("text"), 3)).as("h")).distinct().count()
-      val bits = org.apache.spark.util.sketch.BloomFilter
-        .optimalNumOfBits(math.max(evalSh, 1L), 0.01)
-      println(s"""{"eval_distinct_shingles":$evalSh,"bloom_bytes":${bits / 8}}""")
+    val (sketchRow, sketchSec, sketchShuffle) = timed {
+      graft.queries.QueryPack.kmvOverlapSketch(
+        graft.queries.QueryPack.splitShingleHashes(docs), k).collect().head
     }
+    val (exactRow, exactSec, exactShuffle) = timed {
+      val sh = graft.queries.QueryPack.splitShingleHashes(docs)
+      val per = sh.groupBy(col("split"))
+        .agg(countDistinct(col("hu")).as("n_exact"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inter = sh.distinct()
+        .groupBy(col("hu")).agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") === 2).count()
+      (per.getOrElse("train", 0L), per.getOrElse("test", 0L), inter)
+    }
+    val (nTrain, nTest, nInter) = exactRow
+    val unionExact = nTrain + nTest - nInter
+    println(s"""{"n_docs":$n,"k":$k,""" +
+      s""""sketch_sec":${math.rint(sketchSec * 1000) / 1000},""" +
+      s""""exact_sec":${math.rint(exactSec * 1000) / 1000},""" +
+      s""""sketch_shuffle_bytes":$sketchShuffle,""" +
+      s""""exact_shuffle_bytes":$exactShuffle,""" +
+      s""""n_union_kmv":${sketchRow.getAs[Long]("n_union_kmv")},""" +
+      s""""n_intersect_kmv":${sketchRow.getAs[Long]("n_intersect_kmv")},""" +
+      s""""jaccard_kmv_ppm":${sketchRow.getAs[Long]("jaccard_kmv_ppm")},""" +
+      s""""n_union_exact":$unionExact,"n_intersect_exact":$nInter,""" +
+      s""""n_train_exact":$nTrain,"n_test_exact":$nTest}""")
     spark.stop()
   }
 }
