@@ -1104,6 +1104,61 @@ object Similarity {
     ivfTopK(queries, relabeled, k, dim, nProbes, Some(cellDf))
   }
 
+  /** Incremental IVF ingest — the vector-side mirror of
+    * [[Dedup.appendToIndex]]: route each ARRIVING vector map-side to its
+    * nearest cell of a FROZEN quantizer (same (cosine DESC, label ASC)
+    * rule the probe ranking uses, so routing and probing agree on the
+    * geometry) and emit rows in the served index's (vec_id, embedding,
+    * label) layout for the caller to union/append. Cost ∝ batch: the
+    * standing corpus is never re-read, re-shuffled, or re-clustered, and
+    * the quantizer is bit-identical before and after the append —
+    * retraining is a separate, drift-TRIGGERED event (q140's centroid
+    * drift signal is the trigger), not an ingest side effect.
+    *
+    * @param batch new arrivals (`vec_id`, `embedding`)
+    * @param cells the frozen quantizer (`label`, `centroid`) — e.g.
+    *              [[centroidVectors]] of the base corpus at build time
+    */
+  def ivfAssignFrozen(batch: DataFrame, cells: DataFrame,
+                      dim: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("centroid_sim").desc, col("label").asc)
+    batch
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull))
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.normalize(col("embedding")).as("b_emb"))
+      .crossJoin(broadcast(cells))
+      .withColumn("centroid_sim",
+        VectorFunctions.cosine(col("b_emb"), col("centroid")))
+      // project the centroid away BEFORE the per-vector rank window —
+      // the exchange moves (vec_id, embedding, label, sim), not
+      // batch × nCells centroid copies
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("centroid_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
+  /** IVF serve over a base index plus an incremental batch: freeze the
+    * base quantizer ([[centroidVectors]] over the base alone — the
+    * batch must not perturb routing), [[ivfAssignFrozen]] the batch,
+    * union into the index, and answer with [[ivfTopK]] against the
+    * frozen centroids. The composition q145 gates: appended vectors are
+    * findable immediately, and every base vector's cell — and therefore
+    * every pre-existing query answer's candidate set — is untouched.
+    */
+  def ivfIncrementalTopK(queries: DataFrame, base: DataFrame,
+                         batch: DataFrame, k: Int, dim: Int,
+                         nProbes: Int = 2): DataFrame = {
+    val cells = centroidVectors(base, dim)
+    val index = base.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(ivfAssignFrozen(batch, cells, dim))
+    ivfTopK(queries, index, k, dim, nProbes, Some(cells))
+  }
+
   /** IVF-PQ index build — the FAISS production composition: a k-means
     * coarse quantizer routes queries to cells ([[ivfTopKAuto]]'s build)
     * and PQ codes compress the vectors INSIDE each cell ([[

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{ExactNum, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Sessionize, Similarity, WindowedAgg}
+import graft.operators.{Dedup, Sessionize, Similarity, Splits, WindowedAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -145,6 +145,31 @@ private[queries] trait DedupQueries {
            concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
       .filter(col("n_splits") >= 2)
       .select(col("cluster_id"), col("n_docs"), col("n_splits"), col("splits"))
+  }
+
+  /** Group-aware split (q144) — the operator that drives q128's leak
+    * list to zero rows BY CONSTRUCTION: the same near-dup graph and the
+    * same content-hash buckets, but the split is assigned per CLUSTER
+    * (every member inherits the min-id representative's bucket), so no
+    * near-dup cluster can straddle train/eval. See
+    * [[graft.operators.Splits.groupAwareSplit]] for the stability
+    * argument (a newly ingested near-dup can never move an existing
+    * doc's split).
+    *
+    * Scale shape: bucket is map-side before any shuffle; the component
+    * graph is q45's ids-only slice; the representative lookup is two
+    * ids-only equi-joins. Same bounded doc_id slice as q128 so the two
+    * queries stay an audit/fix pair over one corpus.
+    */
+  def groupSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val bucketed = docs.select(col("doc_id"),
+      (TextHashExpressions.fnv64(col("text"))
+        .bitwiseAND(lit(0x7FFFFFFFL)) % 100).as("bucket"))
+    val pairs = Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", shingleSize = 2, threshold = 0.5)
+    Splits.groupAwareSplit(bucketed, pairs, "doc_id", "bucket")
   }
 
   /** Corpus novelty attribution — per language, what fraction of
@@ -905,6 +930,39 @@ private[queries] trait DedupQueries {
          | array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
          |FROM j GROUP BY cluster_id
          |HAVING COUNT(DISTINCT split) >= 2""".stripMargin,
+    // group-aware split: q128's component CTE verbatim, then every doc
+    // (clustered or singleton) takes its cluster REPRESENTATIVE's
+    // (min-id member's) content-hash bucket
+    "q144_group_split" ->
+      s"""WITH RECURSIVE t AS (
+         | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         | FROM documents WHERE doc_id < 1000),
+         |d AS (
+         | SELECT doc_id,
+         |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+         | FROM t),
+         |p AS (
+         | SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM d a JOIN d b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+         |reach AS (
+         | SELECT u AS node, u AS r FROM e
+         | UNION
+         | SELECT reach.node, e.v AS r FROM reach JOIN e ON reach.r = e.u),
+         |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |b AS (SELECT doc_id, (${fnvSql("text")} & 2147483647) % 100 AS bucket
+         |      FROM documents WHERE doc_id < 1000),
+         |a AS (SELECT b.doc_id, COALESCE(cl.cluster_id, b.doc_id) AS cluster_id,
+         |       b.bucket
+         |      FROM b LEFT JOIN cl ON b.doc_id = cl.doc_id),
+         |r AS (SELECT cluster_id, bucket AS rep_bucket FROM a
+         |      WHERE doc_id = cluster_id)
+         |SELECT a.doc_id, a.cluster_id,
+         | CASE WHEN r.rep_bucket < 80 THEN 'train'
+         |      WHEN r.rep_bucket < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM a JOIN r USING (cluster_id)""".stripMargin,
     "q137_clustering_coeff" ->
       s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
          |e0 AS (SELECT src, dst FROM (

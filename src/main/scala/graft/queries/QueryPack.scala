@@ -168,6 +168,8 @@ object QueryPack
     "q141_dataset_card"     -> (datasetCard _),
     "q142_graph_curation"   -> (graphCuration _),
     "q143_kmv_overlap"      -> (kmvOverlap _),
+    "q144_group_split"      -> (groupSplit _),
+    "q145_incr_ann"         -> (knnIncremental _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

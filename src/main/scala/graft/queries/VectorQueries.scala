@@ -42,6 +42,30 @@ private[queries] trait VectorQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Incremental ANN ingest (q145) — the serve-while-ingesting shape:
+    * 10% of the corpus (vec_id ≡ 7 mod 10) ARRIVES against an index
+    * built on the other 90%, is routed map-side by the FROZEN base
+    * quantizer ([[Similarity.ivfAssignFrozen]] — cost ∝ batch, zero
+    * corpus re-read, centroids bit-identical across the append), and is
+    * immediately findable: queries probe the frozen cells over the
+    * unioned index. Deterministic like q38 (mean centroids, (cosine
+    * DESC, label) ranks), so the oracle replays routing + probing +
+    * exact in-cell re-rank entirely in SQL; ids and ranks only cross
+    * engines (the q23/q38 margin discipline, extended to the routing
+    * argmax by AnnOracleMarginSpec).
+    */
+  def knnIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfIncrementalTopK(queries, base, batch, 10, dim = 64,
+        nProbes = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** PQ ANN (FAISS-style): vectors compress to 8 sub-codebook indices
     * (the label-centroid table sliced per subspace) and queries rank
     * against the reconstruction — asymmetric-distance search. Codes are
@@ -682,6 +706,40 @@ private[queries] trait VectorQueries {
         |SELECT source, COUNT(*) AS n_docs,
         | CAST(SUM(n_frames) AS BIGINT) AS total_frames
         |FROM f JOIN documents USING (doc_id) GROUP BY source""".stripMargin,
+    // incremental-ingest replay: q38's centroid/probe/re-rank machinery
+    // with centroids FROZEN on the 90% base; the 10% batch routes by
+    // the same (cosine DESC, label) argmax, unions into the index, and
+    // the final rank runs over base ∪ routed
+    "q145_incr_ann" -> {
+      val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |base AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+         |bat AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 = 7),
+         |cent AS (SELECT label, $centroid AS centroid FROM base GROUP BY label),
+         |routed AS (SELECT vec_id, emb, label FROM (
+         | SELECT b.vec_id, b.emb, cent.label,
+         |  ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |    ORDER BY list_cosine_similarity(b.emb, cent.centroid) DESC,
+         |             cent.label) AS rn
+         | FROM bat b CROSS JOIN cent) x WHERE rn = 1),
+         |idx AS (SELECT vec_id, emb, label FROM base
+         |        UNION ALL SELECT vec_id, emb, label FROM routed),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+         |probed AS (SELECT query_id, label FROM (
+         | SELECT q.query_id, cent.label,
+         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, cent.centroid) DESC, cent.label) AS pr
+         | FROM q CROSS JOIN cent) p WHERE pr <= 3)
+         |SELECT query_id, neighbor_id, rank FROM (
+         | SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS INT) AS rank
+         | FROM q JOIN probed ON probed.query_id = q.query_id
+         |  JOIN idx c ON c.label = probed.label AND c.vec_id <> q.query_id) t
+         |WHERE rank <= 10""".stripMargin
+    },
     "q38_knn_ivf" -> {
       val centroid = "[" + (1 to 64).map(d => s"AVG(emb[$d])").mkString(",") + "]"
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -96,7 +96,8 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       "q123_source_minhash", // sources² signature compare — group-count-sized, never corpus-sized
       "q126_triangles", // shares q118's linkEdges (1-row node-count scalar broadcast); the triangle joins themselves are equi-joins (GraphSpec pins it)
       "q137_clustering_coeff", // same shared linkEdges scalar broadcast as q126
-      "q143_kmv_overlap") // two 1-row sketch aggregates + the 1-row exact-intersect scalar — 1×1×1 combine
+      "q143_kmv_overlap", // two 1-row sketch aggregates + the 1-row exact-intersect scalar — 1×1×1 combine
+      "q145_incr_ann") // q38's probed-query broadcast + the batch×centroid routing broadcast (nCells rows)
     QueryPack.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // physical planning only — no execution (q45 excepted: its
       // component loop runs at construction)
