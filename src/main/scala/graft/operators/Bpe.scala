@@ -114,20 +114,39 @@ object Bpe {
   def vocabAfter(docs: DataFrame, textCol: String,
                  numMerges: Int, checkpointEvery: Int = 32): DataFrame = {
     val m = learnMerges(docs, textCol, numMerges, checkpointEvery).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeWith(docs, textCol, m, checkpointEvery)
+  }
+
+  /** Apply a FROZEN merge table to a corpus — the tokenizer SERVE path:
+    * train on one corpus ([[learnMerges]]), encode ANOTHER (held-out
+    * splits, new ingest batches) with the rules fixed. Builds the new
+    * corpus's word-frequency dictionary (its only corpus-scale
+    * aggregate) and replays the merges in rank order over it —
+    * unseen words segment down to characters plus whatever learned
+    * merges apply inside them, standard BPE open-vocabulary behavior.
+    * Returns (w, symbols, cnt) like [[vocabAfter]] (which is now
+    * exactly learn-then-encode on the same corpus).
+    *
+    * Same two-space `replace` semantics as the trainer, same
+    * `checkpointEvery` lineage bound: total rewrite work is linear in
+    * the merge count for fixed N.
+    */
+  def encodeWith(docs: DataFrame, textCol: String,
+                 merges: Seq[(String, String)],
+                 checkpointEvery: Int = 32): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     var vocab = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
-    // same plan-depth bound as learnMerges: the serve-side rewrite
-    // stacks one replace per learned merge, so truncate every N
     var applied = 0
-    m.sortBy(_.getInt(0)).foreach { row =>
-      val (l, r) = (row.getString(1), row.getString(2))
+    merges.foreach { case (l, r) =>
       vocab = vocab.select(col("w"),
         call_function("replace", col("s"),
           lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
       applied += 1
-      if (applied % checkpointEvery == 0 && applied < m.length)
+      if (applied % checkpointEvery == 0 && applied < merges.length)
         vocab = vocab.localCheckpoint(true)
     }
     vocab.select(col("w"), trim(col("s")).as("symbols"), col("cnt"))

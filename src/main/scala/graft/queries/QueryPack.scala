@@ -170,6 +170,7 @@ object QueryPack
     "q143_kmv_overlap"      -> (kmvOverlap _),
     "q144_group_split"      -> (groupSplit _),
     "q145_incr_ann"         -> (knnIncremental _),
+    "q146_bpe_heldout"      -> (bpeHeldout _),
   )
 
   /** Every query's DuckDB oracle, concatenated from the family files. */

@@ -1126,6 +1126,45 @@ private[queries] trait TextQueries {
           .cast("long"))
   }
 
+  /** Held-out BPE fertility (q146) — the tokenizer generalization
+    * measurement a training pipeline actually reads: merges are LEARNED
+    * on the q46 'train' split alone and APPLIED FROZEN
+    * ([[graft.operators.Bpe.encodeWith]], the serve path) to the 'test'
+    * split, whose per-language fertility (subwords per token) then
+    * measures how well the learned rules transfer to unseen text —
+    * q135's number on the training corpus itself cannot see
+    * over-fitting of the merge table. Unseen held-out words segment to
+    * characters plus whatever learned merges apply, the standard BPE
+    * open-vocabulary contract.
+    *
+    * Scale shape: identical to q135 (one word-dictionary aggregate per
+    * slice, merge replay over the vocabulary only) — the split
+    * predicate is map-side on the shared fnv64 bucket.
+    */
+  def bpeHeldout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val docs = Tables.documents(s, dir)
+    val bucket = TextHashExpressions.fnv64(col("text"))
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 100
+    val train = docs.filter(bucket < 80)
+    val heldout = docs.filter(bucket >= 90)
+    val merges = graft.operators.Bpe.learnMerges(train, "text", numMerges = 6)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.operators.Bpe.encodeWith(heldout, "text", merges)
+      .select(col("w"), size(split(col("symbols"), "  ")).as("n_sym"))
+    val lw = heldout.select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    lw.join(vocab, "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_sym")).as("n_subwords"))
+      .withColumn("fertility_ppm",
+        floor((col("n_subwords") * lit(1000000.0)) / col("n_tokens"))
+          .cast("long"))
+  }
+
   /** Deterministic mixture schedule (q136) — the data-mixing step that
     * turns per-source weights into a reproducible global training
     * order: within each source, docs take a content-hash rank (q61's
@@ -1512,7 +1551,7 @@ private[queries] trait TextQueries {
     * through UNCHANGED (the engine's learnMerges skips such steps) —
     * an inner join would empty v$k and every later step.
     */
-  private def bpeOracleCtes: String = {
+  private def bpeOracleCtes(src: String = "documents"): String = {
     val iters = (1 to 6).map { k =>
       s"""p$k AS (SELECT pr[1] AS l, pr[2] AS r, cnt FROM (
          |  SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS pr, cnt
@@ -1525,8 +1564,25 @@ private[queries] trait TextQueries {
          |  FROM v${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""wc AS (SELECT w, COUNT(*) AS cnt FROM (
-       |  SELECT unnest(${toksSql("text")}) AS w FROM documents) u GROUP BY w),
+       |  SELECT unnest(${toksSql("text")}) AS w FROM $src) u GROUP BY w),
        |v0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM wc),
+       |$iters""".stripMargin
+  }
+
+  /** q146's serve-side replay: the FROZEN m1..m6 rules (from
+    * [[bpeOracleCtes]]'s train-slice argmaxes) applied in rank order to
+    * a DIFFERENT corpus's word dictionary — the same LEFT JOIN/COALESCE
+    * pass-through when a train step exhausted early.
+    */
+  private def bpeApplyCtes(src: String): String = {
+    val iters = (1 to 6).map { k =>
+      s"""h$k AS (SELECT w, COALESCE(replace(s, ' ' || m.l || '  ' || m.r || ' ',
+         |    ' ' || m.l || m.r || ' '), s) AS s, cnt
+         |  FROM h${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""hw AS (SELECT w, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(${toksSql("text")}) AS w FROM $src) u GROUP BY w),
+       |h0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM hw),
        |$iters""".stripMargin
   }
 
@@ -1536,14 +1592,14 @@ private[queries] trait TextQueries {
         s"""SELECT $k AS step, l AS "left", r AS "right", l || r AS merged,
            | pc AS pair_count FROM m$k""".stripMargin
       }.mkString(" UNION ALL ")
-      s"""WITH $bpeOracleCtes
+      s"""WITH ${bpeOracleCtes()}
          |$out""".stripMargin
     },
     // fertility reads per-word subword counts off v6 (the served
     // tokenizer) and weights them by per-language token counts; the
     // ppm is the same mult-then-divide floor both engines run in IEEE
     "q135_bpe_fertility" ->
-      s"""WITH $bpeOracleCtes,
+      s"""WITH ${bpeOracleCtes()},
          |sym AS (SELECT w, len(str_split(trim(s), '  ')) AS n_sym FROM v6),
          |lw AS (SELECT lang, w, COUNT(*) AS c FROM (
          |  SELECT lang, unnest(${toksSql("text")}) AS w FROM documents) u
@@ -1555,6 +1611,27 @@ private[queries] trait TextQueries {
          | CAST(FLOOR(n_subwords * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
          |   AS fertility_ppm
          |FROM a""".stripMargin,
+    // held-out fertility: merges learned on the q46 train slice alone
+    // (the m1..m6 argmaxes see only train words), then applied FROZEN
+    // to the test slice's word dictionary via the h-chain
+    "q146_bpe_heldout" -> {
+      def slice(cond: String) =
+        s"(SELECT * FROM documents WHERE (${fnvSql("text")} & 2147483647) % 100 $cond)"
+      s"""WITH ${bpeOracleCtes(slice("< 80"))},
+         |${bpeApplyCtes(slice(">= 90"))},
+         |sym AS (SELECT w, len(str_split(trim(s), '  ')) AS n_sym FROM h6),
+         |lw AS (SELECT lang, w, COUNT(*) AS c FROM (
+         |  SELECT lang, unnest(${toksSql("text")}) AS w
+         |  FROM ${slice(">= 90")} ho) u
+         | GROUP BY lang, w),
+         |a AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |   CAST(SUM(c * n_sym) AS BIGINT) AS n_subwords
+         |  FROM lw JOIN sym USING (w) GROUP BY lang)
+         |SELECT lang, n_tokens, n_subwords,
+         | CAST(FLOOR(n_subwords * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+         |   AS fertility_ppm
+         |FROM a""".stripMargin
+    },
     "q141_dataset_card" ->
       s"""WITH t AS (SELECT source, lang, n_chars,
          |  CASE WHEN length(trim(text)) = 0 THEN 0

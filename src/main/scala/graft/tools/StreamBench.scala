@@ -210,6 +210,17 @@ object StreamBench {
           "user_id", "ts", watermarkDelay = "1 minute",
           weekSeconds = 3600L).toDF()
       },
+      time("anomaly") {
+        // 8 event types, 1 event/s round-robin; daySeconds shrunk to
+        // 3600 so the replay seals ~totalRows/(8·3600) buckets per type
+        // — state = the trailing ≤ 7 (day, count) pairs per type, the
+        // smallest envelope of any twin
+        graft.operators.Anomaly.streamingAnomalies(
+          source().select(concat(lit("t"), ($"offset" % 8L))
+            .as("event_type"), $"ts"),
+          "event_type", "ts", watermarkDelay = "1 minute",
+          daySeconds = 3600L).toDF()
+      },
       time("funnel") {
         // sessionKeys users cycling view → click → purchase → view …;
         // every third event advances a frontier, so state = one frontier

@@ -125,4 +125,37 @@ class AnnOracleMarginSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.8,
       s"trained-PQ recall collapsed ($recall) — codebook build regressed")
   }
+
+  test("q145 routing argmax margins clear the cross-engine noise band") {
+    // the incremental-ingest oracle adds one NEW rank decision to q38's
+    // family: each batch vector's (cosine DESC, label) argmax over the
+    // frozen base centroids. A cross-engine flip needs a batch vector
+    // nearly equidistant (in cosine) from its two best cells — measure
+    // the actual worst best-vs-second margin on both driver corpora.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val dim = 64
+      val cents = Similarity.centroidVectors(
+          emb.filter(col("vec_id") % 10 =!= 7), dim)
+        .orderBy(col("label")).collect().map(_.getSeq[Double](1).toArray)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        dp / (math.sqrt(na) * math.sqrt(nb))
+      }
+      var minMargin = Double.MaxValue
+      batch.foreach { v =>
+        val sims = cents.map(c => cos(v, c)).sorted(Ordering[Double].reverse)
+        minMargin = math.min(minMargin, sims(0) - sims(1))
+      }
+      info(f"worst routing margin at $dir: $minMargin%.3e")
+      assert(minMargin > 1e-9,
+        s"routing argmax margin $minMargin inside the noise band at $dir")
+    }
+  }
 }

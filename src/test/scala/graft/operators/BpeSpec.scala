@@ -96,4 +96,32 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     val v = Bpe.vocabAfter(docs("ab ab ab"), "text", 5).collect()
     assert(v.map(_.getString(1)).toSet == Set("ab"))
   }
+
+  test("encodeWith applies FROZEN rules to held-out text (q146's serve path)") {
+    // train learns (a,b) then (ab,ab); held-out rules are fixed:
+    // 'abab' collapses fully, 'abba' gets one ab ('b  b' was never
+    // learned even though it's held-out-frequent — frozen means frozen),
+    // unseen 'xyz' segments to characters
+    val train = docs("abab abab abab")
+    val m = Bpe.learnMerges(train, "text", 2).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m == Seq("a" -> "b", "ab" -> "ab"))
+    val enc = Bpe.encodeWith(docs("abab abba abba abba xyz"), "text", m)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(enc == Map(
+      "abab" -> ("abab", 1L),
+      "abba" -> ("ab  b  a", 3L),
+      "xyz" -> ("x  y  z", 1L)))
+  }
+
+  test("vocabAfter == learn-then-encodeWith on the same corpus") {
+    val d = docs("low low low", "lower lower", "newest newest")
+    val viaVocab = Bpe.vocabAfter(d, "text", 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val m = Bpe.learnMerges(d, "text", 3).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaEncode = Bpe.encodeWith(d, "text", m).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaVocab == viaEncode)
+  }
 }
