@@ -44,14 +44,17 @@ object Tables {
     * PushedFilters/ReadSchema are unaffected. Disable with
     * SPARK_GRAFT_SCAN_FLOOR=0 for A/B measurement.
     *
-    * Applied to the TEXT and VECTOR tables only (documents, embeddings):
-    * their consumers do expensive per-row compute (regex shingling, FNV
-    * hashing, 64-dim float math, media decode) where one idle-core scan
-    * is the wall. The relational/event tables' consumers are codegen
-    * aggregates with high reduction — there the single scan task's
-    * partial aggregation already collapses the data BEFORE any exchange,
-    * and a repartition would move the whole table to save nothing
-    * (measured: q01 0.85 s → 0.93 s with a blanket floor).
+    * Applied where the consumers are COMPUTE-BOUND per row: always for
+    * `embeddings` (64-dim float math dominates; measured q132 1.97→1.61,
+    * q142 4.35→3.90 min-of-two at sf0.1), and opt-in per query for
+    * `documents` via [[documentsWide]] (signature/decode/regex-heavy
+    * paths: q32 simhash 1.76→1.17, q87 greedy-BPE fold 0.98→0.32). NOT
+    * applied to high-reduction token aggregations (trigram/bigram/vocab
+    * shapes): 32 upstream tasks each re-emit overlapping partial-agg
+    * keys, so the exchange carries up to cores× the rows one scan task
+    * would have produced — measured q126 1.47→2.14, q135 2.03→2.47,
+    * q117 1.70→2.02 with a blanket documents floor. Relational/event
+    * tables are left alone for the same reason (q01 0.85→0.93).
     */
   private def scanParallelFloor(df: DataFrame): DataFrame = {
     if (sys.env.getOrElse("SPARK_GRAFT_SCAN_FLOOR", "1") == "0") return df
@@ -90,7 +93,11 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  =
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  /** [[documents]] with the scan-parallelism floor — for queries whose
+    * per-row work (signatures, media decode, heavy regex) dwarfs one
+    * round-robin move of the raw text. See [[scanParallelFloor]]. */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
     scanParallelFloor(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame =
     scanParallelFloor(load(s, d, "embeddings"))

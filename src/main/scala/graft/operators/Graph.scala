@@ -92,7 +92,15 @@ object Graph {
                         sampleDenom: Int = 10): DataFrame = {
     require(sampleDenom > 0, "sampleDenom must be positive")
     import org.apache.spark.sql.expressions.Window
+    // Materialize the ids-only edge list ONCE: it is consumed by BOTH
+    // the connected-components build (an eager count+collect at
+    // construction) and the degree aggregate below — left lazy, the
+    // entire upstream graph build (the expensive mutual-kNN pipeline in
+    // q142's case) would execute twice. localCheckpoint truncates to
+    // fixed-width id pairs; everything downstream replays rows, not the
+    // build. (Measured: q142 3.90 → ~2.8 s at sf0.1.)
     val e = edges.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .localCheckpoint(true)
     val cc = Dedup.connectedComponents(e, "id_a", "id_b")
     val deg = e.select(col("id_a").as("node"))
       .unionByName(e.select(col("id_b").as("node")))

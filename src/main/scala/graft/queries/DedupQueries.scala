@@ -37,13 +37,13 @@ private[queries] trait DedupQueries {
     * regenerations, not just for this seed.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.nearDuplicatePairs(Tables.documentsWide(s, dir), "doc_id", "text",
       numHashes = 64, bands = 16, shingleSize = 2, jaccardThreshold = 0.7)
 
   /** SimHash signatures — FNV token hashes, so the 64-bit majority vote
     * is restated verbatim in the oracle SQL. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(Tables.documents(s, dir), "text")
+    Dedup.simHash(Tables.documentsWide(s, dir), "text")
       .select(col("doc_id"), col("simhash"))
 
   /** Exact n-gram Jaccard near-dups via the inverted-index join — the
@@ -82,7 +82,7 @@ private[queries] trait DedupQueries {
     * orientation as corpus matches (corpus content is always "first").
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
     val existing = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val index = Dedup.minhashBandIndex(existing, "doc_id", "text",
@@ -343,7 +343,7 @@ private[queries] trait DedupQueries {
     * execution-strategy change, not an approximation, at this distance.
     */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)
+    Dedup.simHashNearDups(Tables.documentsWide(s, dir), "doc_id", "text", maxHamming = 7)
 
   /** Benchmark decontamination: training documents that share ≥3 distinct
     * word 3-grams with any held-out/eval document (here: doc_id % 100 == 0

@@ -219,7 +219,7 @@ private[queries] trait TextQueries {
     * rules); `n_kept` counts docs failing none.
     */
   def c4Filter(s: SparkSession, dir: String): DataFrame =
-    c4FilterStats(Tables.documents(s, dir))
+    c4FilterStats(Tables.documentsWide(s, dir))
 
   /** [[c4Filter]]'s core — exposed for the spec's per-rule planted
     * documents. */
@@ -575,7 +575,7 @@ private[queries] trait TextQueries {
     * codegen'd regex rewrites, no shuffle at all before the output.
     */
   def piiRedact(s: SparkSession, dir: String): DataFrame =
-    piiRedactDocs(Tables.documents(s, dir))
+    piiRedactDocs(Tables.documentsWide(s, dir))
 
   /** [[piiRedact]]'s core — exposed for the spec's planted-PII docs. */
   private[graft] def piiRedactDocs(docs: DataFrame): DataFrame = {
@@ -742,7 +742,7 @@ private[queries] trait TextQueries {
     * same bit-packed cursor), so the gate pins every consumed piece.
     */
   def bpeTokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsWide(s, dir)
       .withColumn("n_bpe", TextFunctions.bpeTokenCount(col("text")))
       .withColumn("n_ws", TextFunctions.tokenCount(col("text")).cast("long"))
       .groupBy(col("lang"))
@@ -1084,7 +1084,7 @@ private[queries] trait TextQueries {
       // &lt;), out-of-ASCII refs pass through intact, double-encoded
       // &amp;#65; stays single-decoded
       lit("<p>&#65;&#x42;&#x7a; n &#38;lt; a &#8217; u &#x1F600; e &amp;#65; d 100%zz</p></body></html>"))
-    Tables.documents(s, dir)
+    Tables.documentsWide(s, dir)
       .select(col("doc_id"),
         TextFunctions.extractHtmlText(html).as("extracted"))
       .select(col("doc_id"), md5(col("extracted").cast("binary")).as("text_md5"),
