@@ -99,6 +99,14 @@ object Tables {
     * round-robin move of the raw text. See [[scanParallelFloor]]. */
   def documentsWide(s: SparkSession, d: String): DataFrame =
     scanParallelFloor(load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame =
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** [[embeddings]] with the scan-parallelism floor — for the hyperplane-
+    * hash and in-cell-join paths whose per-row vector math dominates
+    * (q88 1.57→1.15, q132 1.85→1.56, q93 0.72→0.52 at sf0.1). The
+    * kMeans-iteration and exact-decimal centroid families stay NARROW:
+    * their per-iteration aggregates reduce to k×dim rows, and 32 upstream
+    * tasks multiply the partial states to merge (q107 +0.53, q140 +0.42,
+    * q84 +0.34 with a blanket embeddings floor). */
+  def embeddingsWide(s: SparkSession, d: String): DataFrame =
     scanParallelFloor(load(s, d, "embeddings"))
 }

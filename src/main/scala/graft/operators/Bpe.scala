@@ -31,36 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** One row per learned merge: (step, left, right, merged, pair_count),
-    * `pair_count` being the corpus-weighted occurrence count that made
-    * the pair the argmax at its step (ties break lexicographically on
-    * (left, right) — deterministic across engines and partitionings).
-    *
-    * Real tokenizers learn 10³–10⁴ merges, and each step rewrites the
-    * vocabulary with one lazy `replace` projection — left unchecked,
-    * step t would replay all t−1 prior rewrites from the cached base
-    * (O(merges²) replace work) AND analyze a t-deep Catalyst plan
-    * (O(merges²) planning). `checkpointEvery` bounds both: every N
-    * applied merges the rewritten vocabulary is localCheckpoint'd
-    * (eager — plan truncates to a leaf, materialized rows replace the
-    * replay), so per-step work is ≤ N replays over the vocab table and
-    * total work stays LINEAR in merges for fixed N (measured: see
-    * SCALING.md's BpeScale rows at 64→1024 merges).
-    */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-                  checkpointEvery: Int = 32): DataFrame = {
-    require(numMerges > 0, "numMerges must be positive")
-    require(checkpointEvery > 0, "checkpointEvery must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // word-frequency dictionary; symbols start as single characters
-    // the word-frequency dictionary is the only corpus-scale aggregate;
-    // cache it so each merge iteration replays only map-side replaces
-    val base = docs
+  /** The (w, s, cnt) word-frequency dictionary with `s` the two-space
+    * character segmentation — the ONE corpus-scale aggregate every BPE
+    * path starts from. */
+  private def charDict(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+
+  /** The sequential merge-learning loop over an already-materialized
+    * (s, cnt) dictionary (callers persist or checkpoint it — each step
+    * re-reads it, never the corpus). Returns
+    * (step, left, right, merged, pair_count) tuples in step order. */
+  private def learnLoop(base: DataFrame, numMerges: Int,
+                        checkpointEvery: Int): Seq[(Int, String, String, String, Long)] = {
     var vocab = base
     var lastCp: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -101,8 +86,57 @@ object Bpe {
       step += 1
     }
     lastCp.foreach(_.unpersist(false))
+    merges.result()
+  }
+
+  /** Replay a fixed merge table in rank order over a (w, s, cnt)
+    * dictionary — lazy `replace` projections with the same
+    * `checkpointEvery` lineage bound as the trainer. */
+  private def applyMerges(dict: DataFrame, merges: Seq[(String, String)],
+                          checkpointEvery: Int): DataFrame = {
+    var vocab = dict
+    var applied = 0
+    merges.foreach { case (l, r) =>
+      vocab = vocab.select(col("w"),
+        call_function("replace", col("s"),
+          lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
+      applied += 1
+      if (applied % checkpointEvery == 0 && applied < merges.length)
+        vocab = vocab.localCheckpoint(true)
+    }
+    vocab.select(col("w"), trim(col("s")).as("symbols"), col("cnt"))
+  }
+
+  /** One row per learned merge: (step, left, right, merged, pair_count),
+    * `pair_count` being the corpus-weighted occurrence count that made
+    * the pair the argmax at its step (ties break lexicographically on
+    * (left, right) — deterministic across engines and partitionings).
+    *
+    * Real tokenizers learn 10³–10⁴ merges, and each step rewrites the
+    * vocabulary with one lazy `replace` projection — left unchecked,
+    * step t would replay all t−1 prior rewrites from the cached base
+    * (O(merges²) replace work) AND analyze a t-deep Catalyst plan
+    * (O(merges²) planning). `checkpointEvery` bounds both: every N
+    * applied merges the rewritten vocabulary is localCheckpoint'd
+    * (eager — plan truncates to a leaf, materialized rows replace the
+    * replay), so per-step work is ≤ N replays over the vocab table and
+    * total work stays LINEAR in merges for fixed N (measured: see
+    * SCALING.md's BpeScale rows at 64→1024 merges).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  checkpointEvery: Int = 32): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // word-frequency dictionary; symbols start as single characters.
+    // The dictionary is the only corpus-scale aggregate; cache it so
+    // each merge iteration replays only map-side replaces.
+    val base = charDict(docs, textCol).select(col("s"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = learnLoop(base, numMerges, checkpointEvery)
     base.unpersist(false) // merges are already materialized (collected)
-    merges.result().toDF("step", "left", "right", "merged", "pair_count")
+    merges.toDF("step", "left", "right", "merged", "pair_count")
   }
 
   /** The word → symbol-sequence vocabulary AFTER the learned merges —
@@ -110,12 +144,20 @@ object Bpe {
     * tokenizer a deployment SERVES (the word-level segmentation map);
     * specs assert the rewrite semantics on it and q135 reads per-word
     * subword counts off it.
+    *
+    * Builds the word dictionary ONCE (eager localCheckpoint) and runs
+    * both the learning loop and the merge replay over those
+    * materialized rows — learn-then-encode used to pay the corpus-scale
+    * token aggregate twice (learnMerges' own dict, then encodeWith's).
     */
   def vocabAfter(docs: DataFrame, textCol: String,
                  numMerges: Int, checkpointEvery: Int = 32): DataFrame = {
-    val m = learnMerges(docs, textCol, numMerges, checkpointEvery).collect()
-      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-    encodeWith(docs, textCol, m, checkpointEvery)
+    require(numMerges > 0, "numMerges must be positive")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val dict = charDict(docs, textCol).localCheckpoint(true)
+    val merges = learnLoop(dict.select(col("s"), col("cnt")),
+      numMerges, checkpointEvery).map(m => (m._2, m._3))
+    applyMerges(dict, merges, checkpointEvery)
   }
 
   /** Apply a FROZEN merge table to a corpus — the tokenizer SERVE path:
@@ -136,19 +178,6 @@ object Bpe {
                  merges: Seq[(String, String)],
                  checkpointEvery: Int = 32): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
-    var vocab = docs
-      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("w"), regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
-    var applied = 0
-    merges.foreach { case (l, r) =>
-      vocab = vocab.select(col("w"),
-        call_function("replace", col("s"),
-          lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
-      applied += 1
-      if (applied % checkpointEvery == 0 && applied < merges.length)
-        vocab = vocab.localCheckpoint(true)
-    }
-    vocab.select(col("w"), trim(col("s")).as("symbols"), col("cnt"))
+    applyMerges(charDict(docs, textCol), merges, checkpointEvery)
   }
 }

@@ -113,7 +113,7 @@ private[queries] trait VectorQueries {
     */
   def mutualKnn(s: SparkSession, dir: String): DataFrame =
     Similarity.mutualKnnGraph(
-      Tables.embeddings(s, dir).filter(col("vec_id") < 4000),
+      Tables.embeddingsWide(s, dir).filter(col("vec_id") < 4000),
       k = 5, dim = 64, nProbes = 2)
 
   /** Graph-clustered semantic curation (q142) — the composition the
@@ -137,7 +137,7 @@ private[queries] trait VectorQueries {
     * sample rank) ride windows over ONE cluster_id hash partitioning.
     */
   def graphCuration(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 4000)
+    val emb = Tables.embeddingsWide(s, dir).filter(col("vec_id") < 4000)
     val edges = Similarity.mutualKnnGraph(emb, k = 5, dim = 64, nProbes = 2)
     graft.operators.Graph.communityCuration(edges, "id_a", "id_b")
   }
@@ -228,7 +228,7 @@ private[queries] trait VectorQueries {
     */
   def embNearDupLshAuto(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupLshAuto(
-      Tables.embeddings(s, dir), threshold = 0.35)
+      Tables.embeddingsWide(s, dir), threshold = 0.35)
       .select(col("id_a"), col("id_b"))
 
   /** Multimodal decode: binary blob → typed metadata via mapPartitions
@@ -402,7 +402,7 @@ private[queries] trait VectorQueries {
     */
   def embNearDupIdsOnly(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupLshIdsOnly(
-      Tables.embeddings(s, dir).filter(col("vec_id") < 3000),
+      Tables.embeddingsWide(s, dir).filter(col("vec_id") < 3000),
       threshold = 0.35, nPlanes = 4, nTables = 2)
       .select(col("id_a"), col("id_b"))
 
@@ -500,7 +500,7 @@ private[queries] trait VectorQueries {
     val projs = (0 until k).map(j => VectorFunctions.dot(col("embedding"), wLit(j)))
     val pn2 = projs.map(p => p * p).reduceLeft(_ + _)
     val vn2 = VectorFunctions.dot(col("embedding"), col("embedding"))
-    Tables.embeddings(s, dir).select(
+    Tables.embeddingsWide(s, dir).select(
       col("vec_id"),
       floor(projs(0) * 1e6).cast("long").as("p0_fp"),
       floor(projs(1) * 1e6).cast("long").as("p1_fp"),

@@ -286,10 +286,15 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"window shuffle must not carry text:\n${badExchange.mkString("\n")}")
   }
 
-  test("q93: JL projection is pure map-side — zero exchanges") {
+  test("q93: JL projection is pure map-side — zero keyed exchanges") {
+    // The scan-parallelism floor (Tables.scanParallelFloor) may insert
+    // ONE round-robin repartition above a single-row-group scan; the
+    // operator itself still plans zero KEYED exchanges — nothing is
+    // ever hashed or sorted.
     val plan = executedPlan(QueryPack.jlProjection(spark, dir))
-    assert(!plan.contains("Exchange"),
-      s"projection must not shuffle (scan → project only):\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"projection must not shuffle by key (scan → project only):\n$plan")
     assert(plan.contains("array_dot"),
       s"expected the native dot-product expression in:\n$plan")
   }
@@ -310,13 +315,18 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
   }
 
   test("q99/q100: the filter bundle and redaction are map-side — at most the rollup exchanges") {
+    // the scan-parallelism floor's round-robin repartition above the
+    // scan is not an operator shuffle — count keyed exchanges only
+    def keyedExchanges(p: String): Int =
+      p.linesIterator.count(l => l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
     val p99 = executedPlan(QueryPack.c4Filter(spark, dir))
-    // one partial/final aggregate pair → exactly one exchange
-    assert(p99.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+    // one partial/final aggregate pair → exactly one keyed exchange
+    assert(keyedExchanges(p99) <= 1,
       s"five rules must ride one projection + one rollup exchange:\n$p99")
     val p100 = executedPlan(QueryPack.piiRedact(spark, dir))
-    assert(!p100.contains("Exchange"),
-      s"redaction must not shuffle (scan → project → filter only):\n$p100")
+    assert(keyedExchanges(p100) == 0,
+      s"redaction must not shuffle by key (scan → project → filter only):\n$p100")
   }
 
   test("q103: CDC chunking is map-side — only the two fixed-width agg exchanges, no join") {
