@@ -47,11 +47,18 @@ object CurationPipeline {
   def curate(docs: DataFrame, evalDocs: DataFrame, cfg: Config = Config()): DataFrame = {
     import org.apache.spark.sql.graft.TextHashExpressions
 
-    // 1. normalized exact dedup (min-id canonical copy)
+    // 1. normalized exact dedup (min-id canonical copy). Materialized
+    // once (localCheckpoint): it feeds the near-dup pair graph — which
+    // the connected-components build consumes EAGERLY at construction —
+    // and then three more consumers in the final plan (near-dedup join,
+    // quality filter, decontamination shingles); left lazy, the verify
+    // join's two legs each replayed the dedup window (measured 0.77 s
+    // of the q72 construct at sf0.1).
     val norm = lower(org.apache.spark.sql.graft.TextNormExpressions
       .normalizeWsPunct(col("text")))
     val exactDeduped = ObservedMetrics.attach(
-      Dedup.exactDedup(docs.withColumn("_norm", norm), "_norm", "doc_id").drop("_norm"),
+      Dedup.exactDedup(docs.withColumn("_norm", norm), "_norm", "doc_id").drop("_norm")
+        .localCheckpoint(true),
       "curation_exact_dedup", count(lit(1)).as("rows"))
 
     // 2. near-dup clusters → keep cluster minima
