@@ -41,6 +41,15 @@ object Bench {
       // cluster-side tuning.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
+      // Optimization guide §3.1/§9: let the planner pick shuffled-hash
+      // join when its size conditions hold instead of defaulting to
+      // sort-merge — hashing the smaller per-partition side skips both
+      // sorts. Scale-neutral: the planner still requires the build side
+      // to fit per-partition, and AQE re-plans oversized partitions;
+      // env-parameterised for A/B (SPARK_GRAFT_PREFER_SMJ=true restores
+      // the Spark default).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader init should not be
