@@ -500,7 +500,12 @@ private[queries] trait VectorQueries {
     val projs = (0 until k).map(j => VectorFunctions.dot(col("embedding"), wLit(j)))
     val pn2 = projs.map(p => p * p).reduceLeft(_ + _)
     val vn2 = VectorFunctions.dot(col("embedding"), col("embedding"))
-    Tables.embeddingsWide(s, dir).select(
+    // NARROW on purpose: the consumer is a cheap projection, so at the
+    // top of the floor's firing range (200k single-row-group vectors at
+    // sf10) the round-robin move of full embeddings costs more than the
+    // parallelism buys (measured 7.5 -> 15.4 s at sf10; the sf0.1 win
+    // was 0.35 s). The floor stays for signature/join-heavy consumers.
+    Tables.embeddings(s, dir).select(
       col("vec_id"),
       floor(projs(0) * 1e6).cast("long").as("p0_fp"),
       floor(projs(1) * 1e6).cast("long").as("p1_fp"),
