@@ -55,12 +55,41 @@ object Tables {
     * would have produced — measured q126 1.47→2.14, q135 2.03→2.47,
     * q117 1.70→2.02 with a blanket documents floor. Relational/event
     * tables are left alone for the same reason (q01 0.85→0.93).
+    *
+    * SIZE CONDITION (round 15): the floor's demonstrated loss mode is
+    * moving a large single-row-group table through the round-robin
+    * exchange when the move itself rivals the downstream work (q93 at
+    * sf10: 200k full vectors re-shuffled to parallelize a cheap
+    * projection, 7.5→15.4 s — fixed per-consumer by opting q93 out).
+    * The guardrail here bounds the move cost for the consumers that DO
+    * opt in: the floor only fires when the estimated scan bytes per
+    * core stay under SPARK_GRAFT_FLOOR_MAX_MB_PER_CORE (default 64 MB —
+    * one round-robin move of ≤64 MB/core is seconds of wire time,
+    * always recovered by a compute-bound consumer; sf10 embeddings is
+    * ~3 MB/core, three orders of magnitude inside the bound). Above
+    * the bound the right production repair is re-laying out the table
+    * (more row groups at the source), not a silent full-table exchange
+    * in every reader — the floor declines and the plan is unchanged.
+    * The estimate is the relation's optimizer statistics (file bytes ×
+    * compressionFactor), available pre-execution at any scale.
+    *
+    * MUST only wrap bare parquet scans: `df.rdd` on an AQE plan with
+    * upstream shuffle stages would eagerly materialize query stages —
+    * harmless on a fresh scan (partition listing only), a correctness
+    * and cost hazard on arbitrary DataFrames.
     */
   private def scanParallelFloor(df: DataFrame): DataFrame = {
+    import scala.util.control.NonFatal
     if (sys.env.getOrElse("SPARK_GRAFT_SCAN_FLOOR", "1") == "0") return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val scanParts = try df.rdd.getNumPartitions catch { case _: Throwable => target }
-    if (scanParts < target) df.repartition(target) else df
+    val scanParts = try df.rdd.getNumPartitions catch { case NonFatal(_) => target }
+    if (scanParts >= target) return df
+    val maxBytesPerCore = sys.env.getOrElse(
+      "SPARK_GRAFT_FLOOR_MAX_MB_PER_CORE", "64").toLong * 1024L * 1024L
+    val scanBytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case NonFatal(_) => BigInt(0) }
+    if (scanBytes / target <= maxBytesPerCore) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -149,6 +149,11 @@ object Bpe {
     * both the learning loop and the merge replay over those
     * materialized rows — learn-then-encode used to pay the corpus-scale
     * token aggregate twice (learnMerges' own dict, then encodeWith's).
+    * The checkpoint blocks are executor-local and non-recomputable
+    * (executor loss fails the job rather than replaying lineage) and
+    * are freed by session GC, not an explicit unpersist — acceptable
+    * for a batch trainer invoked once per job; a resident service
+    * should persist+unpersist instead.
     */
   def vocabAfter(docs: DataFrame, textCol: String,
                  numMerges: Int, checkpointEvery: Int = 32): DataFrame = {

@@ -519,11 +519,41 @@ object Dedup {
     // (int, string, …) takes the type-agnostic iterative path
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val edgeCount = edges.count() // also materializes the cache
+    // ONE action decides the path AND fetches the fast path's input
+    // (round-15: the former count() + collect() pair cost two whole-job
+    // round trips of driver scheduling per CC call — §1.5's driver-gap
+    // tax — on top of the same cache materialization). Each partition
+    // returns its total row count plus its u<v pairs packed as longs,
+    // CAPPED at ~2× its proportional share of the threshold so a
+    // pathological partition can never pull more than ~2× the documented
+    // driver budget: an overflowing partition returns null and the graph
+    // takes the iterative path (correct either way — the cap only
+    // decides WHERE the labels are computed).
+    val nParts = math.max(1, edges.rdd.getNumPartitions)
+    val perPartCap = math.max(4096L, 2L * (driverSideThreshold + 1) / nParts)
+    val perPart: Array[(Long, Array[Long])] =
+      if (longIds) edges.rdd.mapPartitions { it =>
+        var n = 0L
+        var overflow = false
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](128)
+        it.foreach { r =>
+          n += 1
+          val u = r.getLong(0); val v = r.getLong(1)
+          if (u < v) {
+            if (!overflow && buf.length / 2 < perPartCap) { buf += u; buf += v }
+            else overflow = true
+          }
+        }
+        Iterator.single((n, if (overflow) null else buf.toArray))
+      }.collect()
+      // non-long ids always take the iterative path — count only
+      else Array((edges.count(), null: Array[Long]))
+    val edgeCount = perPart.iterator.map(_._1).sum
+    val collectOk = longIds && perPart.forall(_._2 != null)
     // edges holds BOTH directions, so compare pairs (= edgeCount/2)
     // against the documented threshold — comparing the doubled count
     // silently halved the fast path's reach
-    if (longIds && edgeCount / 2 <= driverSideThreshold) {
+    if (collectOk && edgeCount / 2 <= driverSideThreshold) {
       // Adaptive small-graph path. Near-dup pair sets are a sliver of the
       // corpus (ids only, post-LSH): ≤ `driverSideThreshold` edges is
       // ≈ 16 MB on the driver — union-find solves that in milliseconds,
@@ -531,9 +561,9 @@ object Dedup {
       // This is a bounded collect (the threshold caps driver memory), not
       // a scale leak; graphs above the threshold take the iterative path.
       val spark = pairs.sparkSession
-      val es = edges.filter(col("u") < col("v"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist(false)
+      val es = perPart.iterator.flatMap { case (_, packed) =>
+        packed.grouped(2).map(p => (p(0), p(1))) }.toArray
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var root = x

@@ -54,6 +54,14 @@ object CurationPipeline {
     // quality filter, decontamination shingles); left lazy, the verify
     // join's two legs each replayed the dedup window (measured 0.77 s
     // of the q72 construct at sf0.1).
+    //
+    // Cluster tradeoff, documented deliberately: localCheckpoint blocks
+    // are executor-local and NON-RECOMPUTABLE — an executor loss mid-job
+    // fails the query instead of replaying lineage, and the blocks live
+    // until the session GCs the DataFrame. That is the right trade for
+    // a batch curation pass (rerun-on-failure, one curate() per job);
+    // a long-lived service calling curate() repeatedly should switch to
+    // persist(MEMORY_AND_DISK) + unpersist after the final action.
     val norm = lower(org.apache.spark.sql.graft.TextNormExpressions
       .normalizeWsPunct(col("text")))
     val exactDeduped = ObservedMetrics.attach(

@@ -582,13 +582,19 @@ private[queries] trait TextQueries {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val url = "https?://[A-Za-z0-9./_-]+"
     val longWord = "[A-Za-z]{8,}"
+    // The match-count gate is the regex-heavy half of the query; wrap it
+    // in the placement barrier so Catalyst cannot push the Filter (and
+    // with it all three regexp_extract_all evaluations) back below the
+    // scan-parallelism floor's exchange onto the single scan task — see
+    // [[org.apache.spark.sql.graft.BarrierExpressions.optBarrier]].
     docs.select(col("doc_id"), col("text"))
       .withColumn("t1", regexp_replace(col("text"), email, "<EMAIL>"))
       .withColumn("t2", regexp_replace(col("t1"), url, "<URL>"))
       .withColumn("n_redacted",
-        (size(regexp_extract_all(col("text"), lit(email), lit(0))) +
-         size(regexp_extract_all(col("t1"), lit(url), lit(0))) +
-         size(regexp_extract_all(col("t2"), lit(longWord), lit(0)))).cast("long"))
+        org.apache.spark.sql.graft.BarrierExpressions.optBarrier(
+          (size(regexp_extract_all(col("text"), lit(email), lit(0))) +
+           size(regexp_extract_all(col("t1"), lit(url), lit(0))) +
+           size(regexp_extract_all(col("t2"), lit(longWord), lit(0)))).cast("long")))
       .filter(col("n_redacted") > 0)
       .select(col("doc_id"), col("n_redacted"),
         md5(regexp_replace(col("t2"), longWord, "<LW>")).as("redacted_md5"))

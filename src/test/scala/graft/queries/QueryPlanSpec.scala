@@ -286,15 +286,17 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
       s"window shuffle must not carry text:\n${badExchange.mkString("\n")}")
   }
 
-  test("q93: JL projection is pure map-side — zero keyed exchanges") {
-    // The scan-parallelism floor (Tables.scanParallelFloor) may insert
-    // ONE round-robin repartition above a single-row-group scan; the
-    // operator itself still plans zero KEYED exchanges — nothing is
-    // ever hashed or sorted.
+  test("q93: JL projection is pure map-side — zero exchanges of any kind") {
+    // q93 deliberately stays on the NARROW Tables.embeddings (round 14:
+    // the scan floor was measured a 2× sf10 regression for this
+    // projection-only consumer — moving 200k full vectors through a
+    // round-robin exchange to parallelize cheap per-row math). Strict
+    // no-Exchange assertion so nobody accidentally routes q93 through
+    // embeddingsWide again; the keyed-only relaxation stays reserved
+    // for queries that genuinely use the floor (q99/q100 below).
     val plan = executedPlan(QueryPack.jlProjection(spark, dir))
-    assert(!plan.contains("Exchange hashpartitioning") &&
-      !plan.contains("Exchange rangepartitioning"),
-      s"projection must not shuffle by key (scan → project only):\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"projection must not shuffle at all (scan → project only):\n$plan")
     assert(plan.contains("array_dot"),
       s"expected the native dot-product expression in:\n$plan")
   }
