@@ -1400,6 +1400,14 @@ private[queries] trait TextQueries {
       val q = least(expr(qExpr), lit(2147483647L))
       (length(conv((q * q).cast("string"), 10, 2)) - 1).cast("long")
     }
+    // Round-15 note: the §2.3 "score the distinct trigrams, then attach
+    // to occurrences on one key" restructure was implemented,
+    // oracle-verified row-identical, measured at three scales — and
+    // REJECTED: sf0.1 1.03× (everything broadcasts), sf1 0.85×
+    // (consistent loss: the extra distinct exchange isn't bought back),
+    // sf10 neutral (8 clean per-pass samples per side: mins 16.9 vs
+    // 16.6 s, medians ~32 vs ~28 — inside q117's heavy-tailed band).
+    // The per-occurrence form stays.
     val tri = test.select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), 3)).as("g"))
       .withColumn("prefix", concat_ws(" ",
