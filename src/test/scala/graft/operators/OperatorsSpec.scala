@@ -222,6 +222,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("connected components: per-partition collect-cap overflow falls back to the iterative path correctly") {
+    // The single-action fast path (round 15) caps each partition's
+    // collected pairs at max(4096, ~2× its proportional threshold
+    // share); a partition past the cap returns null and the graph must
+    // take the iterative path with IDENTICAL labels. Force it: 5000
+    // star edges (0—i, diameter 2 so the iterative loop converges fast)
+    // all hashed into ONE partition of a 1000-partition frame →
+    // perPartCap = max(4096, 2·(10⁶+1)/1000) = 4096 < 5000, while
+    // edgeCount/2 = 5000 stays far under the driver threshold — so
+    // ONLY the cap (not the count) rejects the driver-side path.
+    val n = 5001
+    val pairs = (1L until n).map(i => (0L, i))
+      .toDF("id_a", "id_b")
+      .repartition(1000, lit(0))
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.forall(_._2 == 0L), "every chain node must label to the minimum id 0")
+  }
+
   test("zOrderKey interleaves bits exactly (driver-side replay)") {
     def morton(a: Long, b: Long, bits: Int): Long =
       (0 until bits).foldLeft(0L)((z, i) =>

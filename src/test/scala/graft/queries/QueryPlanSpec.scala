@@ -329,6 +329,23 @@ class QueryPlanSpec extends AnyFunSuite with SparkTest
     val p100 = executedPlan(QueryPack.piiRedact(spark, dir))
     assert(keyedExchanges(p100) == 0,
       s"redaction must not shuffle by key (scan → project → filter only):\n$p100")
+    // Round-15 pin: the regex-heavy n_redacted gate must evaluate ABOVE
+    // the floor's round-robin exchange (the OptBarrier contract) — the
+    // plan prints top-down, so the Filter line must come BEFORE the
+    // Exchange line, and the gate must not be duplicated below it.
+    val lines = p100.linesIterator.toSeq
+    val fIdx = lines.indexWhere(_.contains("Filter"))
+    val eIdx = lines.indexWhere(_.contains("Exchange"))
+    if (eIdx >= 0) { // floor active (single-row-group corpus)
+      assert(fIdx >= 0 && fIdx < eIdx,
+        s"the PII gate filter must sit above the widening exchange:\n$p100")
+      // the tree prints top-down, so "above the exchange" = an earlier
+      // line; the three extract_alls must appear in exactly one
+      // operator, and that operator must be above the exchange
+      val gateLines = lines.zipWithIndex.filter(_._1.contains("regexp_extract_all"))
+      assert(gateLines.size == 1 && gateLines.forall(_._2 < eIdx),
+        s"the gate must evaluate once, above the exchange:\n$p100")
+    }
   }
 
   test("q103: CDC chunking is map-side — only the two fixed-width agg exchanges, no join") {
